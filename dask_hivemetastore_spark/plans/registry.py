@@ -1,0 +1,42 @@
+"""Registry mapping query keys → (Spark callable, DuckDB oracle SQL).
+
+Contract (driver's ``__spark_entry__`` protocol):
+
+- each callable: ``(spark, sf_dir) -> DataFrame``;
+- the oracle SQL runs in DuckDB against pre-registered views named
+  ``region nation customer supplier part orders lineitem events documents
+  embeddings``;
+- row-count + schema + order-insensitive value-hash must match, so every
+  computed column is aliased identically on both sides, float aggregates are
+  ROUNDed on both sides, and timestamps are µs-truncated on both sides
+  (SURVEY.md §5.2).
+
+Queries whose results are non-deterministic across engines by construction
+(approx sketches, LSH candidates) register with ``oracle=None`` → the driver
+records a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a named query and (optionally) its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco

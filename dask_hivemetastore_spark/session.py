@@ -1,0 +1,82 @@
+"""SparkSession factory.
+
+Centralizes every config this engine depends on so that tests, the bench and
+the driver-facing entry points all run with identical semantics.
+
+Scale notes (100 TB design, SURVEY.md §7.5): AQE is left on so skewed joins
+are split and post-shuffle partitions coalesced at runtime; the shuffle
+partition count here is only the *initial* number — on a real cluster you
+would size it ≈ 2-3× total cores and let AQE coalesce. Locally the testdata
+is small, so a large count only adds empty-task overhead (measured ~0.5 s per
+query at 200 partitions, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that MUST hold for correctness on this testdata (SURVEY.md §7.6):
+#  - nanosAsLong: events.parquet stores TIMESTAMP(NANOS); without this flag
+#    the scan fails with PARQUET_TYPE_ILLEGAL on Spark 4.
+#  - session timeZone UTC: `timestamp_micros()` → NTZ casts must not shift
+#    wall-clock values relative to the DuckDB oracle (which is tz-naive).
+REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+DEFAULT_CONFS = {
+    **REQUIRED_RUNTIME_CONFS,
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "dask-hivemetastore-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine."""
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local testdata is small; match core count rather than the 200 default
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_runtime_confs(spark)
+    return spark
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the correctness-critical runtime confs to an EXISTING session.
+
+    The driver constructs its own SparkSession and passes it to
+    ``__spark_entry__.entry/queries``; both of the required confs are
+    runtime-settable SQL confs, so we set them defensively on every
+    entry-point call rather than assuming the session was built by
+    :func:`get_spark`.
+    """
+    for k, v in REQUIRED_RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked; keep going
+            pass
+    return spark
