@@ -1,1 +1,464 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational operator coverage (SURVEY.md §2-B/C/D/F/G).
+
+Every entry certifies one inventory row: filters/conditionals/null handling
+(B4-B7), the join family (C1/C5/C8 plus outer variants), the aggregate family
+(D3/D4/D7/D9/D10/D12/D13), and set operations (G1-G3). TPC-H-shaped joins
+live in ``tpch.py``; window functions in ``windows.py``.
+
+Scale notes: all plain DataFrame ops — aggregation is partial+final
+(map-side combine) by construction; dimension sides broadcast; set ops and
+distincts shuffle on the full row which is exactly what they would do at
+100 TB (AQE coalesces the post-shuffle partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+# ---------------------------------------------------------------- B: filters
+
+
+@query(
+    "case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*)                      AS n_orders,
+           ROUND(SUM(o_totalprice), 2)   AS total
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 conditional expressions: CASE WHEN bucketing + aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                                                   AS n_rows,
+           COUNT(NULLIF(l_discount, 0.0))                             AS n_discounted,
+           ROUND(AVG(COALESCE(NULLIF(l_discount, 0.0), 0.05)), 6)     AS avg_disc_imputed
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 null semantics: nullif / count-skips-nulls / coalesce imputation.
+
+    The testdata has no physical NULLs, so NULLIF manufactures them — which
+    also certifies that Spark and the oracle agree on null-skipping aggregate
+    semantics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.count(d).alias("n_discounted"),
+        F.round(F.avg(F.coalesce(d, F.lit(0.05))), 6).alias("avg_disc_imputed"),
+    )
+
+
+@query(
+    "filter_in_list",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 6) AS avg_bal
+    FROM customer
+    WHERE c_mktsegment IN ('MACHINERY', 'AUTOMOBILE', 'HOUSEHOLD')
+    GROUP BY c_mktsegment
+    """,
+)
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 membership predicate; IN-list pushes to the parquet scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.where(F.col("c_mktsegment").isin("MACHINERY", "AUTOMOBILE", "HOUSEHOLD"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    )
+
+
+# ------------------------------------------------------------------ C: joins
+
+
+@query(
+    "join_orders_customer",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                      AS n_orders,
+           ROUND(AVG(o_totalprice), 6)   AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 hash equi-join fact→dim, then aggregate on a dim attribute."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 6).alias("avg_price"))
+    )
+
+
+@query(
+    "left_join_customer_orders",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def left_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 left outer join preserving unmatched rows (order-count histogram,
+    including the zero-order bucket that an inner join would drop)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "full_outer_nation_presence",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk)    AS nationkey,
+           COALESCE(n_cust, 0)     AS n_cust,
+           COALESCE(n_supp, 0)     AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 full outer join of two pre-aggregated sides with COALESCE repair."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    s = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 left-semi join (first-class in Spark; the reference's Dask surface
+    had to emulate it with isin — SURVEY.md §2-C C8)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 left-anti join: customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+@query(
+    "cross_join_region_status",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+    """,
+)
+def cross_join_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 cross join (both sides tiny; at scale one side must broadcast —
+    Spark lowers this to BroadcastNestedLoopJoin automatically)."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+# ------------------------------------------------------------- D: aggregates
+
+
+@query(
+    "distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 exact count-distinct per group (expand+two-phase agg in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query("approx_distinct_users")  # no oracle: HLL estimates differ per engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 approx count-distinct (HyperLogLog++). Registered rows-only by
+    design — sketch estimates are engine-specific (SURVEY.md §7.4 item 5).
+    At 100 TB this is the right default: no expand, fixed-size sketch merge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )
+
+
+@query(
+    "agg_var_std",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(VAR_SAMP(l_extendedprice), 2)    AS var_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(VAR_POP(l_quantity), 6)          AS varp_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_var_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 variance/stddev (chunked-merge in Dask ≙ partial+final here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+    )
+
+
+@query(
+    "quantile_value",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4)  AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 quantiles — *exact* linear-interpolated percentile so the oracle
+    hash matches. (`percentile_approx`/t-digest is the 100 TB path but is
+    engine-specific, same argument as approx_distinct.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_mktsegment,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT c_nationkey)), ',') AS nations
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 collect-to-set, sorted and stringified for deterministic hashing."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_set("c_nationkey")), ",").alias("nations")
+    )
+
+
+@query(
+    "value_counts_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def value_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 value_counts ≙ groupBy().count()."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "rollup_nation_region",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 rollup — absent in the reference's Dask surface, free in Spark."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@query(
+    "cube_segment_status",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 cube over a join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "corr_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_extendedprice, l_quantity), 6)       AS corr_pq,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS cov_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13 correlation / covariance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
+    )
+
+
+# --------------------------------------------------------------- G: set ops
+
+
+@query(
+    "union_all_events_split",
+    oracle="""
+    WITH unioned AS (
+        SELECT event_type, value FROM events WHERE user_id % 2 = 0
+        UNION ALL
+        SELECT event_type, value FROM events WHERE user_id % 2 = 1
+    )
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM unioned GROUP BY event_type
+    """,
+)
+def union_all_events_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 union-all (dd.concat ≙ unionByName; position-based union is the
+    footgun SURVEY.md §2-G warns about)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    even = ev.where(F.col("user_id") % 2 == 0).select("event_type", "value")
+    odd = ev.where(F.col("user_id") % 2 == 1).select("value", "event_type")  # swapped on purpose
+    return (
+        even.unionByName(odd)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem
+    UNION
+    SELECT l_linestatus FROM lineitem
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 union + distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_returnflag").alias("flag"))
+        .unionByName(li.select(F.col("l_linestatus").alias("flag")))
+        .distinct()
+    )
+
+
+@query(
+    "except_returned_items",
+    oracle="""
+    SELECT DISTINCT l_partkey FROM lineitem
+    EXCEPT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def except_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 EXCEPT (distinct semantics): parts never returned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    all_parts = li.select("l_partkey").distinct()
+    returned = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return all_parts.subtract(returned)
+
+
+@query(
+    "intersect_nations",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 INTERSECT: nations present on both customer and supplier sides."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
