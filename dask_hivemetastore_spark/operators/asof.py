@@ -1,0 +1,71 @@
+"""As-of join — SURVEY.md §2-C C7 (no Catalyst strategy; library-level rewrite).
+
+Semantics (fixed, documented per SURVEY.md §7.4 item 3): *backward* as-of,
+*inclusive* on the timestamp, no tolerance — for each left row, attach the
+right row with the greatest ``right.ts <= left.ts`` within the same ``by``
+key group. Equivalent to DuckDB ``ASOF LEFT JOIN`` and pandas
+``merge_asof(direction="backward")``.
+
+Implementation is the union+window rewrite rather than a per-partition
+``merge_asof`` UDF: tag both sides, sort within key by (ts, side) with the
+right side first on ties, and carry the right columns forward with
+``last(..., ignoreNulls=True)``. One shuffle on the key, no Python in the hot
+path, and — unlike a broadcast-sorted-right approach — both sides may be
+arbitrarily large, which is the 100 TB requirement. Skewed keys can be salted
+by pre-splitting the left side; AQE handles moderate skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts: str,
+    by: str,
+    value_cols: list[str],
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    Returns ``left`` with ``{right_prefix}{ts}`` and ``{right_prefix}{col}``
+    for each of ``value_cols`` attached (NULL when no right row precedes).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[ts].dataType).alias(f"{right_prefix}{ts}"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c) if c != by and c != ts else F.col(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        F.col(ts).alias(f"{right_prefix}{ts}"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in value_cols],
+    )
+    # right rows sort BEFORE left rows on ts ties → inclusive (<=) semantics
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        *lcols,
+        F.col("__side"),
+        F.last(f"{right_prefix}{ts}", ignorenulls=True).over(w).alias(f"{right_prefix}{ts}"),
+        *[
+            F.last(f"{right_prefix}{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")

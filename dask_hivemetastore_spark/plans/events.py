@@ -1,1 +1,249 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-table operators: batch windows with streaming shape (SURVEY.md §2-I),
+JSON/date scalar functions (§2-H), and the range / as-of joins (§2-C C6-C7).
+
+The reference has no streaming surface at all — Dask DataFrame is batch — so
+batch semantics are the parity target; ``streaming/`` holds the Structured
+Streaming variants of the same ops.
+
+``events.ts`` arrives µs-truncated TIMESTAMP_NTZ from the catalog (identical
+to what the DuckDB oracle sees; SURVEY.md §7.6) and ``ts_ns`` carries the raw
+nanoseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from .registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "events_tumbling_1h",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COUNT(*)                       AS n_events,
+           COUNT(DISTINCT user_id)        AS n_users,
+           ROUND(SUM(value), 2)           AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 tumbling hourly aggregate.
+
+    Implemented with ``F.window`` (the Structured-Streaming-native operator,
+    usable in batch) rather than date_trunc, certifying the streaming-shaped
+    path; for a 1-hour tumble the two lower to the same hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("hour_start"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k),
+                    '%Y-%m-%d %H:%M:%S')  AS window_start,
+           COUNT(*)                        AS n_events,
+           ROUND(SUM(value), 2)            AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offsets(k)
+    GROUP BY 1
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 sliding window (1 h window, 15 min slide): every event lands in
+    exactly 4 windows. The oracle expands the same assignment manually
+    (window starts are the four 15-minute marks in (ts-1h, ts])."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*)                               AS n_events,
+           ROUND(SUM(value), 2)                   AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 session windows (30 min inactivity gap) via ``F.session_window``.
+
+    Spark closes a session when the next event is >= last_ts + gap; the
+    gaps-and-islands oracle encodes exactly that. Works identically in
+    Structured Streaming with a watermark (streaming/ has the variant).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
+           COUNT(*)             AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-json: ``get_json_object`` over the props JSON column (the oracle
+    parses the same field with a regex to avoid DuckDB's JSON extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@query(
+    "events_date_parts",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d')   AS day,
+           EXTRACT(hour FROM ts)      AS hr,
+           COUNT(*)                   AS n
+    FROM events
+    WHERE EXTRACT(dow FROM ts) NOT IN (0, 6)
+    GROUP BY 1, 2
+    """,
+)
+def events_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-date: date_format / hour / weekday extraction.
+
+    Day-of-week conventions differ across engines (Spark ``dayofweek`` is
+    1=Sunday; DuckDB ``dow`` is 0=Sunday) — normalized here explicitly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(~F.dayofweek("ts").isin(1, 7))  # 1=Sun, 7=Sat in Spark
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "range_join_events",
+    oracle="""
+    SELECT p.event_id                         AS purchase_id,
+           COUNT(e.event_id)                  AS n_follow,
+           COALESCE(ROUND(SUM(e.value), 2), 0) AS follow_value
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts > p.ts
+     AND e.ts <= p.ts + INTERVAL '5 minutes'
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 range join: activity within 5 minutes after each purchase.
+
+    The equi-key (user_id) makes this a shuffled hash join with the range
+    predicates evaluated as join filters — the scalable plan. A pure
+    inequality join (no equi-key) would degrade to BroadcastNestedLoop;
+    bucketizing time is the 100 TB fallback (SURVEY.md §2-C C6).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.select(
+        F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"), F.col("value").alias("e_value"),
+    )
+    cond = (
+        (p.p_user == e.e_user)
+        & (e.e_ts > p.p_ts)
+        & (e.e_ts <= F.col("p_ts") + F.expr("INTERVAL '5' MINUTE"))
+    )
+    return (
+        p.join(e, cond, "left")
+        .groupBy("purchase_id")
+        .agg(
+            F.count("e_id").alias("n_follow"),
+            F.coalesce(F.round(F.sum("e_value"), 2), F.lit(0.0)).alias("follow_value"),
+        )
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT c.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+           p.value                                AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click')    c
+    ASOF LEFT JOIN
+         (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 as-of join: each click ← most recent prior purchase per user
+    (backward, inclusive). Oracle is DuckDB's native ASOF JOIN; ours is the
+    union+window rewrite in :mod:`..operators.asof`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = asof_join(clicks, purchases, ts="ts", by="user_id", value_cols=["value"])
+    return joined.select(
+        "event_id",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+        F.col("asof_value"),
+    )

@@ -36,6 +36,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             raise ValueError(f"duplicate query key {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
+            if "--" in oracle:
+                # oracle text is flattened to one line; a `--` comment would
+                # swallow the rest of the query
+                raise ValueError(f"SQL line comment in oracle for {name!r}")
             ORACLES[name] = " ".join(oracle.split())
         return fn
 

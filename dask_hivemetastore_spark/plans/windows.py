@@ -1,1 +1,203 @@
-"""Placeholder — populated in a later milestone."""
+"""Window / analytic functions (SURVEY.md §2-E).
+
+The reference's Dask surface only had rolling/cumulative kernels; Spark's
+``Window`` is a strict superset (ranking, frames, range frames). Every frame
+is pinned with a deterministic ORDER BY (ties broken on the row key) so the
+oracle hash is stable.
+
+Scale notes: window functions shuffle once on partitionBy and sort within
+partitions — the same cost model at 100 TB. The dangerous pattern is a
+partitionBy with few huge keys (here: per-customer / per-user keys, which are
+plentiful and small). No global ORDER BY without a partition key is used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E6 ranking + per-group top-n (rank is tie-stable, so no tiebreak
+    column is needed for determinism)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "window_rank_kinds",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           ROW_NUMBER()   OVER w AS rn,
+           DENSE_RANK()   OVER w AS drk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prk,
+           NTILE(4)       OVER w AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC)
+    """,
+)
+def window_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 the full ranking family over one deterministic frame."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "cumsum_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS cum_spend,
+           ROUND(MAX(o_totalprice) OVER w, 2) AS max_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 cumulative sum/max (Dask's cumsum/cummax partition chain ≙ one
+    running frame per key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        F.round(F.max("o_totalprice").over(w), 2).alias("max_so_far"),
+    )
+
+
+@query(
+    "lag_lead_events",
+    oracle="""
+    SELECT event_id,
+           value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0), 2) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 shift/diff ≙ lag/lead (Dask's map_overlap across partition edges
+    becomes a plain sorted window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0)), 2).alias("delta"),
+    )
+
+
+@query(
+    "rolling_avg_value",
+    oracle="""
+    SELECT event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS avg4
+    FROM events
+    """,
+)
+def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 rolling row-count window (rolling(4).mean())."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select("event_id", F.round(F.avg("value").over(w), 6).alias("avg4"))
+
+
+@query(
+    "rolling_1h_events",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w            AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 rolling *time* window (rolling("1h", on=ts)).
+
+    Spark's rangeBetween needs a numeric ordering column: order by µs since
+    epoch (``ts_ns div 1000`` — same precision the oracle sees) with a
+    ±3.6e9 µs frame; range frames include ts-peers on both engines, so ties
+    need no tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.asc())
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@query(
+    "topn_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        FROM part
+    ) WHERE rn <= 5
+    """,
+)
+def topn_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 per-group top-n via row_number (Dask's groupby().nlargest()).
+
+    At scale this beats sort+filter because the window sort is per-key and
+    AQE-skew-splittable; for extreme k≪group-size a partial top-k
+    pre-aggregation per partition would cut the shuffle further.
+    """
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select("p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
