@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2-J) — the Dask escape hatches
+re-expressed as Arrow-batched Pandas UDFs.
+
+Mapping from the reference's Dask forms:
+
+- ``map_partitions``            → ``mapInPandas``           (J1)
+- ``Series.map`` / elementwise  → scalar ``pandas_udf``     (J2)
+- ``groupby().apply``           → ``applyInPandas``         (J3)
+- ``dask.dataframe.Aggregation``→ GROUPED_AGG ``pandas_udf``(J4/D11)
+- row-multiplying functions     → ``explode`` (builtin UDTF path) (J5)
+- aligned two-frame apply       → ``cogroup().applyInPandas``(J6)
+
+Each query here deliberately computes something that ALSO has a pure-SQL
+form, so the oracle hash-checks the Python path end-to-end (Arrow
+serialization included).
+
+Scale notes: all of these ship data through Arrow once per batch — the
+10-100× faster path vs row-at-a-time Python UDFs. They are still the slow
+path vs JVM builtins (UDFs are opaque to Catalyst: no pushdown through them,
+no codegen inside) — every docstring notes the builtin equivalent used when
+semantics allow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "pandas_udf_scalar",
+    oracle="""
+    SELECT event_id,
+           SQRT(value) * 2 + value / 100 AS score
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 elementwise scalar pandas_udf (vectorized over Arrow batches).
+
+    The same expression exists as JVM builtins (F.sqrt/F.log) — that is the
+    production path; this entry certifies the Python vectorized path.
+    """
+
+    # Expression restricted to correctly-rounded IEEE ops (sqrt, *, /, +) so
+    # the Python path is bit-identical to the oracle with no rounding needed;
+    # libm functions (log, exp) differ by ulps across engines.
+    @pandas_udf("double")
+    def score(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.sqrt(v) * 2 + v / 100
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "view")
+        .select("event_id", score("value").alias("score"))
+    )
+
+
+@query(
+    "custom_agg_geomean",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def custom_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/D11 custom aggregation (the reference's ``dd.Aggregation``
+    chunk/agg/finalize triple) as a GROUPED_AGG pandas_udf: geometric mean.
+
+    Note for 100 TB: a GROUPED_AGG udf materializes each group in memory; the
+    decomposable form (avg of logs, as the oracle does) is the scalable
+    rewrite — partial aggregation stays JVM-side. Certified here: Python path.
+    """
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v).mean()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+        # in one agg() — so the count is a pandas aggregate too
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geomean_price"),
+        n_rows("o_totalprice").alias("n"),
+    )
+
+
+@query(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT c_custkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS z
+    FROM customer
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 grouped map (``groupby().apply``) via applyInPandas: per-segment
+    z-score. Each group becomes one pandas DataFrame on an executor — fine
+    when groups fit in memory (segments here); for giant groups use the
+    window-function form the oracle uses."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["c_acctbal"]
+        z = (s - s.mean()) / s.std(ddof=1)  # rounding is JVM-side, see pandas_udf_scalar
+        return pd.DataFrame({"c_custkey": pdf["c_custkey"], "z": z})
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .applyInPandas(zscore, "c_custkey bigint, z double")
+        .select("c_custkey", F.round("z", 6).alias("z"))
+    )
+
+
+@query(
+    "map_partitions_net_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price
+    FROM lineitem WHERE l_quantity >= 48
+    """,
+)
+def map_partitions_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 partition-wise function (``map_partitions``) via mapInPandas.
+
+    The iterator-of-batches signature is the exact analog of Dask's
+    per-partition pandas kernel; the filter stays BEFORE the UDF so the scan
+    still prunes (Catalyst cannot push predicates through Python)."""
+
+    def add_net(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["l_orderkey", "l_linenumber"]].copy()
+            # elementwise products are left-assoc IEEE ops → bit-identical to
+            # the oracle; raw doubles are SAFER than rounding (rounding
+            # creates half-way boundary divergence). ROUND discipline only
+            # applies to accumulation-order-dependent aggregates.
+            out["net_price"] = pdf["l_extendedprice"] * (1 - pdf["l_discount"]) * (1 + pdf["l_tax"])
+            yield out
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    return li.mapInPandas(add_net, "l_orderkey bigint, l_linenumber int, net_price double")
+
+
+@query(
+    "explode_words_top",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def explode_words_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 table function: one row in → many rows out. The idiomatic Spark
+    path is builtin ``explode`` (JVM-side, codegen) rather than a Python
+    UDTF; Python ``@udtf`` exists for logic explode can't express."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@query(
+    "cogrouped_map_ratio",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+                      ROUND(SUM(c_acctbal), 2) AS cust_bal
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0)  AS n_cust,
+           COALESCE(n_supp, 0)  AS n_supp,
+           COALESCE(cust_bal, 0.0) AS cust_bal
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def cogrouped_map_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 cogrouped map: align two frames by key, combine each pair of
+    groups in pandas (the reference's align + map pattern)."""
+
+    def combine(cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
+        nk = cust["c_nationkey"].iloc[0] if len(cust) else supp["s_nationkey"].iloc[0]
+        return pd.DataFrame(
+            {
+                "nationkey": [int(nk)],
+                "n_cust": [len(cust)],
+                "n_supp": [len(supp)],
+                "cust_bal": [round(float(cust["c_acctbal"].sum()), 2) if len(cust) else 0.0],
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.groupBy("c_nationkey")
+        .cogroup(supp.groupBy("s_nationkey"))
+        .applyInPandas(combine, "nationkey int, n_cust bigint, n_supp bigint, cust_bal double")
+    )
