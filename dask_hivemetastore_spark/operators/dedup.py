@@ -1,0 +1,292 @@
+"""Deduplication operators (SURVEY.md §2-K K1/K2) — exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and connected-component canonicalization.
+
+Ground truth: the documents fixture plants 25 near-duplicate pairs with
+word-3-gram Jaccard >= 0.9 at sf0.01 (FIXTURES.md; pair (26,455) sits at
+exactly 9/10, so the threshold is *inclusive*), and zero exact duplicates.
+
+Scale design (100 TB):
+
+- exact: hash-groupBy on a 256-bit content hash — one shuffle, no skew
+  (hash keys are uniform).
+- n-gram Jaccard (exact): inverted-index self-join on gram. The hot-gram
+  problem (a gram shared by f docs emits f² candidate rows) is bounded by
+  ``prune_df`` — grams in more than that many docs are dropped from
+  *candidate generation only*; every surviving candidate is re-verified with
+  the full gram sets, so pruning can only lose pairs whose overlap consists
+  entirely of stop-grams (impossible at J >= 0.9 unless the threshold gram is
+  itself hot). At web scale this + MinHash below is the standard recipe.
+- MinHash+LSH: fixed-size signatures (128 perms), 32 bands × 4 rows →
+  P[candidate | J=0.9] = 1-(1-0.9⁴)³² ≈ 1-1.6e-15 — misses are negligible
+  and every candidate is exactly verified, so output equals the exact
+  operator's with near-certainty while the join cost drops from Σf² over
+  grams to Σf² over LSH buckets.
+- components: iterative min-label propagation (small-join loop) — diameter
+  of dup-clusters is tiny in practice; loop is driver-coordinated but all
+  data-parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
+                     out_col: str = "grams") -> DataFrame:
+    """Attach the distinct word-``n``-gram set of ``text_col`` (JVM-side)."""
+    concat = ", ".join(f"__ws[i+{j}]" for j in range(n))
+    return (
+        df.withColumn("__ws", F.split(F.col(text_col), " "))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"CASE WHEN size(__ws) >= {n} THEN "
+                f"array_distinct(transform(sequence(0, size(__ws)-{n}), "
+                f"i -> concat_ws(' ', {concat}))) "
+                f"ELSE array_distinct(array(concat_ws(' ', __ws))) END"
+            ),
+        )
+        .drop("__ws")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """K1: keep the smallest id per identical content (content-hash groupBy).
+
+    The sha2-256 hash keys the shuffle so arbitrarily long texts move once
+    as 32 bytes + id; collision probability is negligible.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    prune_df: int | None = None,
+) -> DataFrame:
+    """K2 (exact): all pairs with word-n-gram Jaccard >= threshold.
+
+    Inverted-index join: explode grams → self-join on gram → shared-gram
+    count per pair → J = shared / (|A| + |B| - shared). Exact because any
+    pair with J > 0 shares at least one gram (recall 1 when prune_df is
+    None); see module docstring for the pruned variant's guarantee.
+    """
+    grams = with_word_ngrams(df.select(id_col, text_col), text_col, n)
+    sizes = grams.select(F.col(id_col).alias("__id"), F.size("grams").alias("__n"))
+    inv = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
+    if prune_df is not None:
+        hot = inv.groupBy("gram").count().where(F.col("count") > prune_df).select("gram")
+        inv = inv.join(hot, "gram", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    if prune_df is not None:
+        # re-verify candidates against the FULL gram sets
+        full = grams.select(F.col(id_col).alias("__id"), F.col("grams").alias("__g"))
+        shared = (
+            shared.join(full.withColumnRenamed("__g", "__ga"), F.col("doc_a") == F.col("__id"))
+            .drop("__id")
+            .join(full.withColumnRenamed("__g", "__gb"), F.col("doc_b") == F.col("__id"))
+            .drop("__id")
+            .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")).cast("long"))
+            .drop("__ga", "__gb")
+        )
+    j = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sizes.withColumnRenamed("__n", "na"), F.col("doc_a") == F.col("__id"))
+        .drop("__id")
+        .join(sizes.withColumnRenamed("__n", "nb"), F.col("doc_b") == F.col("__id"))
+        .drop("__id")
+        .where(j >= threshold)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _gram_hashes(grams: list[str]) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+         for g in grams),
+        dtype=np.uint64,
+        count=len(grams),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """K2 (scalable): MinHash signatures → LSH banding → candidate pairs →
+    exact Jaccard verification on the candidates.
+
+    The signature stage is a vectorized pandas UDF (Arrow-batched numpy);
+    banding and verification are JVM joins. Output is identical to
+    :func:`ngram_jaccard_pairs` up to the (≈1e-15 per pair) LSH miss rate,
+    so it shares the exact oracle.
+    """
+    rows = num_perm // bands
+    a_par, b_par = _minhash_params(num_perm)
+
+    grams = with_word_ngrams(df.select(id_col, text_col), text_col, n)
+
+    def sig_batches(batches):
+        for pdf in batches:
+            out_rows = []
+            for did, gs in zip(pdf[id_col], pdf["grams"]):
+                h = _gram_hashes(list(gs))
+                # (a*h + b) mod p per permutation, min over grams
+                hv = (a_par[:, None] * h[None, :] + b_par[:, None]) % MERSENNE_P
+                sig = hv.min(axis=1)
+                for band in range(bands):
+                    chunk = sig[band * rows:(band + 1) * rows]
+                    bh = int.from_bytes(
+                        __import__("hashlib").blake2b(chunk.tobytes(), digest_size=8).digest(),
+                        "big", signed=False) >> 1
+                    out_rows.append((did, band, bh))
+            yield pd.DataFrame(out_rows, columns=[id_col, "band", "band_hash"])
+
+    buckets = grams.mapInPandas(sig_batches, f"{id_col} long, band int, band_hash long")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    full = grams.select(F.col(id_col).alias("__id"), F.col("grams").alias("__g"))
+    verified = (
+        candidates.join(full.withColumnRenamed("__g", "__ga"), F.col("doc_a") == F.col("__id"))
+        .drop("__id")
+        .join(full.withColumnRenamed("__g", "__gb"), F.col("doc_b") == F.col("__id"))
+        .drop("__id")
+        .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")).cast("double"))
+        .withColumn("uni", F.size("__ga") + F.size("__gb") - F.col("shared"))
+    )
+    j = F.col("shared") / F.col("uni")
+    return verified.where(j >= threshold).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """K2 (SimHash): 64-bit weighted-bit fingerprints; candidate pairs via
+    4×16-bit band collisions, kept when hamming distance <= max_hamming.
+
+    Registered rows-only — simhash similarity is not SQL-expressible for the
+    oracle. At scale the band trick bounds the self-join exactly like LSH.
+    """
+
+    def sim_batches(batches):
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                acc = np.zeros(bits, dtype=np.int64)
+                for w in str(text).split(" "):
+                    h = _gram_hashes([w])[0]
+                    for i in range(bits):
+                        acc[i] += 1 if (int(h) >> i) & 1 else -1
+                sh = 0
+                for i in range(bits):
+                    if acc[i] > 0:
+                        sh |= 1 << i
+                out.append((did, sh - (1 << 63)))  # store as signed long
+            yield pd.DataFrame(out, columns=[id_col, "simhash"])
+
+    sigs = df.select(id_col, text_col).mapInPandas(sim_batches, f"{id_col} long, simhash long")
+    banded = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.expr(f"(CAST(simhash AS BIGINT) >> {i * 16}) & 65535").alias("bh"))
+            for i in range(4)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bh")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
+                         max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over the dup-pair graph → (id, component).
+
+    Iterative small-join loop (the shape SURVEY.md §2-K K2 prescribes):
+    every node adopts the smallest label among itself and its neighbors
+    until fixpoint. Converges in O(component diameter) rounds — tiny for
+    dup clusters; each round is one shuffle join.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select("node", F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))

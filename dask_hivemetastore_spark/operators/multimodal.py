@@ -1,0 +1,88 @@
+"""Multimodal columns (SURVEY.md §2-K K5): opaque binary payloads + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode* step is stubbed
+exactly as the task prescribes: ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` with the intended contract, and
+``fake_decode_meta`` is a deterministic stand-in so the Spark-side plumbing
+(binary column, schema, batch iteration, partitioning) is real and tested.
+
+Scale notes: binary payloads ride through shuffles as opaque bytes — never
+groupBy a payload; key by id/metadata and let payloads stay put. Feature
+extraction is mapInPandas (no shuffle); at 100 TB the win is colocating the
+decode with the scan (one pass) and writing features to a separate, narrow
+table partitioned like the source.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a multimodal-shaped table: binary payload + typed metadata
+    struct (the embeddings fixture's array<float> plays the tensor role)."""
+    return df.withColumns(
+        {
+            "payload": F.encode(F.col(text_col), "utf-8"),
+            "media_meta": F.struct(
+                F.lit("application/octet-stream").alias("mime"),
+                F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+            ),
+        }
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload → (H, W, C) array. STUB: the container has no
+    image codec libraries; on a real cluster plug in PIL/cv2 here. The
+    surrounding Spark plumbing (schema, batching) is exercised via
+    :func:`fake_decode_meta`."""
+    raise NotImplementedError(
+        "image decoding requires an image codec library (PIL/cv2) not present "
+        "in this environment; use fake_decode_meta for plumbing tests"
+    )
+
+
+def decode_audio(payload: bytes) -> "object":
+    """STUB — see :func:`decode_image`."""
+    raise NotImplementedError(
+        "audio decoding requires an audio codec library not present in this "
+        "environment; use fake_decode_meta for plumbing tests"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a decoder: pseudo width/height derived
+    from the first payload bytes."""
+    w = (payload[0] if payload else 0) + 1
+    h = (payload[1] if len(payload) > 1 else 0) + 1
+    return w, h
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas feature extraction over the binary column: byte length,
+    sha256 hex, pseudo-decoded dimensions. This is the real 100 TB shape —
+    Arrow batches of (id, bytes) in, narrow feature rows out."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha_hex": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "fake_w": payloads.map(lambda b: fake_decode_meta(b)[0]).astype("int32"),
+                    "fake_h": payloads.map(lambda b: fake_decode_meta(b)[1]).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        feats, f"{id_col} long, n_bytes long, sha_hex string, fake_w int, fake_h int"
+    )

@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (SURVEY.md §2-K K3).
+
+The embeddings fixture is 64-dim unit-normalized ``array<float>`` — cosine
+similarity = dot product.
+
+Float parity discipline: the dot product is computed as a *sequential
+left-to-right f64 accumulation over f64-cast elements* — `F.aggregate` over
+`F.zip_with` — which is bit-identical to the oracle's
+``list_sum(list_transform(list_zip(...)))`` with the same casts. DuckDB's
+builtin ``list_cosine_similarity`` divides by re-computed norms and is NOT
+bit-stable against this; the oracles avoid it.
+
+Scale design (100 TB):
+
+- brute-force top-k vs one query: a map-side dot + TakeOrderedAndProject —
+  no shuffle at all; scales linearly and is embarrassingly parallel. This is
+  the correct plan for few queries × many vectors.
+- many-queries × many-vectors: the crossJoin is O(n·m) — the LSH-bucketed
+  variant bounds it by joining only on matching hyperplane-sign buckets
+  (random projections; recall tuned by bits/tables). IVF (k-means cells +
+  nprobe) is the other standard path; LSH is implemented here because it is
+  shuffle-friendly and needs no training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot_f64(a, b) -> Column:
+    """Sequential f64 dot product of two float-array columns (see module
+    docstring for why this exact form)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+ORACLE_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+def knn_topk(emb: DataFrame, query_id: int, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k of one query vector against the corpus.
+
+    The single query row broadcasts; every partition computes dots locally;
+    ``orderBy(...).limit(k)`` lowers to TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver) — no shuffle of the corpus.
+    """
+    q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    return (
+        emb.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, "label", F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def similar_pairs(emb: DataFrame, threshold: float,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup, K2-cosine).
+
+    Brute force O(n²) — correct reference implementation and the oracle
+    twin; use :func:`lsh_candidate_pairs` as the scale path.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    d = dot_f64(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(d >= threshold)
+        .select("id_a", "id_b", F.round(d, 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket_ids(emb: DataFrame, dim: int = 64, bits: int = 12,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane (sign) LSH: bucket id = sign-bit pattern of `bits`
+    projections. Vectorized pandas UDF; deterministic (seeded) planes."""
+    planes = _hyperplanes(dim, bits)
+
+    def bucketize(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy())
+            signs = (vecs @ planes.T) > 0  # (n, bits)
+            ids = (signs * (1 << np.arange(bits))).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": ids.astype(np.int64)})
+
+    return emb.select(id_col, vec_col).mapInPandas(bucketize, f"{id_col} long, bucket long")
+
+
+def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: restrict the dot-product scan to the query's LSH bucket.
+
+    Approximate (recall < 1 by construction) → registered rows-only. With B
+    buckets the scan shrinks ~B×; multi-probe (flipping low-margin bits) or
+    multiple tables buy recall back at scale.
+    """
+    buckets = lsh_bucket_ids(emb, bits=bits, id_col=id_col, vec_col=vec_col)
+    with_b = emb.join(buckets, id_col)
+    qb = with_b.where(F.col(id_col) == query_id).select(
+        F.col("bucket").alias("__qb"), F.col(vec_col).alias("__qv")
+    )
+    return (
+        with_b.where(F.col(id_col) != query_id)
+        .join(F.broadcast(qb), F.col("bucket") == F.col("__qb"))
+        .select(id_col, F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis operators (SURVEY.md §2-K K4): language ID, quality
+scoring, token counting, fingerprinting.
+
+All hot paths are JVM builtins over the split word array (no Python); every
+operator is deterministic so it can be oracle-checked, including language ID
+(a fixed-lexicon voting heuristic — the honest version of what n-gram
+language ID does, minus learned weights, so the same rule is expressible in
+SQL for the oracle).
+
+Scale: each operator is a narrow per-row projection — no shuffle at all
+until the caller aggregates; they compose with partition-pruned scans and
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny, fixed function-word lexicons. Order = tie-break priority.
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "los", "que", "es", "una"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def _hits(ws: Column, lexicon: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in lexicon])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Language-ID heuristic: function-word votes per language, argmax with
+    fixed priority order, 'und' when no lexicon hits."""
+    ws = _words(text_col)
+    hit_cols = {lang: _hits(ws, lex) for lang, lex in LANG_LEXICONS.items()}
+    langs = list(LANG_LEXICONS)
+    pred = F.lit("und")
+    # build CASE from lowest priority upward so earlier langs win ties
+    for lang in reversed(langs):
+        others_before = langs[: langs.index(lang)]
+        cond = hit_cols[lang] > 0
+        for o in others_before:
+            cond = cond & (hit_cols[lang] > hit_cols[o])
+        for o in langs[langs.index(lang) + 1:]:
+            cond = cond & (hit_cols[lang] >= hit_cols[o])
+        pred = F.when(cond, lang).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def lang_id_oracle_expr(text_col: str = "text") -> str:
+    """DuckDB SQL expression mirroring :func:`lang_id` exactly."""
+    ws = f"string_split(lower({text_col}), ' ')"
+    hits = {
+        lang: (
+            f"len(list_filter({ws}, w -> list_contains("
+            f"[{', '.join(repr(w) for w in lex)}], w)))"
+        )
+        for lang, lex in LANG_LEXICONS.items()
+    }
+    langs = list(LANG_LEXICONS)
+    expr = "'und'"
+    for lang in reversed(langs):
+        conds = [f"{hits[lang]} > 0"]
+        for o in langs[: langs.index(lang)]:
+            conds.append(f"{hits[lang]} > {hits[o]}")
+        for o in langs[langs.index(lang) + 1:]:
+            conds.append(f"{hits[lang]} >= {hits[o]}")
+        expr = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single other non-space.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and regex ("BPE-ish") token counts per document."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(F.split(F.col(text_col), " ")).cast("long"),
+            "n_re_tokens": F.size(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+            ).cast("long"),
+        }
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality score from length / stopword / word-shape
+    features. Pure rational arithmetic (+,-,*,/ plus least/abs — all exact
+    IEEE) so raw doubles hash-match the oracle without rounding."""
+    ws = _words(text_col)
+    n = F.size(ws).cast("double")
+    stop = _hits(ws, LANG_LEXICONS["en"]).cast("double")
+    # single-space-separated text: total word chars = len - (n-1)
+    avg_wl = (F.length(text_col).cast("double") - (n - 1)) / n
+    distinct_ratio = F.size(F.array_distinct(ws)).cast("double") / n
+    score = (
+        F.lit(0.4) * F.least(n / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (stop / n)
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(avg_wl - 4.5) / 10.0)
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n.cast("long"),
+            "stopword_ratio": stop / n,
+            "avg_word_len": avg_wl,
+            "distinct_ratio": distinct_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+QUALITY_ORACLE_COLS = """
+  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(string_split(lower(text), ' '),
+       w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+      / len(string_split(lower(text), ' ')) AS stopword_ratio,
+  (CAST(length(text) AS DOUBLE) - (len(string_split(lower(text), ' ')) - 1))
+      / len(string_split(lower(text), ' ')) AS avg_word_len,
+  CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      / len(string_split(lower(text), ' ')) AS distinct_ratio,
+  0.4 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0)
+  + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
+        w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+        / len(string_split(lower(text), ' ')))
+  + 0.3 * (1.0 - abs((CAST(length(text) AS DOUBLE)
+        - (len(string_split(lower(text), ' ')) - 1))
+        / len(string_split(lower(text), ' ')) - 4.5) / 10.0) AS quality_score
+"""
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Document fingerprint: md5 of the lowercased text. Identical bytes →
+    identical hex in any engine, so it is the oracle-safe fingerprint; a
+    locality-sensitive alternative (SimHash) lives in operators/dedup.py."""
+    return df.withColumn(out_col, F.md5(F.lower(F.col(text_col))))

@@ -1,1 +1,292 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries (SURVEY.md §2-K): dedup, similarity search,
+text analysis, multimodal — the north-star extensions, wired to the planted
+fixtures (25 near-dup pairs >= 0.9 Jaccard at sf0.01; unit-norm embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup, multimodal, similarity, text
+from .registry import query
+
+# ---------------------------------------------------------------- K1: exact
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 exact dedup via content hash. The fixture plants ZERO exact dups,
+    so a correct operator keeps all rows with n_copies = 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id")
+
+
+@query(
+    "dedup_exact_selfunion",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents)
+    GROUP BY text
+    """,
+)
+def dedup_exact_selfunion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 positive control: union the corpus with a shifted copy of itself →
+    every text has exactly 2 copies and the smaller id survives."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(doubled, "doc_id")
+
+
+# ------------------------------------------------------- K2: near-duplicate
+
+_JACCARD_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws)-1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+      FROM w WHERE len(ws) >= 3)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.9
+"""
+
+
+@query("dedup_near", oracle=_JACCARD_ORACLE)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 exact near-dedup: inverted-index word-3-gram Jaccard >= 0.9.
+    Must recover all 25 planted pairs at sf0.01 (FIXTURES.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+
+
+@query("dedup_near_minhash", oracle=_JACCARD_ORACLE)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 scale path: MinHash(128)+LSH(32×4) candidates, exactly verified.
+    Shares the exact oracle — the banding miss rate at J>=0.9 is ~1e-15."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+
+
+@query(
+    "dedup_near_survivors",
+    oracle="""
+    WITH RECURSIVE
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws)-1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+          FROM w WHERE len(ws) >= 3),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.9),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    )
+    SELECT doc_id FROM documents
+    WHERE NOT EXISTS (SELECT 1 FROM reach WHERE reach.a = doc_id AND reach.b < doc_id)
+    """,
+)
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 canonicalization: connected components over the dup-pair graph
+    (iterative min-label propagation), keep each component's min id. The
+    oracle computes the same via a recursive transitive closure — doc 45 has
+    TWO near-duplicates, so components (not just pairs) are exercised."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    comps = dedup.connected_components(pairs, docs.select("doc_id"), "doc_id")
+    return (
+        comps.where(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+    )
+
+
+@query("dedup_simhash")  # rows-only: simhash similarity is not SQL-expressible
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 SimHash variant (64-bit, 4×16 bands, hamming <= 6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text")
+
+
+@query(
+    "embedding_near_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0.45
+    """,
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 embedding-cosine near-dup: all pairs with cosine >= 0.45 (the
+    fixture's max pairwise cosine is ~0.51 — no planted dups, so the
+    threshold is set where real pairs exist to certify the math)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.similar_pairs(emb, threshold=0.45)
+
+
+# ------------------------------------------------------- K3: similarity search
+
+
+@query(
+    "knn_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 brute-force cosine top-10 for query vector vec_id=0 (unit-norm ⇒
+    cosine = dot). Map-side dot + TakeOrderedAndProject — no corpus shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_topk(emb, query_id=0, k=10)
+
+
+@query("knn_lsh_topk")  # rows-only: ANN recall < 1 by construction
+def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 scale path: random-hyperplane LSH bucket restriction before the
+    dot-product scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, query_id=0, k=10, bits=8)
+
+
+# ----------------------------------------------------------- K4: text analysis
+
+
+@query(
+    "text_stats_docs",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+           ROUND(AVG(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                     / len(string_split(lower(text), ' '))), 6) AS avg_distinct_ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corpus statistics per language label."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.col("text")), " ")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split(F.col("text"), " "))), 6).alias("avg_tokens"),
+        F.round(
+            F.avg(F.size(F.array_distinct(ws)).cast("double") / F.size(ws)), 6
+        ).alias("avg_distinct_ratio"),
+    )
+
+
+@query(
+    "lang_id_docs",
+    oracle=f"""
+    SELECT {text.lang_id_oracle_expr("text")} AS lang_pred,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {text.lang_id_oracle_expr("text")} = lang
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_label_match
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 language-ID heuristic (fixed-lexicon voting; deterministic, so the
+    oracle runs the identical rule in SQL). The fixture's text is synthetic
+    pseudo-English for every label, which the honest heuristic exposes."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs)
+    return pred.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)).alias("n_label_match"),
+    )
+
+
+@query(
+    "quality_score_docs",
+    oracle=f"SELECT doc_id, {text.QUALITY_ORACLE_COLS} FROM documents",
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 per-document quality features + composite score (exact rational
+    arithmetic — raw doubles, no rounding needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "avg_word_len",
+        "distinct_ratio", "quality_score",
+    )
+
+
+@query(
+    "token_count_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{text.TOKEN_REGEX}')) AS BIGINT) AS n_re_tokens
+    FROM documents
+    """,
+)
+def token_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 token counting: whitespace + BPE-ish regex tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs).select("doc_id", "n_ws_tokens", "n_re_tokens")
+
+
+@query(
+    "doc_fingerprint",
+    oracle="SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 content fingerprint (md5 of normalized text — engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp")
+
+
+# ------------------------------------------------------------ K5: multimodal
+
+
+@query(
+    "multimodal_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text)                               AS sha_hex,
+           ascii(substr(text, 1, 1)) + 1              AS fake_w,
+           ascii(substr(text, 2, 1)) + 1              AS fake_h
+    FROM documents
+    """,
+)
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 multimodal plumbing: attach a binary payload + metadata struct,
+    then mapInPandas feature extraction (bytes → length/sha/pseudo-decode).
+    The oracle recomputes the same features from the text the payload
+    encodes. Real decoders are stubbed (operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = multimodal.attach_binary_payload(docs)
+    return multimodal.extract_features(with_payload, "doc_id")

@@ -14,6 +14,8 @@ query at 200 partitions, BASELINE.md).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -79,4 +81,37 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked; keep going
             pass
+    ensure_package_on_executors(spark)
     return spark
+
+
+_PYFILES_ADDED: set[str] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    UDF closures reference module-level helpers, which cloudpickle pickles
+    *by reference* — workers then ``import dask_hivemetastore_spark``. When
+    the driver process was not started from the repo root (the external
+    driver's case), workers cannot resolve the package from cwd; a py-files
+    zip makes the import work regardless of launch directory, exactly as it
+    would on a real cluster.
+    """
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _PYFILES_ADDED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"dask_hivemetastore_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _PYFILES_ADDED.add(key)

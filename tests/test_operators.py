@@ -1,0 +1,154 @@
+"""Unit tests for operator internals: planted fixtures, type mapping,
+multimodal stubs, as-of semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_planted_near_dup_pairs(spark, sf_dir):
+    """FIXTURES.md: 25 near-dup pairs (word-3-gram Jaccard >= 0.9) at sf0.01,
+    including (8,245) and doc 45 twice."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    pairset = {(r.doc_a, r.doc_b) for r in pairs}
+    assert len(pairs) == 25
+    assert (8, 245) in pairset
+    assert (45, 267) in pairset and (45, 413) in pairset
+
+
+def test_connected_components_chain(spark):
+    """A chain a-b, b-c (no a-c edge) must collapse to one component."""
+    from dask_hivemetastore_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 5), (5, 9)], "doc_a long, doc_b long")
+    ids = spark.createDataFrame([(i,) for i in [1, 5, 9, 7]], "doc_id long")
+    comps = {r.doc_id: r.component for r in connected_components(pairs, ids, "doc_id").collect()}
+    assert comps == {1: 1, 5: 1, 9: 1, 7: 7}
+
+
+def test_minhash_equals_exact(spark, sf_dir):
+    """MinHash+LSH with verification returns the same pairs as the exact
+    inverted-index operator on the fixture corpus."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()}
+    mh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert mh == exact
+
+
+def test_simhash_finds_planted_pairs(spark, sf_dir):
+    """SimHash banding should recover most planted near-dup pairs."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()}
+    sh = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, "doc_id", "text").collect()}
+    assert len(sh & truth) >= len(truth) * 0.6, f"recall too low: {len(sh & truth)}/{len(truth)}"
+
+
+def test_exact_dedup_no_false_positives(spark, sf_dir):
+    """Zero exact duplicates planted → exact dedup must keep every doc."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    surv = exact_dedup(docs, "doc_id")
+    assert surv.count() == n
+    assert surv.agg(F.max("n_copies")).first()[0] == 1
+
+
+def test_knn_self_similarity(spark, sf_dir):
+    """Unit-norm vectors: cosine(v, v) ≈ 1; top hit of vec 0 has cosine < 1."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import dot_f64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    self_dot = (
+        emb.where(F.col("vec_id") == 0)
+        .select(dot_f64(F.col("embedding"), F.col("embedding")).alias("d"))
+        .first()
+        .d
+    )
+    assert self_dot == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_topk_subset_of_brute(spark, sf_dir):
+    """ANN results must be a subset of the corpus with valid cosines (sanity,
+    not recall — recall is tunable)."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import knn_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {r.vec_id: r.cosine for r in knn_topk(emb, 0, k=10).collect()}
+    ann = lsh_topk(emb, 0, k=10, bits=8).collect()
+    assert len(ann) >= 1
+    for r in ann:
+        assert -1.001 <= r.cosine <= 1.001
+    # the ANN scores of shared ids must agree with brute force
+    for r in ann:
+        if r.vec_id in brute:
+            assert r.cosine == pytest.approx(brute[r.vec_id], abs=1e-9)
+
+
+def test_hive_type_parsing():
+    from pyspark.sql import types as T
+
+    from dask_hivemetastore_spark.types import hive_schema_to_struct, parse_hive_type, spark_type_to_hive
+
+    assert parse_hive_type("bigint") == T.LongType()
+    assert parse_hive_type("VARCHAR(10)") == T.StringType()
+    assert parse_hive_type("decimal(12, 3)") == T.DecimalType(12, 3)
+    assert parse_hive_type("array<float>") == T.ArrayType(T.FloatType())
+    assert parse_hive_type("map<string, bigint>") == T.MapType(T.StringType(), T.LongType())
+    nested = parse_hive_type("struct<a:int, b:array<struct<c:double>>>")
+    assert nested == T.StructType([
+        T.StructField("a", T.IntegerType()),
+        T.StructField("b", T.ArrayType(T.StructType([T.StructField("c", T.DoubleType())]))),
+    ])
+    st = hive_schema_to_struct([("id", "bigint"), ("emb", "array<float>")])
+    assert [f.name for f in st.fields] == ["id", "emb"]
+    # round trip
+    assert spark_type_to_hive(nested) == "struct<a:int,b:array<struct<c:double>>>"
+    with pytest.raises(Exception):
+        parse_hive_type("array<")
+
+
+def test_multimodal_stubs_and_fake_decode():
+    from dask_hivemetastore_spark.operators.multimodal import decode_image, fake_decode_meta
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    assert fake_decode_meta(b"ab") == (ord("a") + 1, ord("b") + 1)
+    assert fake_decode_meta(b"") == (1, 1)
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive: tie timestamps match; no prior right row → NULL."""
+    from dask_hivemetastore_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "u"), (2, 20, "u"), (3, 5, "u")], "event_id long, ts long, user_id string"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, "u", 1.5), (101, 15, "u", 2.5)],
+        "event_id long, ts long, user_id string, value double",
+    )
+    out = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(
+            left, right, ts="ts", by="user_id", value_cols=["value"]
+        ).collect()
+    }
+    assert out[1] == (10, 1.5)   # inclusive tie
+    assert out[2] == (15, 2.5)   # latest prior
+    assert out[3] == (None, None)  # nothing prior
