@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {key: best_sec, ...}, "sf": 0.1}
+
+Methodology mirrors BASELINE.md: warm session (JVM startup excluded),
+best of 3 runs of execute+fetch-all per query. Keys match BASELINE.md's
+table so the driver's BENCH_r{N}.json is directly comparable
+(knn_cosine_top10 there == knn_cosine_topk in the registry).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_KEY_MAP = {
+    # bench key -> registry key
+    "q1_pricing_summary": "q1_pricing_summary",
+    "q3_top_orders": "q3_top_orders",
+    "q5_local_supplier": "q5_local_supplier",
+    "q6_revenue_delta": "q6_revenue_delta",
+    "events_tumbling_1h": "events_tumbling_1h",
+    "window_rank_orders": "window_rank_orders",
+    "distinct_users": "distinct_users",
+    "knn_cosine_top10": "knn_cosine_topk",
+}
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from dask_hivemetastore_spark import plans
+    from dask_hivemetastore_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    plans.QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    results: dict[str, float] = {}
+    for bench_key, reg_key in BASELINE_KEY_MAP.items():
+        fn = plans.QUERIES[reg_key]
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        results[bench_key] = round(best, 4)
+
+    out = {
+        "metric": "total_headline_sec",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
