@@ -1,0 +1,177 @@
+"""Thin metastore-style catalog — the reference connector's resolution flow
+(SURVEY.md §3 entry point 1), re-implemented standalone.
+
+dask-hivemetastore's job: ``get_table(db, tbl)`` over Thrift → schema +
+location + input format + serde + partition keys → enumerate partitions
+(optionally server-side filtered via ``get_partitions_by_filter``) → build a
+lazy frame per partition location with the partition-key values attached as
+constant columns → concat. This module keeps the same five-step shape with a
+local table registry instead of a Thrift service, so the flow works with no
+Hive installation; ``hive.py`` holds the real-HMS path
+(``enableHiveSupport``).
+
+Partition-predicate pushdown happens HERE — partitions that fail the filter
+are never listed into the read (step 3 of the reference flow), independent
+of (and before) Spark's own file-level pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..types import hive_schema_to_struct, parse_hive_type
+from .readers import HIVE_DEFAULT_DELIM, read_delimited
+
+
+@dataclass
+class TableDef:
+    """The subset of the HMS ``Table``/``StorageDescriptor`` the connector
+    consumes: columns, location, format, serde params, partition keys."""
+
+    name: str
+    location: str
+    columns: list[tuple[str, str]]          # (name, hive type string)
+    input_format: str = "parquet"            # 'parquet' | 'text'
+    partition_keys: list[tuple[str, str]] = field(default_factory=list)
+    serde_params: dict[str, str] = field(default_factory=dict)
+
+
+class ThinCatalog:
+    """In-process table registry with the metastore resolution flow."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, TableDef] = {}
+
+    # -- registration ------------------------------------------------------
+    def register(self, table: TableDef) -> None:
+        self._tables[table.name] = table
+
+    def get_table(self, name: str) -> TableDef:
+        if name not in self._tables:
+            raise KeyError(f"table {name!r} not registered")
+        return self._tables[name]
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({n: vars(t) for n, t in self._tables.items()}, f, indent=2, default=list)
+
+    @classmethod
+    def load(cls, path: str) -> "ThinCatalog":
+        cat = cls()
+        with open(path) as f:
+            for _, t in json.load(f).items():
+                cat.register(TableDef(
+                    name=t["name"], location=t["location"],
+                    columns=[tuple(c) for c in t["columns"]],
+                    input_format=t.get("input_format", "parquet"),
+                    partition_keys=[tuple(c) for c in t.get("partition_keys", [])],
+                    serde_params=t.get("serde_params", {}),
+                ))
+        return cat
+
+    # -- partition enumeration (reference step 3) --------------------------
+    def list_partitions(self, name: str, filter_expr: str | None = None) -> list[dict[str, str]]:
+        """Enumerate Hive-style ``key=value`` partition directories, applying
+        the filter string BEFORE any data is touched (the connector's one
+        real optimization, SURVEY.md §4.1)."""
+        t = self.get_table(name)
+        keys = [k for k, _ in t.partition_keys]
+        parts: list[dict[str, str]] = []
+        for dirpath, dirnames, _files in os.walk(t.location):
+            rel = os.path.relpath(dirpath, t.location)
+            comps = [] if rel == "." else rel.split(os.sep)
+            if len(comps) == len(keys) and all("=" in c for c in comps):
+                vals = {c.split("=", 1)[0]: unquote(c.split("=", 1)[1]) for c in comps}
+                parts.append(vals)
+                dirnames.clear()
+        if filter_expr:
+            parts = [p for p in parts if _eval_filter(filter_expr, p)]
+        return sorted(parts, key=lambda p: [p[k] for k in keys])
+
+    # -- read (reference steps 1-5) ----------------------------------------
+    def read_table(
+        self,
+        spark: SparkSession,
+        name: str,
+        columns: list[str] | None = None,
+        partition_filter: str | None = None,
+    ) -> DataFrame:
+        """Resolve → (filtered) partitions → per-location lazy frame with
+        constant partition-key columns → union. One call = the whole
+        reference flow."""
+        t = self.get_table(name)
+        if not t.partition_keys:
+            df = self._read_location(spark, t, t.location)
+            return df.select(*columns) if columns else df
+
+        frames: list[DataFrame] = []
+        for pvals in self.list_partitions(name, partition_filter):
+            loc = os.path.join(
+                t.location, *[f"{k}={pvals[k]}" for k, _ in t.partition_keys]
+            )
+            df = self._read_location(spark, t, loc)
+            for k, hive_type in t.partition_keys:
+                df = df.withColumn(
+                    k, F.lit(pvals[k]).cast(parse_hive_type(hive_type))
+                )
+            frames.append(df)
+        if not frames:
+            empty_schema = hive_schema_to_struct(t.columns + t.partition_keys)
+            return spark.createDataFrame([], empty_schema)
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out.select(*columns) if columns else out
+
+    def _read_location(self, spark: SparkSession, t: TableDef, loc: str) -> DataFrame:
+        if t.input_format == "parquet":
+            return spark.read.parquet(loc)
+        if t.input_format == "text":
+            sep = t.serde_params.get("field.delim", HIVE_DEFAULT_DELIM)
+            return read_delimited(spark, loc, t.columns, sep=sep)
+        raise ValueError(f"unsupported input_format {t.input_format!r}")
+
+
+# -- partition filter strings (reference: metastore filter language) --------
+
+_CMP = re.compile(
+    r"""^\s*(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*(?:'([^']*)'|"([^"]*)"|(\S+))\s*$"""
+)
+
+
+def _eval_filter(expr: str, pvals: dict[str, str]) -> bool:
+    """Evaluate a simple metastore-style filter string (``k='v' AND ...``,
+    OR supported, AND binds tighter) against one partition's key values.
+    Comparisons are numeric when both sides parse as numbers, else string."""
+    for or_term in re.split(r"\s+OR\s+", expr, flags=re.I):
+        ok = True
+        for clause in re.split(r"\s+AND\s+", or_term, flags=re.I):
+            m = _CMP.match(clause)
+            if not m:
+                raise ValueError(f"cannot parse partition filter clause {clause!r}")
+            key, op, *vals = m.groups()
+            if key not in pvals:
+                raise KeyError(f"{key!r} is not a partition key")
+            rhs = next(v for v in vals if v is not None)
+            lhs = pvals[key]
+            try:
+                lhs_c, rhs_c = float(lhs), float(rhs)
+            except ValueError:
+                lhs_c, rhs_c = lhs, rhs
+            ok = ok and {
+                "=": lhs_c == rhs_c, "!=": lhs_c != rhs_c, "<>": lhs_c != rhs_c,
+                "<": lhs_c < rhs_c, "<=": lhs_c <= rhs_c,
+                ">": lhs_c > rhs_c, ">=": lhs_c >= rhs_c,
+            }[op]
+            if not ok:
+                break
+        if ok:
+            return True
+    return False

@@ -1,0 +1,148 @@
+"""Sources layer: format dispatch, declared-schema text reads, thin-catalog
+partition enumeration + pushdown, sinks, Hive integration (subprocess)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import REPO_ROOT
+
+
+@pytest.fixture()
+def tmp_table_dir(tmp_path):
+    return str(tmp_path)
+
+
+def test_read_delimited_hive_schema(spark, tmp_table_dir):
+    """A3: \\x01-delimited text + declared Hive types, no inference."""
+    from dask_hivemetastore_spark.sources.readers import read_delimited
+
+    path = os.path.join(tmp_table_dir, "t.txt")
+    with open(path, "w") as f:
+        f.write("1\x01alice\x013.5\n2\x01bob\x01\n")  # trailing empty -> NULL
+    df = read_delimited(
+        spark, path, [("id", "bigint"), ("name", "string"), ("score", "double")]
+    )
+    assert [f_.dataType.simpleString() for f_ in df.schema.fields] == [
+        "bigint", "string", "double",
+    ]
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("alice", 3.5), 2: ("bob", None)}
+
+
+def test_partitioned_write_read_prune(spark, tmp_table_dir, sf_dir):
+    """A4-A6: partitionBy write → partition discovery → predicate prunes the
+    file listing (verified via inputFiles, not just results)."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.sources.readers import read_partitioned_parquet
+    from dask_hivemetastore_spark.sources.writers import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    base = os.path.join(tmp_table_dir, "orders_part")
+    write_parquet(orders, base, partition_by=["status"])
+
+    all_df = read_partitioned_parquet(spark, base)
+    assert all_df.count() == orders.count()
+    pruned = read_partitioned_parquet(spark, base, "status = 'F'")
+    expected = orders.where("o_orderstatus = 'F'").count()
+    assert pruned.count() == expected
+    # the predicate must land in the scan's PartitionFilters (listing-level
+    # pruning); inputFiles() reflects the pre-pushdown index, so check the plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "status" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_thin_catalog_flow(spark, tmp_table_dir, sf_dir):
+    """The reference's 5-step resolution flow on the thin catalog, including
+    metastore-style partition-filter pushdown and key-column attachment."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.sources.metastore import TableDef, ThinCatalog
+    from dask_hivemetastore_spark.sources.writers import write_parquet
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    base = os.path.join(tmp_table_dir, "events_by_type")
+    write_parquet(events, base, partition_by=["event_type"])
+
+    cat = ThinCatalog()
+    cat.register(
+        TableDef(
+            name="events_by_type",
+            location=base,
+            columns=[("event_id", "bigint"), ("user_id", "bigint"), ("value", "double")],
+            partition_keys=[("event_type", "string")],
+        )
+    )
+    # partition enumeration + filter string pushdown
+    parts = cat.list_partitions("events_by_type")
+    assert {p["event_type"] for p in parts} == {"click", "view", "purchase", "signup", "error"}
+    assert cat.list_partitions("events_by_type", "event_type = 'click'") == [
+        {"event_type": "click"}
+    ]
+    assert cat.list_partitions(
+        "events_by_type", "event_type = 'click' OR event_type = 'view'"
+    ) == [{"event_type": "click"}, {"event_type": "view"}]
+
+    # full read: constant partition columns + correct rows
+    df = cat.read_table(spark, "events_by_type", partition_filter="event_type != 'error'")
+    assert "event_type" in df.columns
+    expected = events.where("event_type != 'error'").count()
+    assert df.count() == expected
+
+    # catalog persists and reloads
+    p = os.path.join(tmp_table_dir, "catalog.json")
+    cat.save(p)
+    cat2 = ThinCatalog.load(p)
+    assert cat2.get_table("events_by_type").partition_keys == [("event_type", "string")]
+
+
+def test_partition_filter_eval():
+    from dask_hivemetastore_spark.sources.metastore import _eval_filter
+
+    assert _eval_filter("dt >= '2024-01-15'", {"dt": "2024-01-20"})
+    assert not _eval_filter("dt >= '2024-01-15'", {"dt": "2024-01-01"})
+    assert _eval_filter("a = 1 AND b = x", {"a": "1", "b": "x"})
+    assert _eval_filter("a = 2 OR b = x", {"a": "1", "b": "x"})
+    assert _eval_filter("n > 9", {"n": "10"})  # numeric, not lexicographic
+    with pytest.raises(KeyError):
+        _eval_filter("nope = 1", {"a": "1"})
+
+
+def test_csv_sink_roundtrip(spark, tmp_table_dir):
+    from dask_hivemetastore_spark.sources.readers import read_delimited
+    from dask_hivemetastore_spark.sources.writers import write_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    path = os.path.join(tmp_table_dir, "csv_out")
+    write_csv(df, path, sep="|", header=False)
+    back = read_delimited(spark, path, [("id", "bigint"), ("v", "string")], sep="|")
+    assert {(r.id, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+@pytest.mark.slow
+def test_hive_metastore_subprocess():
+    """A1: real Hive catalog (embedded Derby) in a fresh JVM — saveAsTable a
+    partitioned table, read back via spark.table, catalog-level pruning."""
+    proc = subprocess.run(
+        [sys.executable, "-m", "dask_hivemetastore_spark.sources.hive"],
+        capture_output=True, text=True, timeout=300, cwd=REPO_ROOT,
+    )
+    if proc.returncode != 0 and "ClassNotFoundException" in proc.stderr:
+        pytest.skip("Hive classes unavailable in this pyspark build")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["table_visible"]
+    assert out["n_all"] == 1500
+    assert 0 < out["n_f"] < out["n_all"]
+    assert len(out["partitions"]) == 3
+    assert out["prunes"]
