@@ -462,3 +462,71 @@ def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.intersect(supp)
+
+
+# ------------------------------------------------- H: scalar string functions
+
+
+@query(
+    "string_funcs_docs",
+    oracle="""
+    SELECT doc_id,
+           upper(source)                                    AS src_upper,
+           length(text)                                     AS n_chars,
+           CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS has_spark,
+           replace(substr(text, 1, 20), ' ', '_')           AS head_snake,
+           concat_ws('|', lang, source)                     AS lang_src,
+           trim(leading 'k' FROM split_part(text, ' ', 1))  AS first_word_trim
+    FROM documents
+    WHERE source LIKE 'src1%'
+    """,
+)
+def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-string family: upper/length/contains/replace/substr/concat_ws/
+    trim/split + LIKE predicate (the reference's pandas ``.str`` accessor
+    surface, SURVEY.md §2-H)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("source").like("src1%"))
+        .select(
+            "doc_id",
+            F.upper("source").alias("src_upper"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.when(F.contains("text", F.lit("spark")), 1).otherwise(0).alias("has_spark"),
+            F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias("head_snake"),
+            F.concat_ws("|", "lang", "source").alias("lang_src"),
+            F.expr("trim(LEADING 'k' FROM split(text, ' ')[0])").alias("first_word_trim"),
+        )
+    )
+
+
+@query(
+    "argmin_argmax_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           ROUND(MIN(o_totalprice), 2)       AS min_price,
+           ROUND(MAX(o_totalprice), 2)       AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def argmin_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 order-pinned first/last: min_by/max_by are the deterministic form
+    of Dask's first()/last() aggregates (which depend on partition order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query("sample_fraction")  # rows-only: RNG streams differ per engine by design
+def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-sample: seeded Bernoulli sample (Dask ``.sample``). Deterministic
+    for a fixed seed+partitioning within Spark, but engine-specific RNG →
+    rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
