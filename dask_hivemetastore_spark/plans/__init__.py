@@ -14,6 +14,7 @@ from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import udf_surface  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
+from .. import streaming  # noqa: F401,E402
 
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

@@ -1,0 +1,212 @@
+"""Structured Streaming surface (SURVEY.md §2-I I4-I6, §7.2 M7).
+
+The reference has NO streaming surface — Dask DataFrame is batch-only
+(SURVEY.md §2-I) — so this module is a north-star upgrade, not parity: the
+same event-log semantics the batch operators in ``plans/events.py`` certify,
+re-expressed as incremental Structured Streaming pipelines.
+
+Design for correctness-checkability: every pipeline reads the *finite*
+``events`` parquet as a file-source stream, runs with
+``trigger(availableNow=True)`` (process-everything-then-stop), and lands in a
+memory sink, so the final answer is deterministic and equal to the batch
+answer — which makes these the rare streaming operators with a DuckDB oracle.
+
+100 TB notes (§7.5): in production the source is Kafka/Kinesis with the same
+transformations; the memory sink becomes a partitioned Delta/parquet sink;
+state stores move to RocksDB (``spark.sql.streaming.stateStore.providerClass``)
+so watermarked aggregation and dedup state spill to disk instead of executor
+heap; watermark delay bounds state size, and shuffle partitions size the
+state-store shard count (set BEFORE the first checkpoint — it is frozen into
+the state layout).
+
+Streaming-specific constraints honored here (vs the batch twins):
+
+- ``countDistinct`` is unsupported in streaming aggregation → the streaming
+  tumbling query drops ``n_users`` (use approx_count_distinct or a two-stage
+  dedup-then-count pipeline at scale).
+- file sources need an explicit schema (no inference mid-stream);
+- ``dropDuplicatesWithinWatermark`` keys must not include the event-time
+  column itself.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.registry import query
+from ..session import ensure_runtime_confs
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of ``events`` with the same oracle-aligned
+    ``ts`` normalization as :func:`..catalog.load_table` (ns → µs TIMESTAMP,
+    SURVEY.md §7.6).
+
+    The schema is captured once from a batch read (driver-side footer peek) —
+    streaming file sources require a user-supplied schema. ``ts`` arrives as
+    bigint nanos under ``nanosAsLong``; the watermark column must be a plain
+    TIMESTAMP (event-time), so unlike the batch path we use TIMESTAMP (UTC
+    session tz) rather than TIMESTAMP_NTZ — wall-clock values are identical
+    because the session factory pins ``spark.sql.session.timeZone=UTC``.
+    """
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # glob path on purpose: for a non-glob path FileStreamSource force-sets
+    # basePath to the (file) path itself, which partition discovery rejects;
+    # a glob keeps our explicit directory basePath in effect
+    raw = (
+        spark.readStream.schema(schema)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming plan to completion: availableNow trigger → memory
+    sink → return the materialized result as a batch DataFrame.
+
+    Finite input + availableNow ⇒ the stream drains and stops on its own;
+    the memory table then holds the complete answer. (At 100 TB this helper
+    is replaced by a long-lived query writing Delta/Kafka — the *plan* above
+    it is unchanged; that separation is the point of this module.)
+    """
+    spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------- I4: watermark
+
+
+@query(
+    "stream_tumbling_1h",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COUNT(*)              AS n_events,
+           ROUND(SUM(value), 2)  AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4: watermarked tumbling-window aggregation as a real streaming query.
+
+    The 10-minute watermark bounds state (windows older than
+    max-event-time − 10 min are finalized and evicted); ``complete`` output
+    keeps every window visible in the memory sink so the finite-stream answer
+    equals the batch tumbling aggregate — hence the exact DuckDB oracle.
+    Streaming forbids ``countDistinct``, so unlike batch
+    ``events_tumbling_1h`` there is no ``n_users`` column here.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("hour_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "stream_tumbling_1h", "complete")
+
+
+# ---------------------------------------------------------- I5: stream dedup
+
+
+@query(
+    "stream_dedup_users",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: ``dropDuplicatesWithinWatermark`` — streaming first-occurrence
+    dedup whose state is bounded by the watermark delay (the scale story for
+    unbounded-feed dedup, §7.5: exact dedup over an infinite stream is
+    impossible with finite state; within-watermark dedup is the principled
+    compromise). On this finite stream every duplicate falls inside one
+    batch, so the kept set is exactly DISTINCT user_id.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id"]).select("user_id")
+    return run_to_memory(deduped, "stream_dedup_users", "append")
+
+
+# ------------------------------------------------- I6: custom stateful operator
+
+
+_STATE_SCHEMA = StructType([StructField("n", LongType())])
+_COUNT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _count_events(key, pdf_iter, state: GroupState):
+    """Running per-user event count; state = one long. Emits the updated
+    total each time the group sees data (update-mode semantics)."""
+    n = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+@query(
+    "stream_stateful_counts",
+    oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6: custom stateful operator via ``applyInPandasWithState`` — the
+    Spark idiom for the reference ecosystem's "roll your own stateful
+    aggregation" escape hatch, here a per-user running event counter.
+
+    Arrow-batched per group, one long of state per key; at 100 TB the state
+    store shards by the grouping key across executors (RocksDB provider) and
+    a timeout (``GroupStateTimeout``) would expire idle users. availableNow
+    drains the finite stream in one batch, so the final update per user is
+    the exact group count — oracle-checkable.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    counts = ev.groupBy("user_id").applyInPandasWithState(
+        _count_events,
+        outputStructType=_COUNT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(counts, "stream_stateful_counts", "update")

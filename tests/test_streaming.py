@@ -1,0 +1,136 @@
+"""Structured Streaming semantics tests (SURVEY.md §2-I I4-I6).
+
+The oracle-parity sweep already certifies that each streaming query's
+*final* answer equals the batch answer on the finite events stream. These
+tests target what that sweep cannot see: genuinely incremental behavior —
+multi-micro-batch arrival, watermark advancement between batches, and
+dedup-state expiry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from dask_hivemetastore_spark import plans
+from dask_hivemetastore_spark.streaming.pipeline import run_to_memory
+
+from .conftest import SF_SMOKE
+
+
+def test_stream_tumbling_matches_batch_twin(spark):
+    """Final streaming tumbling agg == batch events_tumbling_1h (minus the
+    streaming-unsupported countDistinct column)."""
+    stream = plans.QUERIES["stream_tumbling_1h"](spark, SF_SMOKE)
+    batch = (
+        plans.QUERIES["events_tumbling_1h"](spark, SF_SMOKE)
+        .select("hour_start", "n_events", "total_value")
+    )
+    s = sorted(map(tuple, stream.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(s) > 0
+
+
+def _write_batch(dirpath: str, seq: int, rows: list[tuple[int, int]]) -> None:
+    """One micro-batch file: (user_id, ts_us) rows, with mtime ordered by seq
+    so FileStreamSource picks the files up in arrival order."""
+    pdf = pd.DataFrame(
+        {"user_id": [u for u, _ in rows], "ts_us": [t for _, t in rows]}
+    )
+    path = os.path.join(dirpath, f"b{seq}.parquet")
+    pdf.to_parquet(path)
+    t = 1_700_000_000 + seq * 60
+    os.utime(path, (t, t))
+
+
+def test_dedup_state_expires_past_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract across micro-batches:
+
+    - batch 1: users {1, 2} at t0            → both emitted
+    - batch 2: user 1 again at t0 + 2 h      → DROPPED (watermark still
+      trails batch 1, state alive) — but it advances the watermark
+    - batch 3: user 1 again at t0 + 2 h + 1s → still DROPPED: the batch-2
+      watermark (t0+2h−10min) becomes the eviction threshold only at the
+      END of batch 3, so batch 3's dedup check still sees the old state
+    - batch 4: user 1 again at t0 + 2 h + 2s → EMITTED (state evicted)
+
+    Total emitted rows = 3, i.e. one *re-emission* — the difference between
+    within-watermark dedup (bounded state, §7.5) and global distinct.
+    """
+    t0 = 1_600_000_000_000_000  # µs since epoch
+    two_h = 2 * 3600 * 1_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(str(src), 1, [(1, t0), (2, t0)])
+    _write_batch(str(src), 2, [(1, t0 + two_h)])
+    _write_batch(str(src), 3, [(1, t0 + two_h + 1_000_000)])
+    _write_batch(str(src), 4, [(1, t0 + two_h + 2_000_000)])
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(str(src))
+        .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id", "ts")
+    )
+    out = run_to_memory(stream, "test_dedup_expiry", "append")
+    rows = sorted((r.user_id, r.ts) for r in out.collect())
+    assert len(rows) == 3, f"expected one re-emission after expiry, got {rows}"
+    assert [u for u, _ in rows] == [1, 1, 2]
+
+
+def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches: a
+    user seen in two batches yields a final count equal to the total, and
+    update mode emits one row per (key, batch-with-data)."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    t0 = 1_600_000_000_000_000
+    _write_batch(str(src), 1, [(7, t0), (7, t0 + 1), (8, t0)])
+    _write_batch(str(src), 2, [(7, t0 + 2)])
+
+    def count_fn(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n_events", LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_fn,
+            outputStructType=out_schema,
+            stateStructType=StructType([StructField("n", LongType())]),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(stream, "test_stateful_accum", "update")
+    rows = sorted((r.user_id, r.n_events) for r in out.collect())
+    # user 7: emitted n=2 (batch 1) then n=3 (batch 2); user 8: n=1
+    assert rows == [(7, 2), (7, 3), (8, 1)]
