@@ -247,3 +247,35 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
         F.col("asof_value"),
     )
+
+
+@query(
+    "map_funcs_props",
+    oracle="""
+    SELECT 'k' AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS total,
+           COUNT(*) AS key_obs
+    FROM events
+    """,
+)
+def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-map family: ``from_json`` → ``map<string,bigint>``, then
+    ``explode`` (map → key/value rows), ``map_keys``/``size``.
+
+    The props fixture is a single-key JSON object, so the exploded stream has
+    one row per event and the oracle can recompute it with a regex — the
+    point is certifying the map-typed operator chain, absent in the
+    reference (Dask has no map dtype; SURVEY.md §2-H "map: absent").
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    exploded = ev.withColumn("m", m).select(
+        F.explode(F.col("m")).alias("key", "val"),
+        F.size(F.map_keys(F.col("m"))).alias("n_keys"),
+    )
+    return exploded.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("val").alias("total"),
+        F.sum("n_keys").alias("key_obs"),
+    )

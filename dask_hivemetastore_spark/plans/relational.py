@@ -530,3 +530,44 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "join_indicator",
+    oracle="""
+    WITH c AS (SELECT c_custkey AS custkey FROM customer),
+         o AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+    SELECT CASE WHEN c.custkey IS NOT NULL AND o.custkey IS NOT NULL THEN 'both'
+                WHEN c.custkey IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS indicator,
+           COUNT(*) AS n
+    FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+    GROUP BY 1
+    """,
+)
+def join_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 merge(indicator=True): pandas-style provenance column over a full
+    outer join — 'both' / 'left_only' / 'right_only' counts.
+
+    Spark has no indicator kwarg; the idiom is null-flag columns on either
+    side of the full outer join. Scale: both sides project to the single
+    join key before shuffling (minimal shuffle width), and the aggregation
+    on the 3-value indicator is map-side partial.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    joined = cust.withColumn("_l", F.lit(1)).join(
+        ords.withColumn("_r", F.lit(1)).withColumnRenamed("custkey", "r_custkey"),
+        F.col("custkey") == F.col("r_custkey"),
+        "full_outer",
+    )
+    ind = (
+        F.when(F.col("_l").isNotNull() & F.col("_r").isNotNull(), "both")
+        .when(F.col("_l").isNotNull(), "left_only")
+        .otherwise("right_only")
+    )
+    return joined.groupBy(ind.alias("indicator")).agg(F.count("*").alias("n"))

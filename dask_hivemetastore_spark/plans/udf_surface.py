@@ -220,3 +220,41 @@ def cogrouped_map_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(supp.groupBy("s_nationkey"))
         .applyInPandas(combine, "nationkey int, n_cust bigint, n_supp bigint, cust_bal double")
     )
+
+
+@query(
+    "udtf_bigrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents WHERE doc_id % 97 = 0)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           words[i] || ' ' || words[i+1]  AS bigram
+    FROM w, UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+    """,
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 table function: a Python UDTF (Spark 4 ``@udtf``) emitting one row
+    per consecutive word pair, applied per document via LATERAL join.
+
+    This is the row-multiplying escape hatch the reference ecosystem reaches
+    ``map_partitions`` for; where semantics allow, the builtin generator path
+    (``explode``/``posexplode``, see ``explode_words_top``) stays JVM-side
+    and is preferred — a UDTF runs one Python process round-trip per batch.
+    Scale: UDTF evaluation is per-row streaming over Arrow; no state, no
+    shuffle — it pipelines into whatever follows.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, bigram: string")
+    class BigramUDTF:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(len(words) - 1):
+                yield i, words[i] + " " + words[i + 1]
+
+    spark.udtf.register("bigrams", BigramUDTF)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.bigram FROM _udtf_docs d, LATERAL bigrams(d.text) t"
+    )
