@@ -290,3 +290,52 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary_payload(docs)
     return multimodal.extract_features(with_payload, "doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents WHERE doc_id % 7 = 0),
+    n AS (SELECT COUNT(*) AS n_docs FROM d),
+    tf AS (SELECT doc_id, t.w AS term, COUNT(*) AS tf
+           FROM d, UNNEST(words) AS t(w) GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1)
+    SELECT tf.term,
+           ROUND(SUM(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)), 4) AS tfidf_sum,
+           CAST(MAX(df.df) AS BIGINT) AS doc_freq
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    GROUP BY tf.term
+    ORDER BY tfidf_sum DESC, tf.term
+    LIMIT 20
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 TF-IDF, hand-rolled with JVM builtins (explode + two hash aggs +
+    one broadcast join) instead of pyspark.ml's HashingTF — hashing-based TF
+    is not term-exact, so it can't be oracle-checked; this formulation is,
+    and it is also what you want at 100 TB: the df (document-frequency)
+    side aggregates down to |vocabulary| rows and broadcasts, so the big
+    per-(doc,term) side never reshuffles after its own agg.
+
+    Formula: tfidf(term) = Σ_docs tf(term,doc) · ln(N / df(term)).
+    """
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    return (
+        scored.groupBy("term")
+        .agg(
+            F.round(F.sum("w"), 4).alias("tfidf_sum"),
+            F.max("df").alias("doc_freq"),
+        )
+        .orderBy(F.desc("tfidf_sum"), "term")
+        .limit(20)
+    )

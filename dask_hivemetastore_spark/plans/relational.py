@@ -571,3 +571,42 @@ def join_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("right_only")
     )
     return joined.groupBy(ind.alias("indicator")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "csv_roundtrip_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                  AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem WHERE l_orderkey % 11 = 0
+    GROUP BY 1
+    """,
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + A7 through the correctness gate: sink a projection to
+    delimited text (``|``-separated, headerless — the Hive serde shape the
+    reference reads via ``field.delim``), re-scan it with a *declared*
+    schema (metastore-style: no inference), and aggregate.
+
+    The oracle computes the same aggregate straight from parquet, so the
+    hash match certifies the full text write→read round-trip including
+    float formatting. Scale: CSV is the interchange path only — parquet
+    (columnar, predicate pushdown) is the storage path; a text scan reads
+    every byte of every row.
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
+    out = tempfile.mkdtemp(prefix="csv_rt_") + "/lineitem_csv"
+    li.select("l_orderkey", "l_returnflag", "l_quantity").write.mode(
+        "overwrite"
+    ).options(sep="|", header=False).csv(out)
+    back = (
+        spark.read.options(sep="|", header=False)
+        .schema("l_orderkey bigint, l_returnflag string, l_quantity double")
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
