@@ -610,3 +610,39 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
     )
+
+
+@query(
+    "salted_join_revenue",
+    oracle="""
+    SELECT c.c_nationkey            AS nationkey,
+           COUNT(*)                 AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (§7.5): orders ⋈ customer with the big side
+    salted over 8 buckets and the small side replicated 8×, proving the
+    rewrite is result-identical to the plain join (the oracle IS the plain
+    join). At test scale Catalyst may still broadcast the replicated small
+    side (salting is then cost-neutral); at 100 TB, where both sides
+    shuffle, the (key, salt) composite spreads each hot key over 8
+    reducers.
+    """
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(
+        orders, cust, ["o_custkey"], unique_expr=F.col("o_orderkey"), buckets=8
+    )
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -152,3 +152,24 @@ def test_asof_join_semantics(spark):
     assert out[1] == (10, 1.5)   # inclusive tie
     assert out[2] == (15, 2.5)   # latest prior
     assert out[3] == (None, None)  # nothing prior
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be result-identical to the plain join, including
+    left-join rows with no match (they appear exactly once, not S times)."""
+    from dask_hivemetastore_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)], "rid long, k long, v double"
+    )
+    # small side misses k=2 so some big rows are unmatched
+    small = spark.createDataFrame([(0, "a"), (1, "b")], "k long, name string")
+
+    for how in ["inner", "left"]:
+        plain = big.join(small, ["k"], how)
+        salted = salted_join(
+            big, small, ["k"], unique_expr=F.col("rid"), buckets=4, how=how
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
