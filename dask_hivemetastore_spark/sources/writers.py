@@ -31,3 +31,27 @@ def write_csv(
     header: bool = True,
 ) -> None:
     df.write.mode(mode).options(sep=sep, header=str(header).lower()).csv(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed catalog table (Spark's durable analog of the
+    reference's sorted ``divisions``, SURVEY.md §2-C C3).
+
+    Two tables bucketed identically on their join key sort-merge-join with
+    ZERO exchanges — the shuffle is paid once at write time and amortized
+    over every subsequent join/aggregation on that key. This is the single
+    biggest lever for a 100 TB fact table joined repeatedly on the same key.
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog, not the
+    files).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

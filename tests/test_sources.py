@@ -146,3 +146,38 @@ def test_hive_metastore_subprocess():
     assert 0 < out["n_f"] < out["n_all"]
     assert len(out["partitions"]) == 3
     assert out["prunes"]
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """C3 co-located join: two tables bucketed on the join key must
+    sort-merge-join with no Exchange in the final plan (the write-time
+    shuffle replaces the per-query shuffle)."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.sources.writers import save_bucketed
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    save_bucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                  "b_orders", ["o_custkey"], 4)
+    save_bucketed(cust.select("c_custkey", "c_nationkey"),
+                  "b_cust", ["c_custkey"], 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_cust"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        n = joined.count()
+        assert n == 1500  # every order has a customer
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
