@@ -217,18 +217,16 @@ def simhash_pairs(
     """
 
     def sim_batches(batches):
+        shifts = np.arange(bits, dtype=np.uint64)
+        powers = np.uint64(1) << shifts
         for pdf in batches:
             out = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                acc = np.zeros(bits, dtype=np.int64)
-                for w in str(text).split(" "):
-                    h = _gram_hashes([w])[0]
-                    for i in range(bits):
-                        acc[i] += 1 if (int(h) >> i) & 1 else -1
-                sh = 0
-                for i in range(bits):
-                    if acc[i] > 0:
-                        sh |= 1 << i
+                h = _gram_hashes(str(text).split(" "))
+                # (n_words, bits) ±1 matrix summed per bit position
+                bm = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                acc = (2 * bm - 1).sum(axis=0)
+                sh = int(powers[acc > 0].sum())
                 out.append((did, sh - (1 << 63)))  # store as signed long
             yield pd.DataFrame(out, columns=[id_col, "simhash"])
 
