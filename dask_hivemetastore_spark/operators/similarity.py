@@ -152,3 +152,75 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest centroid cell (max dot product —
+    vectors and centroids are unit-normalized). Vectorized numpy per Arrow
+    batch; centroids ride along as a task broadcast."""
+    C = centroids
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cells = (vecs @ C.T).argmax(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": cells.astype(np.int64)})
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, cell long")
+
+
+def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Train IVF coarse centroids with pyspark.ml KMeans (seeded).
+
+    Centroids are L2-normalized so cell assignment and probe selection can
+    both use dot products. At 100 TB: train on a sample (KMeans cost is
+    O(rows·cells·iters)) — the cell *assignment* is the full-data pass, and
+    it is embarrassingly parallel.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    return C / np.clip(norms, 1e-12, None)
+
+
+def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
+             nprobe: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k (K3 scale path, the k-means sibling of :func:`lsh_topk`):
+    partition the corpus into ``n_cells`` Voronoi cells, probe only the
+    ``nprobe`` cells nearest the query, exact-score inside them.
+
+    Scan shrinks ~n_cells/nprobe ×; recall depends on nprobe (the fixture's
+    vectors are near-orthogonal noise, so neighbors scatter — 8/16 probes
+    recovers the full brute-force top-10 there; clustered real embeddings
+    need far fewer). Approximate by construction →
+    registered rows-only. At scale the assigned table is written once,
+    partitioned BY cell, so a query reads only its probed partitions —
+    partition pruning does the candidate selection.
+    """
+    spark = emb.sparkSession
+    centroids = ivf_train_centroids(emb, n_cells=n_cells)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+
+    qv = np.asarray(
+        emb.where(F.col(id_col) == query_id).select(vec_col).toPandas()[vec_col][0],
+        dtype=np.float64,
+    )
+    probe_cells = [int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe]]
+
+    cand_ids = assigned.where(F.col("cell").isin(probe_cells)).select(id_col)
+    cands = emb.join(cand_ids, id_col).where(F.col(id_col) != query_id)
+    q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(id_col, "label",
+                F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

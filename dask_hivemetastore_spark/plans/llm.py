@@ -339,3 +339,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf_sum"), "term")
         .limit(20)
     )
+
+
+@query("knn_ivf_topk")  # rows-only: ANN recall < 1 by construction
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 IVF variant: k-means coarse quantizer (16 cells), probe the 8
+    nearest cells, exact cosine inside — the training-based sibling of the
+    LSH path (`knn_lsh_topk`). See operators/similarity.py for the
+    partition-pruning layout at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, k=10)

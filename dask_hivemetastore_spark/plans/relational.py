@@ -646,3 +646,36 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "parquet_partitioned_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*)                  AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey % 13 = 0
+    GROUP BY 1
+    """,
+)
+def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + A4 + A5 through the correctness gate: sink with
+    ``partitionBy(l_returnflag)`` (the prunable layout), re-read with a
+    partition-key filter, aggregate. The re-scan's filter prunes to one
+    hive-style directory before any file is opened — at 100 TB this is the
+    difference between reading one partition and reading the table.
+
+    The oracle aggregates straight from the source parquet, so the hash
+    match certifies the partitioned write→discover→prune→read cycle.
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 13 == 0)
+    out = tempfile.mkdtemp(prefix="pq_rt_") + "/lineitem_part"
+    li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity").write.mode(
+        "overwrite"
+    ).partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )

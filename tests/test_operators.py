@@ -173,3 +173,16 @@ def test_salted_join_equals_plain_join(spark):
         assert sorted(map(tuple, plain.collect())) == sorted(
             map(tuple, salted.collect())
         ), how
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF top-10 must recover most of the brute-force top-10 (recall >= 0.7
+    on the fixture with 16 cells / 4 probes)."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import ivf_topk, knn_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in knn_topk(emb, 0, k=10).collect()}
+    approx = {r.vec_id for r in ivf_topk(emb, 0, k=10).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 7
