@@ -1,0 +1,76 @@
+"""Physical-plan shape regression tests.
+
+Correctness is gated by the oracle harness; these lock in the *performance*
+properties that matter at 100 TB (SURVEY.md §4): predicate pushdown, column
+pruning, broadcast joins, map-side partial aggregation, top-k lowering, and
+whole-stage codegen. A regression here is a silent 10-100× slowdown at
+scale that sf0.01 correctness checks would never catch.
+"""
+
+from __future__ import annotations
+
+from dask_hivemetastore_spark import plans
+
+from .conftest import SF_SMOKE
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """Filters reach the parquet scan; ReadSchema carries only the four
+    projected columns (no full-row scan for a 4-column projection)."""
+    plan = _explain(plans.QUERIES["scan_project_filter"](spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan or "l_quantity" in plan.split("PushedFilters")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema  # unprojected column pruned
+
+
+def test_q5_broadcasts_dimensions(spark):
+    """The 6-way join keeps every dimension side on the broadcast path —
+    zero shuffle joins at dim scale (AQE would switch if a side outgrew
+    the threshold)."""
+    plan = _explain(plans.QUERIES["q5_local_supplier"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_topk_lowering(spark):
+    """ORDER BY + LIMIT lowers to TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge), never a global sort."""
+    plan = _explain(plans.QUERIES["q3_top_orders"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Aggregation is partial+final (map-side combine): two HashAggregate
+    nodes around the key exchange."""
+    plan = _explain(plans.QUERIES["q1_pricing_summary"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan  # partial aggregate functions in the map stage
+
+
+def test_q1_whole_stage_codegen(spark):
+    """The scan→filter→project→partial-agg pipeline fuses into one
+    WholeStageCodegen span (expressions stay JVM-side, no Python in the
+    hot path)."""
+    df = plans.QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    df.collect()  # AQE finalizes subplans lazily; codegen info exists only after execution
+    plan = _explain(df, "codegen")
+    assert "Found 0" not in plan.splitlines()[0], plan.splitlines()[0]
+
+
+def test_q18_preaggregates_before_join(spark):
+    """The Q18 plan must aggregate lineitem BEFORE joining orders (the
+    survivor-set join): the first HashAggregate appears below the join in
+    the plan tree."""
+    plan = _explain(plans.QUERIES["q18_large_orders"](spark, SF_SMOKE), "simple")
+    # in the simple-mode tree, the aggregate on l_orderkey must be nested
+    # deeper than (printed after) the last join operator
+    last_join = max(plan.rfind("BroadcastHashJoin"), plan.rfind("SortMergeJoin"))
+    agg_on_lineitem = plan.find("HashAggregate", last_join)
+    assert agg_on_lineitem > last_join > 0, plan
