@@ -349,3 +349,47 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruning layout at scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, query_id=0, k=10)
+
+
+@query(
+    "dedup_embedding_components",
+    oracle="""
+    WITH RECURSIVE
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0.45),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (
+        SELECT e.vec_id,
+               LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS component
+        FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+        GROUP BY e.vec_id
+    )
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY component HAVING COUNT(*) > 1
+    """,
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 embedding-cosine dedup, canonicalized: cosine >= 0.45 pairs (BLAS
+    screen + exact rescore) → connected components (iterative min-label
+    propagation) → component sizes (non-singleton). Composes the semantic
+    near-dup detector with the same canonicalization machinery the n-gram
+    path uses; the oracle recomputes components via recursive transitive
+    closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.similar_pairs(emb, threshold=0.45).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comps = dedup.connected_components(pairs, emb.select("vec_id"), "vec_id")
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > 1)
+    )
