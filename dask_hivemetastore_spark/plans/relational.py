@@ -679,3 +679,63 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return back.groupBy("l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
     )
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS F,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS O,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dask/pandas ``pivot_table``: long→wide reshaping via
+    ``groupBy().pivot(col, values)``. Pinning the pivot values up front
+    matters at scale: without the explicit list Spark runs an extra
+    distinct-collect job over the pivot column to discover them."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2))
+        .na.fill(0.0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, metric,
+           COUNT(*) AS n, ROUND(SUM(val), 2) AS total
+    FROM m GROUP BY 1, 2
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dask/pandas ``melt``: wide→long via ``DataFrame.unpivot`` (Spark's
+    built-in, one pass — the oracle's UNION ALL form reads the table once
+    per metric, which is exactly what unpivot avoids at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ids=["l_returnflag"],
+            values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .withColumn("metric", F.expr("substr(metric, 3)"))  # l_quantity -> quantity
+        .groupBy("l_returnflag", "metric")
+        .agg(F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("total"))
+    )
