@@ -739,3 +739,56 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "metric")
         .agg(F.count("*").alias("n"), F.round(F.sum("val"), 2).alias("total"))
     )
+
+
+@query(
+    "describe_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           COUNT(l_quantity)                    AS n,
+           ROUND(AVG(l_quantity), 6)            AS mean,
+           ROUND(STDDEV_SAMP(l_quantity), 6)    AS std,
+           MIN(l_quantity)                      AS min_val,
+           MAX(l_quantity)                      AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(l_extendedprice), ROUND(AVG(l_extendedprice), 6),
+           ROUND(STDDEV_SAMP(l_extendedprice), 6),
+           MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem
+    """,
+)
+def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dask/pandas ``describe()``: per-column summary stats in long form.
+
+    One scan computes all columns' aggregates simultaneously (a single
+    partial+final HashAggregate over zero grouping keys); the long-form
+    reshape is a literal-column union of the single result row — no second
+    scan, unlike the oracle's UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.count("l_quantity").alias("q_n"),
+        F.round(F.avg("l_quantity"), 6).alias("q_mean"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("q_std"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+        F.count("l_extendedprice").alias("p_n"),
+        F.round(F.avg("l_extendedprice"), 6).alias("p_mean"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("p_std"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+    )
+    q = stats.select(
+        F.lit("l_quantity").alias("column_name"),
+        F.col("q_n").alias("n"), F.col("q_mean").alias("mean"),
+        F.col("q_std").alias("std"),
+        F.col("q_min").alias("min_val"), F.col("q_max").alias("max_val"),
+    )
+    p = stats.select(
+        F.lit("l_extendedprice").alias("column_name"),
+        F.col("p_n").alias("n"), F.col("p_mean").alias("mean"),
+        F.col("p_std").alias("std"),
+        F.col("p_min").alias("min_val"), F.col("p_max").alias("max_val"),
+    )
+    return q.unionByName(p)
