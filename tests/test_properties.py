@@ -1,0 +1,127 @@
+"""Property-based invariants (hypothesis) for the custom operators.
+
+Complements the oracle harness (fixed fixtures) with generated inputs:
+rewrite-equivalence for the salted join, dedup accounting, component
+consistency, and float-fold parity for the dot product. Example counts are
+small because every example runs Spark jobs; the properties are chosen so a
+violation reproduces deterministically from the printed example.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # rid (unique-ified below)
+        st.integers(min_value=0, max_value=5),    # join key
+    ),
+    min_size=1,
+    max_size=25,
+)
+keys_st = st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=4, unique=True)
+
+
+@SETTINGS
+@given(rows=rows_st, small_keys=keys_st, buckets=st.integers(min_value=1, max_value=5))
+def test_salted_join_rewrite_equivalence(spark, rows, small_keys, buckets):
+    """For ANY input and bucket count, salted_join(inner/left) == plain join."""
+    from dask_hivemetastore_spark.operators.skew import salted_join
+
+    uniq = [(i, k) for i, (_, k) in enumerate(rows)]
+    big = spark.createDataFrame(uniq, "rid long, k long")
+    small = spark.createDataFrame([(k, f"v{k}") for k in small_keys], "k long, tag string") \
+        if small_keys else spark.createDataFrame([], "k long, tag string")
+    for how in ["inner", "left"]:
+        plain = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+        salted = sorted(map(tuple, salted_join(
+            big, small, ["k"], unique_expr=F.col("rid"), buckets=buckets, how=how
+        ).collect()))
+        assert plain == salted, (how, buckets)
+
+
+texts_st = st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=20)
+
+
+@SETTINGS
+@given(texts=texts_st)
+def test_exact_dedup_accounting(spark, texts):
+    """exact_dedup keeps exactly one id per distinct text (the min), and the
+    kept copy-counts sum to the input row count."""
+    from dask_hivemetastore_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = exact_dedup(df, "doc_id", "text").collect()
+    assert len(out) == len(set(texts))
+    assert sum(r.n_copies for r in out) == len(texts)
+    expected_keep = {min(i for i, t in enumerate(texts) if t == u) for u in set(texts)}
+    assert {r.doc_id for r in out} == expected_keep
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(edges=edges_st)
+def test_connected_components_consistency(spark, edges):
+    """Both endpoints of every edge land in the same component, and every
+    component label is the min id of its members."""
+    from dask_hivemetastore_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({n for e in edges for n in e} | {0, 9})
+    ids = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    pairs = (
+        spark.createDataFrame(edges, "doc_a long, doc_b long")
+        if edges
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    comp = {r.doc_id: r.component for r in connected_components(pairs, ids, "doc_id").collect()}
+    for a, b in edges:
+        assert comp[a] == comp[b], (a, b, comp)
+    # label == min of member ids
+    members: dict[int, list[int]] = {}
+    for n, c in comp.items():
+        members.setdefault(c, []).append(n)
+    for c, ms in members.items():
+        assert c == min(ms), (c, ms)
+
+
+vecs_st = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(va=vecs_st, vb=vecs_st)
+def test_dot_f64_is_sequential_fold(spark, va, vb):
+    """dot_f64 == a strict left-to-right f64 fold (the exact float contract
+    the oracles rely on), for any float32 inputs."""
+    from dask_hivemetastore_spark.operators.similarity import dot_f64
+
+    n = min(len(va), len(vb))
+    va, vb = va[:n], vb[:n]
+    df = spark.createDataFrame([(va, vb)], "a array<float>, b array<float>")
+    got = df.select(dot_f64(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    import numpy as np
+
+    acc = 0.0
+    for x, y in zip(np.array(va, dtype=np.float32), np.array(vb, dtype=np.float32)):
+        acc += float(x) * float(y)
+    assert got == pytest.approx(acc, abs=0.0) or got == acc
