@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -210,3 +211,115 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(counts, "stream_stateful_counts", "update")
+
+
+# --------------------------------------------- I6b: stateful sessionization
+
+
+_SESS_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_v", DoubleType()),
+    ]
+)
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_fn(key, pdf_iter, state: GroupState):
+    """Per-user gap sessionizer. State = the one open session (4 scalars).
+
+    Closes a session when the next event is >= 30 min after the last; emits
+    closed sessions (final) AND the still-open session (re-emitted each
+    batch it grows — downstream upserts by (user_id, session_start)). Value
+    sums accumulate sequentially in event-time order, matching the oracle's
+    summation order.
+    """
+    rows: list[tuple[int, float]] = []
+    for pdf in pdf_iter:
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        rows.extend(zip(ts_us.tolist(), pdf["value"].tolist()))
+    rows.sort()
+    if state.exists:
+        start, last, n, s = state.get
+    else:
+        start = None
+    closed: list[tuple[int, int, float]] = []
+    for ts, v in rows:
+        if start is None:
+            start, last, n, s = ts, ts, 0, 0.0
+        elif ts - last >= _GAP_US:
+            closed.append((start, n, s))
+            start, last, n, s = ts, ts, 0, 0.0
+        n += 1
+        s += float(v)
+        last = ts
+    out = list(closed)
+    if start is not None:
+        state.update((start, last, n, s))
+        out.append((start, n, s))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out),
+            "session_start": [
+                pd.Timestamp(st, unit="us").strftime("%Y-%m-%d %H:%M:%S") for st, _, _ in out
+            ],
+            "n_events": [n_ for _, n_, _ in out],
+            "total_value": [round(s_, 2) for _, _, s_ in out],
+        }
+    )
+
+
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*)                               AS n_events,
+           ROUND(SUM(value), 2)                   AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 flagship: custom stateful sessionization (30-min inactivity gap)
+    via ``applyInPandasWithState`` — the operator ``F.session_window``
+    cannot express once you need per-session custom logic (e.g. different
+    emission policies for closed vs open sessions).
+
+    One open session = 4 scalars of state per user, independent of session
+    length; the finite stream drains in one batch, so closed + open
+    emissions together equal the batch gaps-and-islands answer — the same
+    oracle as ``events_sessionize``. At 100 TB: RocksDB state store, a
+    watermark-based GroupStateTimeout to flush idle users, and an upsert
+    sink keyed on (user_id, session_start).
+    """
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(sessions, "stream_sessionize", "update")

@@ -134,3 +134,66 @@ def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
     rows = sorted((r.user_id, r.n_events) for r in out.collect())
     # user 7: emitted n=2 (batch 1) then n=3 (batch 2); user 8: n=1
     assert rows == [(7, 2), (7, 3), (8, 1)]
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    """A session spanning two micro-batches must be re-emitted with grown
+    counts (open-session upsert semantics), and a >=30-min gap starts a new
+    session."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from dask_hivemetastore_spark.streaming.pipeline import (
+        _SESS_OUT,
+        _SESS_STATE,
+        _sessionize_fn,
+        run_to_memory,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t0 = 1_600_000_000_000_000
+    m = 60 * 1_000_000
+    for seq, rows in enumerate(
+        [
+            [(1, t0, 1.0), (1, t0 + 5 * m, 2.0)],          # open session: n=2
+            [(1, t0 + 10 * m, 3.0), (1, t0 + 50 * m, 4.0)],  # grows to n=3, then gap -> new session
+        ],
+        start=1,
+    ):
+        pdf = pd.DataFrame(
+            {"user_id": [r[0] for r in rows], "ts_us": [r[1] for r in rows],
+             "value": [r[2] for r in rows]}
+        )
+        p = str(src / f"b{seq}.parquet")
+        pdf.to_parquet(p)
+        import os as _os
+        _os.utime(p, (1_700_000_000 + seq * 60,) * 2)
+
+    schema = StructType([
+        StructField("user_id", LongType()), StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", F.timestamp_micros("ts_us").alias("ts"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(stream, "test_sess_carry", "update")
+    rows = sorted((r.session_start, r.n_events, r.total_value) for r in out.collect())
+    # batch1: open session (start t0, n=2, 3.0)
+    # batch2: session grows to n=3/6.0 and CLOSES at the 40-min gap; new open session (n=1, 4.0)
+    s0 = pd.Timestamp(t0, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    s1 = pd.Timestamp(t0 + 50 * m, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    assert rows == [(s0, 2, 3.0), (s0, 3, 6.0), (s1, 1, 4.0)], rows
