@@ -279,3 +279,37 @@ def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val").alias("total"),
         F.sum("n_keys").alias("key_obs"),
     )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')    AS due_date,
+           date_diff('day', o_orderdate, TIMESTAMP '2001-01-01')  AS days_to_ref,
+           date_diff('month', o_orderdate, TIMESTAMP '2001-01-01') AS months_to_ref,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           EXTRACT(quarter FROM o_orderdate)                      AS q
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-date arithmetic: interval add, day/month diffs, month truncation,
+    quarter extraction. Month-diff conventions differ across engines
+    (DuckDB date_diff('month') counts month *boundaries crossed*; Spark's
+    months_between is fractional) — the Spark side reproduces the
+    boundary-count form explicitly so the two agree."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 101 == 0)
+    ref_y, ref_m = 2001, 1
+    months_to_ref = (
+        (F.lit(ref_y) - F.year("o_orderdate")) * 12 + (F.lit(ref_m) - F.month("o_orderdate"))
+    ).cast("long")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2001-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long").alias("days_to_ref"),
+        months_to_ref.alias("months_to_ref"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+    )

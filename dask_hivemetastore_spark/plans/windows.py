@@ -201,3 +201,44 @@ def topn_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@query(
+    "window_value_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice)  OVER w, 2) AS last_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+           NTILE(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 value/window functions beyond ranking: first_value / last_value /
+    nth_value over an unbounded frame, plus cume_dist and ntile. Ties are
+    pinned with a secondary orderkey sort — value window functions are
+    nondeterministic under ties otherwise (on every engine)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 101 == 0)
+    w_full = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ord = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.first("o_totalprice").over(w_full), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_full), 2).alias("second_price"),
+        F.round(F.cume_dist().over(w_ord), 6).alias("cd"),
+        F.ntile(4).over(w_ord).alias("quartile"),
+    )
