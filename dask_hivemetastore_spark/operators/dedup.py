@@ -266,6 +266,9 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        # materialize once: the pair-generation lineage above (often an
+        # expensive similarity join) must not re-execute on every round
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
     for _ in range(max_iter):
@@ -278,13 +281,16 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select("node", F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"))
         )
+        # checkpoint BEFORE the convergence check so the round's join
+        # lineage executes once, not once per downstream action
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))

@@ -110,9 +110,15 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 canonicalization: connected components over the dup-pair graph
     (iterative min-label propagation), keep each component's min id. The
     oracle computes the same via a recursive transitive closure — doc 45 has
-    TWO near-duplicates, so components (not just pairs) are exercised."""
+    TWO near-duplicates, so components (not just pairs) are exercised.
+
+    Pairs come from the MinHash+LSH path (the 100 TB design — banding miss
+    rate ~1e-15 at J>=0.9, candidates exactly verified), so this query is
+    the full production pipeline end-to-end: sign → band → verify →
+    components → canonical ids, all checked against the exact-Jaccard
+    recursive-closure oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
     comps = dedup.connected_components(pairs, docs.select("doc_id"), "doc_id")
     return (
         comps.where(F.col("doc_id") == F.col("component"))
