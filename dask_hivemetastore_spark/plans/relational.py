@@ -792,3 +792,41 @@ def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_min").alias("min_val"), F.col("p_max").alias("max_val"),
     )
     return q.unionByName(p)
+
+
+@query(
+    "sql_entrypoint",
+    oracle="""
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey)   AS n_customers,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM nation
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3 (SURVEY.md §3): a free-form SQL string over the
+    registered catalog views — the identical text a user would hand to
+    ``spark.sql`` runs against DuckDB as its own oracle. Catalyst plans it
+    exactly like the DataFrame form (same logical plan after analysis);
+    this certifies the register_views + SQL surface end-to-end."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(DISTINCT c_custkey)   AS n_customers,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM nation
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
