@@ -186,3 +186,18 @@ def test_ivf_topk_recall(spark, sf_dir):
     approx = {r.vec_id for r in ivf_topk(emb, 0, k=10).collect()}
     assert len(approx) == 10
     assert len(exact & approx) >= 7
+
+
+@pytest.mark.slow
+def test_state_mutating_queries_are_rerunnable(spark):
+    """Queries that register views/UDTFs or start named streaming queries
+    must be callable twice in one session (the driver may invoke entry()
+    and the sweep against the same SparkSession)."""
+    from dask_hivemetastore_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    for key in ["sql_entrypoint", "udtf_bigrams", "stream_tumbling_1h",
+                "stream_sessionize"]:
+        n1 = plans.QUERIES[key](spark, sf).count()
+        n2 = plans.QUERIES[key](spark, sf).count()
+        assert n1 == n2 and n1 > 0, key
