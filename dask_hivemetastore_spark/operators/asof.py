@@ -28,11 +28,15 @@ def asof_join(
     by: str,
     value_cols: list[str],
     right_prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join.
 
     Returns ``left`` with ``{right_prefix}{ts}`` and ``{right_prefix}{col}``
     for each of ``value_cols`` attached (NULL when no right row precedes).
+    ``tolerance_seconds`` mirrors pandas ``merge_asof(tolerance=...)``: a
+    match farther back than the tolerance is nulled out (applied as a
+    post-filter on the carried columns — the window pass is unchanged).
     """
     lcols = left.columns
     l_tagged = left.select(
@@ -68,4 +72,18 @@ def asof_join(
             for c in value_cols
         ],
     )
-    return carried.where(F.col("__side") == 1).drop("__side")
+    out = carried.where(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        delta_us = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+            F.col(f"{right_prefix}{ts}").cast("timestamp")
+        )
+        within = delta_us <= F.lit(int(tolerance_seconds * 1_000_000))
+        out = out.select(
+            *lcols,
+            *[
+                F.when(within, F.col(f"{right_prefix}{c}"))
+                .alias(f"{right_prefix}{c}")
+                for c in [ts, *value_cols]
+            ],
+        )
+    return out

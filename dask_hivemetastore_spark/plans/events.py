@@ -313,3 +313,40 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
         F.quarter("o_orderdate").cast("long").alias("q"),
     )
+
+
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT c.event_id,
+           CASE WHEN c.ts - p.ts <= INTERVAL '10 minutes'
+                THEN strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') END AS asof_ts,
+           CASE WHEN c.ts - p.ts <= INTERVAL '10 minutes'
+                THEN p.value END AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click')    c
+    ASOF LEFT JOIN
+         (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 as-of join with tolerance (pandas ``merge_asof(tolerance=...)``):
+    prior purchases farther back than 10 minutes are nulled. DuckDB's ASOF
+    JOIN has no tolerance clause, so the oracle applies the same null-out
+    as a CASE on the matched row — semantically identical because backward
+    as-of picks the *greatest* prior ts (if that one is out of tolerance,
+    every prior one is)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = asof_join(
+        clicks, purchases, ts="ts", by="user_id", value_cols=["value"],
+        tolerance_seconds=600,
+    )
+    return joined.select(
+        "event_id",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
+        F.col("asof_value"),
+    )
