@@ -399,3 +399,37 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .where(F.col("n_members") > 1)
     )
+
+
+@query(
+    "array_funcs_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT)   AS n_pos,
+           ROUND(list_sum(list_transform(embedding[1:8],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS head_energy,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6)          AS max_comp,
+           ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6)      AS min_comp
+    FROM embeddings WHERE vec_id % 17 = 0
+    """,
+)
+def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-array family beyond the dot product: ``filter``/``size`` (predicate
+    count), ``slice`` + ``aggregate`` (prefix energy), ``array_max``,
+    ``array_sort`` + indexing. All JVM higher-order functions — zero Python,
+    zero shuffle; this entire query is a single codegen'd projection over
+    the scan."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 17 == 0)
+    head = F.slice("embedding", 1, 8)
+    energy = F.aggregate(
+        F.transform(head, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(energy, 6).alias("head_energy"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_comp"),
+        F.round(F.array_sort("embedding")[0].cast("double"), 6).alias("min_comp"),
+    )

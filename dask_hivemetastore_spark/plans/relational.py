@@ -830,3 +830,34 @@ def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, n_name
         """
     )
+
+
+@query(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 GROUPING SETS proper (rollup/cube are the prefix/powerset
+    specializations, certified separately): per-segment, per-nation, and
+    grand totals in ONE pass — Catalyst expands the sets into a single
+    Expand + hash aggregate, vs three scans if written as UNION ALL."""
+    from ..catalog import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(CAST(c_nationkey AS STRING), 'ALL') AS nation,
+               COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM _gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
