@@ -861,3 +861,41 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
     )
+
+
+@query(
+    "regexp_extract_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+tion)')          AS first_tion,
+           CAST(len(regexp_extract_all(text, 'scan')
+                ) AS BIGINT)                             AS n_scan,
+           regexp_replace(substr(text, 1, 30),
+                          '[aeiou]', '_', 'g')           AS devoweled
+    FROM documents WHERE doc_id % 31 = 0
+    """,
+)
+def regexp_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-string regex family: regexp_extract (first match), count of all
+    matches, global regexp_replace — the pandas ``.str.extract`` /
+    ``.str.count`` / ``.str.replace`` trio. All JVM-side regex (codegen'd);
+    no Python."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 31 == 0)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]+tion)", 1).alias("first_tion"),
+        F.size(F.expr("regexp_extract_all(text, 'scan', 0)")).cast("long").alias("n_scan"),
+        F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@query("sample_stratified")  # rows-only: engine RNG streams differ by design
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-sample stratified: ``sampleBy`` with per-stratum fractions (the
+    groupby-sample idiom) — seeded and deterministic within Spark for a
+    fixed partitioning; rows-only because RNG streams are engine-specific.
+    Scale: sampling is a map-side filter, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", {"A": 0.05, "N": 0.01, "R": 0.05}, seed=7
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")

@@ -323,3 +323,34 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(sessions, "stream_sessionize", "update")
+
+
+# ------------------------------------------------------- A6-streaming: sink
+
+
+@query(
+    "stream_filter_to_parquet",
+    oracle="SELECT event_id, value FROM events WHERE event_type = 'click'",
+)
+def stream_filter_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet sink: stream → filter → exactly-once file sink →
+    batch re-read. Stateless (no watermark needed, append mode), so the
+    finite stream lands complete and the re-read hash-matches the batch
+    oracle. At scale this is the bronze-layer ingest pattern: the sink's
+    transaction log (_spark_metadata) gives exactly-once file commits;
+    partitionBy(date) on the sink makes the layer prunable."""
+    out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.where(F.col("event_type") == "click")
+        .select("event_id", "value")
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(f"{out_dir}/data")
