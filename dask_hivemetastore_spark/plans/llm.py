@@ -433,3 +433,40 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_comp"),
         F.round(F.array_sort("embedding")[0].cast("double"), 6).alias("min_comp"),
     )
+
+
+@query(
+    "ngram_freq_top",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+          FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i))
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+)
+def ngram_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corpus n-gram frequency profile (top-25 bigrams) — the standard
+    pre-training corpus diagnostic. JVM path: transform+sequence generates
+    bigrams per doc (no Python), explode, one hash agg, TakeOrdered top-k.
+    At 100 TB the agg's partial (map-side) combine collapses the heavy hitters
+    before the shuffle; a count-min sketch is the streaming sibling."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1])) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )
