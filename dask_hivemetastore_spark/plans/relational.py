@@ -899,3 +899,49 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sampleBy(
         "l_returnflag", {"A": 0.05, "N": 0.01, "R": 0.05}, seed=7
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@query(
+    "thin_metastore_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                    AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0
+    GROUP BY 1
+    """,
+)
+def thin_metastore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A4 + A5 through the correctness gate: the reference's ENTIRE
+    metastore resolution flow — register a TableDef (schema/location/format/
+    partition keys), compile the partition predicate against the partition
+    listing BEFORE touching data, read only surviving partition directories,
+    attach constant partition-key columns, union — then aggregate.
+
+    The oracle recomputes from the source parquet, so the hash match
+    certifies resolution, pruning, typed partition-column attachment, and
+    the scan. This is the thin-catalog sibling of the Hive-metastore path
+    (tests/test_sources.py drives the real embedded-Derby HMS)."""
+    import tempfile
+
+    from ..sources.metastore import TableDef, ThinCatalog
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    loc = tempfile.mkdtemp(prefix="thin_ms_") + "/orders_part"
+    orders.select("o_orderkey", "o_totalprice", "o_orderstatus").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(loc)
+
+    cat = ThinCatalog()
+    cat.register(
+        TableDef(
+            name="orders_part",
+            location=loc,
+            columns=[("o_orderkey", "bigint"), ("o_totalprice", "double")],
+            partition_keys=[("o_orderstatus", "string")],
+        )
+    )
+    df = cat.read_table(spark, "orders_part", partition_filter="o_orderstatus = 'F'")
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
