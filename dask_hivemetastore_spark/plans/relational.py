@@ -945,3 +945,28 @@ def thin_metastore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )
+
+
+@query(
+    "python_datasource_scan",
+    oracle="""
+    SELECT CAST(range % 10 AS BIGINT)              AS bucket,
+           COUNT(*)                                AS n,
+           CAST(SUM(range * range) AS BIGINT)      AS sq_sum
+    FROM range(5000) GROUP BY 1
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extensibility: a custom Python DataSource (Spark 4
+    ``pyspark.sql.datasource``) — the first-class hook for teaching Spark a
+    source it doesn't know, i.e. the modern form of what the reference does
+    for Hive-metastore tables. The source declares its own partition split;
+    Spark runs one read task per split. Oracle recomputes from DuckDB's
+    range()."""
+    from ..sources.pyds import register
+
+    register(spark)
+    df = spark.read.format("synthrange").option("n", 5000).option("parts", 8).load()
+    return df.groupBy((F.col("i") % 10).alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum("sq").alias("sq_sum")
+    )

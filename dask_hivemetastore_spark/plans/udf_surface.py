@@ -258,3 +258,39 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.bigram FROM _udtf_docs d, LATERAL bigrams(d.text) t"
     )
+
+
+@query(
+    "map_arrow_net_price",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net_price
+    FROM lineitem WHERE l_quantity <= 3
+    """,
+)
+def map_arrow_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 Arrow-native variant: ``mapInArrow`` hands raw
+    ``pyarrow.RecordBatch`` objects — no pandas materialization at all, the
+    fastest Python escape hatch (zero-copy columnar in both directions).
+    Same computation as ``map_partitions_net_price`` on a disjoint slice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_net(batches):
+        for batch in batches:
+            net = pc.multiply(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                pc.add(pa.scalar(1.0), batch.column("l_tax")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), net],
+                names=["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 3)
+    return li.mapInArrow(
+        add_net, "l_orderkey bigint, l_linenumber int, net_price double"
+    )
