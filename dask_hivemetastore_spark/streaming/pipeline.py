@@ -354,3 +354,76 @@ def stream_filter_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     q.stop()
     return spark.read.parquet(f"{out_dir}/data")
+
+
+# ------------------------------------- I6c: transformWithStateInPandas (TWS)
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas ships its state protocol over protobuf;
+    the pip ``protobuf`` package is not in this container, so the query
+    registers only where the dependency exists (import-try gate per the
+    environment contract)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 on the NEW stateful API: ``transformWithStateInPandas``
+    (Spark 4's successor to applyInPandasWithState) — typed state handles
+    (ValueState/ListState/MapState), timers, and TTL, mandatory RocksDB
+    state store. Same per-user counter as ``stream_stateful_counts`` so the
+    two APIs are directly comparable; identical oracle.
+
+    The RocksDB requirement is the 100 TB story made concrete: state lives
+    off-heap with changelog checkpointing instead of executor-heap
+    HDFS-backed maps.
+    """
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield _pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = read_events_stream(spark, sf_dir)
+        counts = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=CountProcessor(),
+            outputStructType="user_id bigint, n_events bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_memory(counts, "stream_tws_counts", "update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+if _tws_available():  # pragma: no cover - protobuf absent in this container
+    query(
+        "stream_tws_counts",
+        oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+    )(stream_tws_counts)
