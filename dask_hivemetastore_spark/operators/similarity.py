@@ -133,21 +133,35 @@ def lsh_bucket_ids(emb: DataFrame, dim: int = 64, bits: int = 12,
 
 
 def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: restrict the dot-product scan to the query's LSH bucket.
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             multiprobe: bool = True) -> DataFrame:
+    """ANN top-k: restrict the dot-product scan to the query's LSH bucket
+    plus (multiprobe) every bucket at hamming distance 1 — flipping each
+    sign bit once. Single-bucket probing with B buckets scans ~n/B vectors,
+    often fewer than k; multi-probe scans ~n(bits+1)/B and recovers the
+    neighbors that landed just across one hyperplane, the standard
+    recall/cost dial (more tables being the other).
 
-    Approximate (recall < 1 by construction) → registered rows-only. With B
-    buckets the scan shrinks ~B×; multi-probe (flipping low-margin bits) or
-    multiple tables buy recall back at scale.
+    Approximate (recall < 1 by construction) → registered rows-only.
+    Measured honestly: on THIS fixture (near-orthogonal noise, true
+    neighbors at cosine ~0.5 ≈ 60°) sign-LSH recall is poor even with
+    multi-probe — P[bit agrees] ≈ 1−θ/π ≈ 0.66, so 8 bits ≈ 3.5% per
+    table; real clustered embeddings (θ small) are the regime it serves.
+    For this data shape the IVF variant (:func:`ivf_topk`, full top-10
+    recall at 8/16 probes) is the right scale path.
     """
     buckets = lsh_bucket_ids(emb, bits=bits, id_col=id_col, vec_col=vec_col)
     with_b = emb.join(buckets, id_col)
+    probes = F.array(
+        F.col("__qb"),
+        *([F.col("__qb").bitwiseXOR(F.lit(1 << i)) for i in range(bits)] if multiprobe else []),
+    )
     qb = with_b.where(F.col(id_col) == query_id).select(
         F.col("bucket").alias("__qb"), F.col(vec_col).alias("__qv")
-    )
+    ).select(probes.alias("__probes"), "__qv")
     return (
         with_b.where(F.col(id_col) != query_id)
-        .join(F.broadcast(qb), F.col("bucket") == F.col("__qb"))
+        .join(F.broadcast(qb), F.array_contains(F.col("__probes"), F.col("bucket")))
         .select(id_col, F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
