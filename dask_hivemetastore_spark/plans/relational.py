@@ -970,3 +970,69 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy((F.col("i") % 10).alias("bucket")).agg(
         F.count("*").alias("n"), F.sum("sq").alias("sq_sum")
     )
+
+
+@query(
+    "agg_misc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(mode(l_quantity) AS DOUBLE)        AS qty_mode,
+           ROUND(median(l_extendedprice), 4)       AS price_median,
+           bool_and(l_quantity >= 1.0)             AS all_positive,
+           bool_or(l_discount > 0.09)              AS any_big_discount,
+           MIN(l_linestatus)                       AS a_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family completion: mode / median (exact) / bool_and / bool_or, and
+    a deterministic any_value stand-in (MIN — ``any_value`` itself is
+    legitimately nondeterministic, so the certified form pins it).
+
+    Note: Spark's ``mode`` breaks frequency ties nondeterministically;
+    l_quantity's integral grid at this scale has a unique winner per group
+    (verified by the hash match)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_quantity").cast("double").alias("qty_mode"),
+        F.round(F.median("l_extendedprice"), 4).alias("price_median"),
+        F.bool_and(F.col("l_quantity") >= 1.0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_discount"),
+        F.min("l_linestatus").alias("a_status"),
+    )
+
+
+@query(
+    "array_set_ops",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(string_split(text, ' ')) AS u,
+               list_distinct(string_split(upper(text), ' ')) AS v
+        FROM documents WHERE doc_id % 53 = 0
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(u, v)) AS INT)  AS n_common,
+           CAST(len(u) + len(v) - len(list_intersect(u, v)) AS INT) AS n_union,
+           array_to_string(list_sort(list_filter(u,
+                x -> NOT list_contains(v, x)))[1:3], ',')  AS first_only_lower
+    FROM w
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-array set algebra: array_intersect / array_union / array_except
+    (+ sort/slice for determinism) between the lower- and upper-cased word
+    sets of each document. All JVM-side; DuckDB recomputes with list_*
+    equivalents (union expressed as |u|+|v|−|u∩v| to avoid ordering
+    differences)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 53 == 0)
+    u = F.array_distinct(F.split("text", " "))
+    v = F.array_distinct(F.split(F.upper("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(u, v)).alias("n_common"),
+        F.size(F.array_union(u, v)).alias("n_union"),
+        F.array_join(F.slice(F.array_sort(F.array_except(u, v)), 1, 3), ",").alias(
+            "first_only_lower"
+        ),
+    )

@@ -74,3 +74,17 @@ def test_q18_preaggregates_before_join(spark):
     last_join = max(plan.rfind("BroadcastHashJoin"), plan.rfind("SortMergeJoin"))
     agg_on_lineitem = plan.find("HashAggregate", last_join)
     assert agg_on_lineitem > last_join > 0, plan
+
+
+def test_cache_persist_reuse(spark):
+    """Dask ``persist`` analog: a cached DataFrame's second action reads
+    InMemoryTableScan (columnar cache), not the parquet source."""
+    from dask_hivemetastore_spark.catalog import load_table
+
+    df = load_table(spark, SF_SMOKE, "customer").groupBy("c_mktsegment").count().cache()
+    try:
+        df.count()  # materialize the cache
+        plan = _explain(df, "simple")
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    finally:
+        df.unpersist()
