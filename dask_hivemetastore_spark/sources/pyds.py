@@ -17,7 +17,12 @@ for free when the option carries the partition filter.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class SynthRangeDataSource(DataSource):
@@ -51,3 +56,54 @@ class SynthRangeReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(SynthRangeDataSource)
+
+
+def make_stream_source():
+    """Build the ``synthstream`` source classes.
+
+    Defined inside a factory ON PURPOSE: the streaming Python runner is a
+    separate process that does NOT inherit the driver's ``sys.path``, so a
+    module-level class (pickled by reference) fails to unpickle whenever
+    the driver ran from outside the repo. Closure-local classes make
+    cloudpickle serialize them BY VALUE — self-contained, importable from
+    nowhere. (The batch reader above survives by reference because batch
+    python workers inherit the driver environment; the streaming runner
+    does not.)
+
+    Reader contract: offsets advance ``batch`` rows per micro-batch until
+    ``n`` — Kafka-style offset/commit/replay in miniature;
+    ``readBetweenOffsets`` is the recovery replay path.
+    """
+
+    class SynthRangeStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options) -> None:
+            self.n = int(options.get("n", 1000))
+            self.batch = int(options.get("batch", 200))
+
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def read(self, start):
+            s = start["offset"]
+            e = min(s + self.batch, self.n)
+            return iter([(i,) for i in range(s, e)]), {"offset": e}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(i,) for i in range(start["offset"], end["offset"])])
+
+    class SynthRangeStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthstream"
+
+        def schema(self) -> str:
+            return "i bigint"
+
+        def simpleStreamReader(self, schema):
+            return SynthRangeStreamReader(self.options)
+
+    return SynthRangeStreamSource
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(make_stream_source())

@@ -427,3 +427,46 @@ if _tws_available():  # pragma: no cover - protobuf absent in this container
         "stream_tws_counts",
         oracle="SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
     )(stream_tws_counts)
+
+
+# ----------------------------------- I-extensibility: Python streaming source
+
+
+@query(
+    "python_stream_source_agg",
+    oracle="""
+    SELECT CAST(range % 5 AS BIGINT) AS bucket,
+           COUNT(*)                  AS n,
+           CAST(SUM(range) AS BIGINT) AS total
+    FROM range(5000) GROUP BY 1
+    """,
+)
+def python_stream_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python DataSource (Spark 4
+    ``SimpleDataSourceStreamReader``): a capped offset-driven source drained
+    over multiple micro-batches (5000 rows / 1000 per batch = 5 commits),
+    landed in a memory sink, aggregated after. Exercises the offset →
+    prefetch → commit → (on recovery) readBetweenOffsets replay contract —
+    the same loop a Kafka-like connector implements. Deterministic, so it
+    hash-matches a DuckDB range() oracle."""
+    import tempfile as _tf
+
+    from ..sources.pyds import register_stream
+
+    register_stream(spark)
+    stream = spark.readStream.format("synthstream").option("n", 5000).option(
+        "batch", 1000
+    ).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("python_stream_source_agg")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="pyds_stream_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table("python_stream_source_agg")
+        .groupBy((F.col("i") % 5).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("i").alias("total"))
+    )
