@@ -1036,3 +1036,82 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_only_lower"
         ),
     )
+
+
+@query(
+    "union_mismatched_schemas",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, o_totalprice AS price, NULL AS qty
+               FROM orders WHERE o_orderkey % 101 = 0),
+         b AS (SELECT l_orderkey AS k, NULL AS price, l_quantity AS qty
+               FROM lineitem WHERE l_orderkey % 101 = 0)
+    SELECT k, COUNT(price) AS n_price, COUNT(qty) AS n_qty,
+           ROUND(SUM(COALESCE(price, 0) + COALESCE(qty, 0)), 2) AS mixed_sum
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY k
+    """,
+)
+def union_mismatched_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 with schema drift: Dask's ``dd.concat`` of frames with different
+    columns fills the gaps with NaN; Spark's form is
+    ``unionByName(allowMissingColumns=True)`` filling with NULL. Certifies
+    the null-fill semantics through aggregation (COUNT skips the fills)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 101 == 0)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 101 == 0)
+    a = orders.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_quantity").alias("qty"))
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("k").agg(
+        F.count("price").alias("n_price"),
+        F.count("qty").alias("n_qty"),
+        F.round(
+            F.sum(F.coalesce("price", F.lit(0.0)) + F.coalesce("qty", F.lit(0.0))), 2
+        ).alias("mixed_sum"),
+    )
+
+
+@query(
+    "posexplode_words",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id % 211 = 0)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS word
+    FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+    """,
+)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/H-array: ``posexplode`` — the builtin positional table function
+    (vs the Python UDTF in ``udtf_bigrams``; this one never leaves the
+    JVM)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 211 == 0)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "timestamp_parse_roundtrip",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           COUNT(*) AS n
+    FROM events
+    WHERE EXTRACT(minute FROM ts) = 0 AND EXTRACT(second FROM ts) = 0
+    GROUP BY 1
+    """,
+)
+def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-date parsing: format → string → ``to_timestamp`` parse-back
+    round-trip (pandas ``to_datetime``). The WHERE keeps only second-exact
+    timestamps so the seconds-precision string round-trip is lossless and
+    the parse is certified by the hash match."""
+    ev = load_table(spark, sf_dir, "events")
+    on_hour = ev.where((F.minute("ts") == 0) & (F.second("ts") == 0))
+    as_str = on_hour.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    )
+    parsed = as_str.select(
+        F.to_timestamp("ts_str", "yyyy-MM-dd HH:mm:ss").alias("ts_parsed")
+    )
+    return parsed.groupBy(
+        F.date_format("ts_parsed", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    ).agg(F.count("*").alias("n"))
