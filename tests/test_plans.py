@@ -88,3 +88,24 @@ def test_cache_persist_reuse(spark):
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
     finally:
         df.unpersist()
+
+
+def test_sql_join_hints_respected(spark):
+    """SQL hints steer the join strategy: BROADCAST forces a broadcast join
+    even with broadcasting disabled; MERGE forces sort-merge even for a
+    broadcastable side — the per-query override knob when the optimizer's
+    size estimates are wrong at scale."""
+    from dask_hivemetastore_spark.catalog import register_views
+
+    register_views(spark, SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q = "SELECT /*+ {hint}(c) */ * FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        bcast = _explain(spark.sql(q.format(hint="BROADCAST")), "simple")
+        assert "BroadcastHashJoin" in bcast, bcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 * 1024 * 1024))
+        merge = _explain(spark.sql(q.format(hint="MERGE")), "simple")
+        assert "SortMergeJoin" in merge, merge
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
