@@ -1115,3 +1115,52 @@ def timestamp_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(
         F.date_format("ts_parsed", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "crosstab_status_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def crosstab_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas/Dask ``crosstab`` via ``df.stat.crosstab`` — contingency
+    counts of two categorical columns. The column set is data-dependent
+    (one per distinct value), which is exactly why ``pivot`` with pinned
+    values is preferred at scale; certified here on a closed 3-value
+    domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    ct = j.stat.crosstab("c_mktsegment", "o_orderstatus")
+    return ct.select(
+        F.col("c_mktsegment_o_orderstatus").alias("segment"), "F", "O", "P"
+    )
+
+
+@query(
+    "row_ids_unique",
+    oracle="""
+    SELECT COUNT(*)  AS n_rows,
+           COUNT(*)  AS n_distinct_ids
+    FROM lineitem
+    """,
+)
+def row_ids_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dask index creation (``reset_index`` / default RangeIndex):
+    ``monotonically_increasing_id`` mints a distinct 64-bit id per row with
+    NO shuffle and no coordination (partition-id in the high bits, local
+    counter in the low bits). Ids are run-dependent, so the certified
+    property is uniqueness: distinct-count == row-count."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__rid", F.monotonically_increasing_id()
+    )
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("__rid").alias("n_distinct_ids"),
+    )
