@@ -16,5 +16,98 @@ from . import udf_surface  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from .. import streaming  # noqa: F401,E402
 
+# ---------------------------------------------------------------------------
+# Certification window ordering.
+#
+# The driver's CORRECTNESS gate checks the first 50 registry keys in
+# iteration order. Round 1 certified the first 50 keys of module import
+# order (TPC-H + relational); the 61 keys after `sample_stratified` —
+# the window/event/UDF/LLM/streaming families — got no hard driver row
+# (VERDICT.md round 1, "Next round #1"). The list below front-loads one
+# certifying key per still-uncertified SURVEY §2 family and per
+# K-operator; everything already certified in CORRECTNESS_r01.json
+# rotates behind them, preserving module registration order.
+# ---------------------------------------------------------------------------
+_CERTIFICATION_PRIORITY = [
+    # A1 / A8: metastore + custom-source scans
+    "thin_metastore_scan",
+    "python_datasource_scan",
+    # E1–E6: window family
+    "window_rank_orders",
+    "cumsum_orders",
+    "lag_lead_events",
+    "rolling_avg_value",
+    "rolling_1h_events",
+    "topn_parts_per_brand",
+    # I1–I3: batch time windows
+    "events_tumbling_1h",
+    "events_sliding",
+    "events_sessionize",
+    # C6 / C7: range + as-of joins
+    "range_join_events",
+    "asof_join_events",
+    "asof_join_tolerance",
+    # H-date / H-json / H-map / H-array
+    "date_arithmetic",
+    "json_extract_props",
+    "map_funcs_props",
+    "array_funcs_embeddings",
+    # NEW in round 2: DECIMAL end-to-end (VERDICT "Next round #3")
+    "decimal_money_agg",
+    # J1–J6: Arrow-batched Python surfaces
+    "pandas_udf_scalar",
+    "custom_agg_geomean",
+    "grouped_map_zscore",
+    "map_partitions_net_price",
+    "map_arrow_net_price",
+    "explode_words_top",
+    "cogrouped_map_ratio",
+    "udtf_bigrams",
+    # K1–K2: dedup family
+    "dedup_exact",
+    "dedup_near",
+    "dedup_near_minhash",
+    "dedup_near_survivors",
+    "dedup_simhash",
+    "dedup_embedding_components",
+    # K3: similarity search
+    "embedding_near_pairs",
+    "knn_cosine_topk",
+    "knn_lsh_topk",
+    "knn_ivf_topk",
+    # K4: text analysis
+    "text_stats_docs",
+    "lang_id_docs",
+    "quality_score_docs",
+    "token_count_docs",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    # K5: multimodal
+    "multimodal_extract",
+    # I4–I6 + streaming sinks/sources
+    "stream_tumbling_1h",
+    "stream_dedup_users",
+    "stream_stateful_counts",
+    "stream_sessionize",
+    "stream_filter_to_parquet",
+    "python_stream_source_agg",
+]
+
+
+def _reorder_for_certification() -> None:
+    """Rebuild the registry dicts with priority keys first, rest in order."""
+    for table in (registry.QUERIES, registry.ORACLES):
+        prioritized = {
+            k: table[k] for k in _CERTIFICATION_PRIORITY if k in table
+        }
+        prioritized.update(
+            (k, v) for k, v in table.items() if k not in prioritized
+        )
+        table.clear()
+        table.update(prioritized)
+
+
+_reorder_for_certification()
+
 QUERIES = registry.QUERIES
 ORACLES = registry.ORACLES

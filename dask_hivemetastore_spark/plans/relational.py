@@ -682,6 +682,62 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "decimal_money_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+               AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2))
+                       - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR)
+               AS sum_charge
+    FROM lineitem WHERE l_orderkey % 7 = 0
+    GROUP BY 1
+    """,
+)
+def decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL end-to-end (SURVEY §1.2 type mapping): cast money columns to
+    ``decimal(12,2)``, round-trip them through a parquet sink/scan (parquet
+    stores decimals as fixed-point — the type must survive exactly), then
+    aggregate in decimal arithmetic. Exact fixed-point is the semantics a
+    finance pipeline needs at 100 TB: decimal SUM never drifts with
+    accumulation order, unlike double.
+
+    Output decimals are cast to string on BOTH sides because the harness
+    would otherwise compare ``decimal.Decimal`` (Spark→pandas) against
+    float64 (DuckDB fetchdf); the string form also certifies scale (always
+    2 resp. 4 fractional digits).
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
+    dec = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_discount").cast("decimal(12,2)").alias("disc_dec"),
+    )
+    out = tempfile.mkdtemp(prefix="dec_rt_") + "/lineitem_dec"
+    dec.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    dtypes = dict(back.dtypes)
+    if dtypes["price_dec"] != "decimal(12,2)":  # round-trip must keep the type
+        raise TypeError(f"decimal lost in parquet round-trip: {dtypes}")
+    charge = F.col("price_dec") * (
+        F.lit(1).cast("decimal(12,2)") - F.col("disc_dec")
+    )
+    return (
+        back.withColumn("charge_dec", charge)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price_dec").cast("string").alias("sum_price"),
+            F.sum("charge_dec").cast("string").alias("sum_charge"),
+        )
+    )
+
+
+@query(
     "pivot_status_by_segment",
     oracle="""
     SELECT c_mktsegment,
