@@ -62,49 +62,93 @@ def knn_topk(emb: DataFrame, query_id: int, k: int = 10,
 
 
 def similar_pairs(emb: DataFrame, threshold: float,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_blocks: int = 8) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup, K2-cosine).
 
-    Two-stage: (1) SCREEN — every partition BLAS-multiplies its block
-    against a broadcast matrix of the whole corpus (numpy ``@``, thousands
-    of times faster than per-pair fold expressions) at ``threshold − 1e-9``
-    (margin absorbs pairwise-vs-sequential summation drift, ~1e-16 for
-    64-d unit vectors); (2) RESCORE — the surviving candidate ids (a tiny
-    set) join their vectors back and get the exact sequential-f64 JVM dot,
-    so emitted cosines are bit-identical to the oracle's ``list_sum`` and
-    the final ``>= threshold`` cut uses the exact value.
+    Fully distributed block×block tiling — NO driver-side materialization
+    and NO full-corpus broadcast anywhere:
 
-    Scale: the broadcast side is the same constraint as a broadcast join
-    (fits-in-executor-memory); beyond that, tile both sides by crossJoining
-    block ids and screen block×block — the screen stays BLAS, the rescore
-    stays exact.
+    1. BLOCK — every vector gets a deterministic block id
+       (``id % n_blocks``); each block is packed into ONE row
+       (``collect_list(struct(id, vec))``), so a block rides the shuffle
+       as a single contiguous payload.
+    2. TILE — the packed blocks self-join on the upper triangle
+       (``ba <= bb``): B(B+1)/2 tiles, each tile one row carrying two
+       blocks. Executors receive tiles, never the whole corpus.
+    3. SCREEN — per tile, one numpy BLAS multiply (``A @ B.T``) at
+       ``threshold − 1e-9`` (margin absorbs pairwise-vs-sequential
+       summation drift, ~1e-16 for 64-d unit vectors). Diagonal tiles
+       keep ``id_a < id_b``; off-diagonal tiles emit canonical
+       ``(min, max)`` — ids are NOT ordered across modulo blocks, so an
+       ``a < b`` filter there would drop real pairs.
+    4. RESCORE — the surviving candidate ids (a tiny set) join their
+       vectors back and get the exact sequential-f64 JVM dot, so emitted
+       cosines are bit-identical to the oracle's ``list_sum`` and the
+       final ``>= threshold`` cut uses the exact value. The candidate
+       side broadcasts (small); the corpus is only ever scanned.
+
+    Scale: work is O(B²) tiles of O((n/B)²) BLAS each; bytes shuffled are
+    O(n·B) (each block replicated once per partner tile). Choose
+    ``n_blocks`` so a block (~n/B vectors × dim × 8 bytes) fits a task —
+    e.g. 100k × 64-d ≈ 50 MB; at 10⁹ vectors, B ≈ 10⁴ tiles of tractable
+    BLAS. The screen is embarrassingly parallel across tiles.
     """
-    spark = emb.sparkSession
     src = emb.select(id_col, vec_col)
-    pdf = src.toPandas()  # Arrow-batched broadcast-side materialization
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
     margin = 1e-9
 
-    def screen(batches):
-        B, Bids = b_mat.value, b_ids.value
-        for pdf in batches:
-            block = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            block_ids = pdf[id_col].to_numpy()
-            sims = block @ B.T
-            ai, bj = np.nonzero(sims >= threshold - margin)
-            keep = block_ids[ai] < Bids[bj]
-            yield pd.DataFrame({"id_a": block_ids[ai][keep], "id_b": Bids[bj][keep]})
+    blk = src.withColumn(
+        "__blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
+    )
+    packed = blk.groupBy("__blk").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        ).alias("rows")
+    )
+    tiles = packed.select(
+        F.col("__blk").alias("ba"), F.col("rows").alias("ra")
+    ).join(
+        packed.select(F.col("__blk").alias("bb"), F.col("rows").alias("rb")),
+        F.col("ba") <= F.col("bb"),
+    )
 
-    cands = src.mapInPandas(screen, "id_a long, id_b long")
+    def screen(batches):
+        for pdf in batches:
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            for ba, ra, bb, rb in zip(pdf["ba"], pdf["ra"], pdf["bb"], pdf["rb"]):
+                ids_a = np.fromiter((r["i"] for r in ra), dtype=np.int64)
+                A = np.stack([np.asarray(r["v"], dtype=np.float64) for r in ra])
+                if ba == bb:
+                    ids_b, Bm = ids_a, A
+                else:
+                    ids_b = np.fromiter((r["i"] for r in rb), dtype=np.int64)
+                    Bm = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rb])
+                sims = A @ Bm.T
+                ai, bj = np.nonzero(sims >= threshold - margin)
+                ia, ib = ids_a[ai], ids_b[bj]
+                if ba == bb:
+                    keep = ia < ib
+                    ia, ib = ia[keep], ib[keep]
+                    out_a.append(ia)
+                    out_b.append(ib)
+                else:
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+            yield pd.DataFrame({
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+            })
+
+    cands = tiles.mapInPandas(screen, "id_a long, id_b long")
     a = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Each rescore join broadcasts the small (candidate) side and SCANS the
+    # corpus — never the reverse; no corpus shuffle, no corpus broadcast.
+    with_va = a.join(F.broadcast(cands), "id_a")
     d = dot_f64(F.col("va"), F.col("vb"))
     return (
-        cands.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        b.join(F.broadcast(with_va), "id_b")
         .select("id_a", "id_b", d.alias("__c"))
         .where(F.col("__c") >= threshold)
         .select("id_a", "id_b", F.round("__c", 6).alias("cosine"))
