@@ -228,28 +228,120 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
     return emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, cell long")
 
 
+# Centroids are a tiny model (n_cells × dim floats) that should be trained
+# once per corpus and reused by every query — retraining per call repeats a
+# full KMeans job for an identical result (seeded). Keyed by
+# (cache_key, n_cells, seed); callers pass a corpus identity (e.g. sf_dir).
+_CENTROID_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
-                        vec_col: str = "embedding") -> np.ndarray:
-    """Train IVF coarse centroids with pyspark.ml KMeans (seeded).
+                        vec_col: str = "embedding",
+                        max_train_rows: int = 100_000,
+                        cache_key: str | None = None) -> np.ndarray:
+    """Train IVF coarse centroids with pyspark.ml KMeans (seeded), on a
+    bounded sample, with cross-call caching.
+
+    KMeans cost is O(rows·cells·iters) — at 10⁹ vectors a full-corpus fit
+    is absurd and unnecessary: coarse-quantizer quality saturates far below
+    ``max_train_rows``. The one `count()` job here is a once-per-corpus
+    training cost (cached), not a per-query one. The cell *assignment* is
+    the full-data pass, and it is embarrassingly parallel.
 
     Centroids are L2-normalized so cell assignment and probe selection can
-    both use dot products. At 100 TB: train on a sample (KMeans cost is
-    O(rows·cells·iters)) — the cell *assignment* is the full-data pass, and
-    it is embarrassingly parallel.
+    both use dot products.
     """
+    key = (cache_key, n_cells, seed) if cache_key is not None else None
+    if key is not None and key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    train_src = emb.select(vec_col)
+    n = train_src.count()
+    if n > max_train_rows:
+        # slight oversample so the post-filter row count lands near the cap
+        train_src = train_src.sample(
+            withReplacement=False, fraction=min(1.0, 1.05 * max_train_rows / n),
+            seed=seed,
+        )
+    train = train_src.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
     model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
     norms = np.linalg.norm(C, axis=1, keepdims=True)
-    return C / np.clip(norms, 1e-12, None)
+    C = C / np.clip(norms, 1e-12, None)
+    if key is not None:
+        _CENTROID_CACHE[key] = C
+    return C
+
+
+def ivf_assign_full(emb: DataFrame, centroids: np.ndarray,
+                    vec_col: str = "embedding") -> DataFrame:
+    """All input columns + their nearest-centroid ``cell`` (the index row
+    shape). Vectorized numpy per Arrow batch; other columns pass through."""
+    from pyspark.sql import types as T
+
+    C = centroids
+    schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            pdf = pdf.copy()
+            pdf["cell"] = (vecs @ C.T).argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    return emb.mapInPandas(assign, schema)
+
+
+def ivf_build_index(emb: DataFrame, index_path: str, n_cells: int = 16,
+                    seed: int = 42, vec_col: str = "embedding",
+                    cache_key: str | None = None) -> np.ndarray:
+    """Materialize the IVF index: the corpus written ONCE, hive-partitioned
+    by ``cell``. A probe then reads only its ``nprobe`` directories —
+    partition pruning (PartitionFilters in the scan) does the candidate
+    selection before any file is opened, which is the layout that makes IVF
+    work at 100 TB. Returns the (normalized) centroids to probe with.
+    """
+    C = ivf_train_centroids(
+        emb, n_cells=n_cells, seed=seed, vec_col=vec_col, cache_key=cache_key
+    )
+    ivf_assign_full(emb, C, vec_col).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(index_path)
+    return C
+
+
+def ivf_probe_indexed(spark, index_path: str, centroids: np.ndarray,
+                      query_vec: np.ndarray, k: int = 10, nprobe: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      exclude_id: int | None = None) -> DataFrame:
+    """Top-k against a materialized :func:`ivf_build_index` layout. The
+    ``cell IN (probes)`` filter is a partition-key predicate → the scan
+    lists only the probed directories."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probes = [int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe]]
+    idx = spark.read.parquet(index_path).where(F.col("cell").isin(probes))
+    if exclude_id is not None:
+        idx = idx.where(F.col(id_col) != exclude_id)
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        idx.select(id_col, "label",
+                   F.round(dot_f64(F.col(vec_col), qcol), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
              nprobe: int = 8, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             cache_key: str | None = None) -> DataFrame:
     """IVF ANN top-k (K3 scale path, the k-means sibling of :func:`lsh_topk`):
     partition the corpus into ``n_cells`` Voronoi cells, probe only the
     ``nprobe`` cells nearest the query, exact-score inside them.
@@ -257,19 +349,18 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
     Scan shrinks ~n_cells/nprobe ×; recall depends on nprobe (the fixture's
     vectors are near-orthogonal noise, so neighbors scatter — 8/16 probes
     recovers the full brute-force top-10 there; clustered real embeddings
-    need far fewer). Approximate by construction →
-    registered rows-only. At scale the assigned table is written once,
-    partitioned BY cell, so a query reads only its probed partitions —
-    partition pruning does the candidate selection.
+    need far fewer). Approximate by construction → registered rows-only.
+
+    This form assigns cells in-flight (no index write). The materialized
+    sibling — :func:`ivf_build_index` + :func:`ivf_probe_indexed` — is the
+    at-scale layout: written once partitioned by cell, probes read only
+    their directories (plan-asserted in tests/test_plans.py).
     """
-    spark = emb.sparkSession
-    centroids = ivf_train_centroids(emb, n_cells=n_cells)
+    centroids = ivf_train_centroids(emb, n_cells=n_cells, cache_key=cache_key)
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
 
-    qv = np.asarray(
-        emb.where(F.col(id_col) == query_id).select(vec_col).toPandas()[vec_col][0],
-        dtype=np.float64,
-    )
+    qrow = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+    qv = np.asarray(qrow[0], dtype=np.float64)
     probe_cells = [int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe]]
 
     cand_ids = assigned.where(F.col("cell").isin(probe_cells)).select(id_col)

@@ -351,10 +351,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 IVF variant: k-means coarse quantizer (16 cells), probe the 8
     nearest cells, exact cosine inside — the training-based sibling of the
-    LSH path (`knn_lsh_topk`). See operators/similarity.py for the
-    partition-pruning layout at scale."""
+    LSH path (`knn_lsh_topk`). Centroids train once per corpus on a bounded
+    sample and are cached across calls (cache_key=sf_dir); the materialized
+    cell-partitioned index layout is plan-asserted in tests/test_plans.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, query_id=0, k=10)
+    return similarity.ivf_topk(emb, query_id=0, k=10, cache_key=sf_dir)
 
 
 @query(

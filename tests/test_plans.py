@@ -109,3 +109,42 @@ def test_sql_join_hints_respected(spark):
         assert "SortMergeJoin" in merge, merge
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF layout must make probes partition-prunable:
+    a cell IN (...) probe over an ivf_build_index parquet shows the
+    predicate as PartitionFilters (directory pruning before any file
+    opens) — the property that makes IVF candidate selection O(probed
+    cells), not O(corpus), at 100 TB."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    C = ivf_build_index(emb, path, n_cells=8, cache_key=path)
+    qv = emb.where("vec_id = 0").select("embedding").first()[0]
+    top = ivf_probe_indexed(
+        spark, path, C, qv, k=5, nprobe=3, exclude_id=0
+    )
+    plan = _explain(top)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, plan
+    assert len(top.collect()) == 5
+
+
+def test_ivf_centroid_cache_reused(spark):
+    """Same cache_key → the exact same centroid ndarray (no retraining job
+    per query); different n_cells → distinct entry."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import ivf_train_centroids
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = ivf_train_centroids(emb, n_cells=8, cache_key="k1")
+    b = ivf_train_centroids(emb, n_cells=8, cache_key="k1")
+    assert a is b
+    c = ivf_train_centroids(emb, n_cells=4, cache_key="k1")
+    assert c.shape[0] == 4
