@@ -38,17 +38,37 @@ MERSENNE_P = (1 << 61) - 1
 
 def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
                      out_col: str = "grams") -> DataFrame:
-    """Attach the distinct word-``n``-gram set of ``text_col`` (JVM-side)."""
+    """Attach the distinct word-``n``-gram set of ``text_col`` (JVM-side).
+
+    Documents with fewer than ``n`` words are EXCLUDED — they cannot form an
+    n-gram, and the DuckDB oracles exclude them the same way
+    (``WHERE len(ws) >= n``). A whole-text fallback gram here would emit
+    pairs the oracle lacks (round-1 ADVICE parity finding).
+
+    The repartition between the split and the gram transform is load-
+    bearing twice over: (1) it spreads the CPU-bound transform across the
+    cluster even when the corpus arrives in few partitions; (2) the
+    exchange is a projection-collapse barrier — without it Catalyst
+    inlines ``__ws = split(text)`` into the transform lambda, re-running
+    the split PER ARRAY ELEMENT (O(words²) per doc; measured 10× slower
+    at sf0.1). One pass of raw text bytes through the shuffle is far
+    cheaper, and the downstream inverted-index shuffle of exploded grams
+    is ~n× larger anyway.
+    """
+    nparts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        df.rdd.getNumPartitions(),
+    )
     concat = ", ".join(f"__ws[i+{j}]" for j in range(n))
     return (
         df.withColumn("__ws", F.split(F.col(text_col), " "))
+        .where(F.size("__ws") >= n)
+        .repartition(nparts)
         .withColumn(
             out_col,
             F.expr(
-                f"CASE WHEN size(__ws) >= {n} THEN "
                 f"array_distinct(transform(sequence(0, size(__ws)-{n}), "
-                f"i -> concat_ws(' ', {concat}))) "
-                f"ELSE array_distinct(array(concat_ws(' ', __ws))) END"
+                f"i -> concat_ws(' ', {concat})))"
             ),
         )
         .drop("__ws")
@@ -77,45 +97,94 @@ def ngram_jaccard_pairs(
     threshold: float = 0.9,
     prune_df: int | None = None,
 ) -> DataFrame:
-    """K2 (exact): all pairs with word-n-gram Jaccard >= threshold.
+    """K2 (exact): all pairs with word-n-gram Jaccard >= threshold, via
+    frequency-ordered PREFIX FILTERING (the AllPairs/PPJoin bound).
 
-    Inverted-index join: explode grams → self-join on gram → shared-gram
-    count per pair → J = shared / (|A| + |B| - shared). Exact because any
-    pair with J > 0 shares at least one gram (recall 1 when prune_df is
-    None); see module docstring for the pruned variant's guarantee.
+    Any pair with J(A,B) >= t shares at least ``α = ⌈t·|A|⌉`` grams, so
+    under one global total order (df ascending, gram as tiebreak) the
+    smallest shared gram must sit inside each side's first
+    ``|A| − α + 1`` grams — joining only those prefix postings is LOSSLESS
+    for the threshold query while shrinking the inverted index ~(1−t)×
+    and the candidate join ~(1−t)²× (at t=0.9: ~10× / ~100×). A length
+    filter (``min ≥ t·max``) prunes further. Candidates are then verified
+    on the FULL gram sets (``array_intersect``), so emitted Jaccards are
+    exact — the filters only bound what gets verified.
+
+    Rarest-first ordering also dissolves the hot-gram f² blowup: a
+    stop-gram shared by f docs lands in prefixes only for docs with almost
+    no rarer gram. ``prune_df`` remains as an optional extra bound on
+    candidate generation (see module docstring for its recall argument);
+    the default None is exact.
+
+    Scale: one extra small aggregate (gram → df) and one row_number window
+    per doc, both keyed by columns the join already shuffles on; the
+    candidate join is the term that dominates at 100 TB and it is the term
+    the prefix bound shrinks quadratically.
     """
-    grams = with_word_ngrams(df.select(id_col, text_col), text_col, n)
-    sizes = grams.select(F.col(id_col).alias("__id"), F.size("grams").alias("__n"))
-    inv = grams.select(F.col(id_col), F.explode("grams").alias("gram"))
+    from pyspark.sql.window import Window
+
+    # The gram table is referenced ~7× in this plan (postings, df counts,
+    # prefix, both self-join sides, both verify sides); materialize it once
+    # in executor-local storage instead of recomputing the split+transform
+    # chain per reference (measured 4× end-to-end at sf0.1). Lazy: nothing
+    # runs until the first action.
+    grams = with_word_ngrams(df.select(id_col, text_col), text_col, n).localCheckpoint(
+        eager=False
+    )
+    full = grams.select(
+        F.col(id_col).alias("__id"),
+        F.col("grams").alias("__g"),
+        F.size("grams").alias("__n"),
+    )
+    inv = grams.select(
+        F.col(id_col), F.size("grams").alias("__n"), F.explode("grams").alias("gram")
+    )
     if prune_df is not None:
         hot = inv.groupBy("gram").count().where(F.col("count") > prune_df).select("gram")
         inv = inv.join(hot, "gram", "left_anti")
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+    gram_freq = inv.groupBy("gram").agg(F.count("*").alias("__df"))
+    # α underestimated by an epsilon so FP error can never SHORTEN the
+    # prefix (losing recall); a one-longer prefix only adds candidates.
+    alpha = F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+    order = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("gram"))
+    prefix = (
+        inv.join(gram_freq, "gram")
+        .withColumn("__rn", F.row_number().over(order))
+        .where(F.col("__rn") <= F.col("__n") - alpha + 1)
+        .select(id_col, "__n", "gram")
     )
-    if prune_df is not None:
-        # re-verify candidates against the FULL gram sets
-        full = grams.select(F.col(id_col).alias("__id"), F.col("grams").alias("__g"))
-        shared = (
-            shared.join(full.withColumnRenamed("__g", "__ga"), F.col("doc_a") == F.col("__id"))
-            .drop("__id")
-            .join(full.withColumnRenamed("__g", "__gb"), F.col("doc_b") == F.col("__id"))
-            .drop("__id")
-            .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")).cast("long"))
-            .drop("__ga", "__gb")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    length_ok = F.least(F.col("a.__n"), F.col("b.__n")) >= (
+        F.lit(threshold) * F.greatest(F.col("a.__n"), F.col("b.__n")) - F.lit(1e-9)
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & length_ok,
         )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            full.select("__id", F.col("__g").alias("__ga"), F.col("__n").alias("na")),
+            F.col("doc_a") == F.col("__id"),
+        )
+        .drop("__id")
+        .join(
+            full.select("__id", F.col("__g").alias("__gb"), F.col("__n").alias("nb")),
+            F.col("doc_b") == F.col("__id"),
+        )
+        .drop("__id")
+        .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")).cast("long"))
+    )
     j = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        shared.join(sizes.withColumnRenamed("__n", "na"), F.col("doc_a") == F.col("__id"))
-        .drop("__id")
-        .join(sizes.withColumnRenamed("__n", "nb"), F.col("doc_b") == F.col("__id"))
-        .drop("__id")
-        .where(j >= threshold)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    return verified.where(j >= threshold).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -157,7 +226,11 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     a_par, b_par = _minhash_params(num_perm)
 
-    grams = with_word_ngrams(df.select(id_col, text_col), text_col, n)
+    # referenced by both the signature stage and the verify joins —
+    # materialize once (see ngram_jaccard_pairs)
+    grams = with_word_ngrams(df.select(id_col, text_col), text_col, n).localCheckpoint(
+        eager=False
+    )
 
     def sig_batches(batches):
         for pdf in batches:
@@ -271,6 +344,7 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
         .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("comp"))
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -293,4 +367,14 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — returned components "
+            "may be split; raise max_iter (component diameter exceeds it)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
