@@ -325,6 +325,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc,term) side never reshuffles after its own agg.
 
     Formula: tfidf(term) = Σ_docs tf(term,doc) · ln(N / df(term)).
+
+    N rides along as a broadcast 1-row crossJoin instead of a driver
+    ``count()`` — a separate count would re-scan the filtered corpus as an
+    extra blocking job per call.
     """
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
     terms = docs.select(
@@ -332,9 +336,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("w", F.col("tf") * F.log(F.col("__n") / F.col("df")))
     )
     return (
         scored.groupBy("term")

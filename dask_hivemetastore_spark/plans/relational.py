@@ -1188,15 +1188,20 @@ def crosstab_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas/Dask ``crosstab`` via ``df.stat.crosstab`` — contingency
     counts of two categorical columns. The column set is data-dependent
     (one per distinct value), which is exactly why ``pivot`` with pinned
-    values is preferred at scale; certified here on a closed 3-value
-    domain."""
+    values is preferred at scale; the output domain is pinned here with
+    zero-filled columns for any status value absent from the slice (a
+    bare ``select("F","O","P")`` would throw AnalysisException on such a
+    fixture — round-1 ADVICE finding)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     ct = j.stat.crosstab("c_mktsegment", "o_orderstatus")
-    return ct.select(
-        F.col("c_mktsegment_o_orderstatus").alias("segment"), "F", "O", "P"
-    )
+    present = set(ct.columns)
+    cols = [
+        (F.col(s) if s in present else F.lit(0)).cast("bigint").alias(s)
+        for s in ("F", "O", "P")
+    ]
+    return ct.select(F.col("c_mktsegment_o_orderstatus").alias("segment"), *cols)
 
 
 @query(

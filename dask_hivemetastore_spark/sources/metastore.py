@@ -102,32 +102,66 @@ class ThinCatalog:
         name: str,
         columns: list[str] | None = None,
         partition_filter: str | None = None,
+        strategy: str = "auto",
     ) -> DataFrame:
-        """Resolve → (filtered) partitions → per-location lazy frame with
-        constant partition-key columns → union. One call = the whole
-        reference flow."""
+        """Resolve → (filtered) partitions → read → partition-key columns
+        attached. One call = the whole reference flow.
+
+        Two physical strategies behind identical semantics (same
+        ``_eval_filter`` pruning, same output schema):
+
+        - ``"scan"`` (default for parquet): ONE multi-path scan of the
+          surviving partition directories with ``basePath`` set, so Spark
+          derives the partition-key columns from the paths. Planning cost
+          is O(paths) inside a single relation — at 10⁴–10⁵ partitions
+          this is the difference between a usable plan and an
+          analysis-time blowup (the union form builds one scan node per
+          partition).
+        - ``"union"``: the reference connector's literal
+          frame-per-partition → concat shape, kept as the semantic model
+          and for text tables.
+
+        Pruned-before-read either way: directories failing the filter are
+        never passed to the reader.
+        """
         t = self.get_table(name)
         if not t.partition_keys:
             df = self._read_location(spark, t, t.location)
             return df.select(*columns) if columns else df
+        if strategy == "auto":
+            strategy = "scan" if t.input_format == "parquet" else "union"
 
-        frames: list[DataFrame] = []
-        for pvals in self.list_partitions(name, partition_filter):
-            loc = os.path.join(
-                t.location, *[f"{k}={pvals[k]}" for k, _ in t.partition_keys]
-            )
-            df = self._read_location(spark, t, loc)
-            for k, hive_type in t.partition_keys:
-                df = df.withColumn(
-                    k, F.lit(pvals[k]).cast(parse_hive_type(hive_type))
-                )
-            frames.append(df)
-        if not frames:
+        parts = self.list_partitions(name, partition_filter)
+        locs = [
+            os.path.join(t.location, *[f"{k}={pvals[k]}" for k, _ in t.partition_keys])
+            for pvals in parts
+        ]
+        if not parts:
             empty_schema = hive_schema_to_struct(t.columns + t.partition_keys)
             return spark.createDataFrame([], empty_schema)
-        out = frames[0]
-        for f_ in frames[1:]:
-            out = out.unionByName(f_)
+
+        if strategy == "scan":
+            if t.input_format != "parquet":
+                raise ValueError("strategy='scan' requires a parquet table")
+            out = spark.read.option("basePath", t.location).parquet(*locs)
+            # partition columns come back type-inferred from the paths;
+            # cast to the DECLARED hive types (and order columns stably)
+            for k, hive_type in t.partition_keys:
+                out = out.withColumn(k, F.col(k).cast(parse_hive_type(hive_type)))
+        elif strategy == "union":
+            frames: list[DataFrame] = []
+            for pvals, loc in zip(parts, locs):
+                df = self._read_location(spark, t, loc)
+                for k, hive_type in t.partition_keys:
+                    df = df.withColumn(
+                        k, F.lit(pvals[k]).cast(parse_hive_type(hive_type))
+                    )
+                frames.append(df)
+            out = frames[0]
+            for f_ in frames[1:]:
+                out = out.unionByName(f_)
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
         return out.select(*columns) if columns else out
 
     def _read_location(self, spark: SparkSession, t: TableDef, loc: str) -> DataFrame:
@@ -146,14 +180,33 @@ _CMP = re.compile(
 )
 
 
+def _protect_quoted(expr: str) -> tuple[str, list[str]]:
+    """Replace quoted literals with ``\\x00<i>\\x00`` placeholders so the
+    connective split can't fire inside them (``k='black and white'``)."""
+    literals: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    return re.sub(r"'[^']*'|\"[^\"]*\"", stash, expr), literals
+
+
+def _restore_quoted(s: str, literals: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], s)
+
+
 def _eval_filter(expr: str, pvals: dict[str, str]) -> bool:
     """Evaluate a simple metastore-style filter string (``k='v' AND ...``,
     OR supported, AND binds tighter) against one partition's key values.
-    Comparisons are numeric when both sides parse as numbers, else string."""
-    for or_term in re.split(r"\s+OR\s+", expr, flags=re.I):
+    Comparisons are numeric when both sides parse as numbers, else string.
+    Quoted literals are tokenized first, so AND/OR inside a quoted value
+    never mis-splits."""
+    protected, literals = _protect_quoted(expr)
+    for or_term in re.split(r"\s+OR\s+", protected, flags=re.I):
         ok = True
         for clause in re.split(r"\s+AND\s+", or_term, flags=re.I):
-            m = _CMP.match(clause)
+            m = _CMP.match(_restore_quoted(clause, literals))
             if not m:
                 raise ValueError(f"cannot parse partition filter clause {clause!r}")
             key, op, *vals = m.groups()

@@ -181,3 +181,81 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_partition_filter_quoted_connectives():
+    """Quoted values containing AND/OR must not mis-split the filter
+    (round-1 ADVICE finding)."""
+    from dask_hivemetastore_spark.sources.metastore import _eval_filter
+
+    assert _eval_filter("k = 'black and white'", {"k": "black and white"})
+    assert not _eval_filter("k = 'black and white'", {"k": "black"})
+    assert _eval_filter(
+        "k = 'rock or jazz' OR k = 'pop'", {"k": "rock or jazz"}
+    )
+    assert _eval_filter(
+        'k = "a and b" AND n = 1', {"k": "a and b", "n": "1"}
+    )
+
+
+def test_thin_catalog_scan_union_equivalence(spark, tmp_table_dir, sf_dir):
+    """Both physical strategies must return identical rows and schema —
+    the scan path is an optimization, not a semantic change."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.sources.metastore import TableDef, ThinCatalog
+    from dask_hivemetastore_spark.sources.writers import write_parquet
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    base = os.path.join(tmp_table_dir, "events_by_type_sc")
+    write_parquet(events, base, partition_by=["event_type"])
+    cat = ThinCatalog()
+    cat.register(TableDef(
+        name="e", location=base,
+        columns=[("event_id", "bigint"), ("user_id", "bigint"), ("value", "double")],
+        partition_keys=[("event_type", "string")],
+    ))
+    flt = "event_type = 'click' OR event_type = 'view'"
+    a = cat.read_table(spark, "e", partition_filter=flt, strategy="scan")
+    b = cat.read_table(spark, "e", partition_filter=flt, strategy="union")
+    # nullability differs (literal vs path-derived partition column); the
+    # user-visible contract is names + types
+    assert [(f.name, f.dataType) for f in a.schema.fields] == [
+        (f.name, f.dataType) for f in b.schema.fields
+    ], (a.schema, b.schema)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_thin_catalog_scan_planning_scales(spark, tmp_path):
+    """At ~300 partitions the single-scan strategy must plan much faster
+    than the one-scan-node-per-partition union (the analysis-time blowup
+    the fast path exists to avoid)."""
+    import time
+
+    from dask_hivemetastore_spark.sources.metastore import TableDef, ThinCatalog
+
+    nparts = 300
+    base = str(tmp_path / "many_parts")
+    spark.range(nparts).selectExpr("id", "id % " + str(nparts) + " AS pk").write.mode(
+        "overwrite"
+    ).partitionBy("pk").parquet(base)
+    cat = ThinCatalog()
+    cat.register(TableDef(
+        name="many", location=base, columns=[("id", "bigint")],
+        partition_keys=[("pk", "int")],
+    ))
+
+    t0 = time.time()
+    a = cat.read_table(spark, "many", strategy="scan")
+    n_scan = a.count()
+    t_scan = time.time() - t0
+
+    t0 = time.time()
+    b = cat.read_table(spark, "many", strategy="union")
+    n_union = b.count()
+    t_union = time.time() - t0
+
+    assert n_scan == n_union == nparts
+    # generous margin to keep CI stable; measured gap is ~10x+
+    assert t_scan < t_union / 2, (t_scan, t_union)
