@@ -707,3 +707,251 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2)
+    SELECT p_partkey, s_name, ROUND(c.unit_cost, 6) AS best_unit_cost
+    FROM part p
+    JOIN costs c   ON c.partkey = p.p_partkey
+    JOIN supplier  ON s_suppkey = c.suppkey
+    WHERE p.p_size <= 3
+      AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
+                         WHERE c2.partkey = p.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part; lineitem stands in
+    for partsupp, unit price for supplycost): a correlated scalar MIN
+    subquery, decorrelated the Spark way — a window MIN over the part key
+    with an equality filter, which is one shuffle instead of a re-aggregate
+    + self-join.
+
+    Parity note: the min-equality compares the UNROUNDED doubles (MIN is
+    order-insensitive, so both engines see identical values); rounding
+    happens only on output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("__min", F.min("unit_cost").over(w)).where(
+        F.col("unit_cost") == F.col("__min")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 3).select(
+        "p_partkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey", "s_name", F.round("unit_cost", 6).alias("best_unit_cost")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(ROUND(SUM(CASE WHEN n_name = 'NATION_1'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END), 2)
+                 / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2), 6)
+               AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): ratio of a conditional SUM
+    to the total SUM per year-group — the numerator folds into the same
+    partial aggregate as the denominator, so the share costs one shuffle.
+    Both sums are rounded BEFORE the division on both sides (ratio of two
+    accumulation-order-dependent doubles is not hash-stable raw)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    target = F.when(F.col("n_name") == "NATION_1", F.col("vol")).otherwise(0.0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.round(F.sum(target), 2) / F.round(F.sum("vol"), 2), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-line profit by nation and year;
+    0.1·p_retailprice·l_quantity proxies ps_supplycost): the widest join
+    fan in TPC-H — one fact against four dimensions. All four dims
+    broadcast (even part at TPC-H ratios is ~2% of lineitem), so the only
+    shuffle is the final (nation, year) aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH v AS (
+        SELECT l_partkey AS partkey, SUM(l_extendedprice) AS val
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_2', 'NATION_5')
+        GROUP BY 1)
+    SELECT partkey, ROUND(val, 2) AS value
+    FROM v
+    WHERE val > (SELECT SUM(val) * 0.002 FROM v)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts above a global value threshold): a HAVING
+    against an uncorrelated scalar aggregate over the SAME grouped input.
+    The per-part aggregate localCheckpoints once and feeds both the
+    threshold (1-row broadcast crossJoin) and the filter — without it the
+    3-way join + agg lineage executes twice."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_2", "NATION_5")
+    ).select("n_nationkey")
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("val"))
+        .localCheckpoint(eager=False)
+    )
+    threshold = v.agg((F.sum("val") * 0.002).alias("__t"))
+    return (
+        v.crossJoin(F.broadcast(threshold))
+        .where(F.col("val") > F.col("__t"))
+        .select("partkey", F.round("val", 2).alias("value"))
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_size IN (1, 2, 3)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part attribute, with a
+    NOT IN exclusion): NOT IN lowers to a left-anti join against the
+    (tiny, broadcast) excluded-supplier set, then exact COUNT DISTINCT of
+    the supplier key per attribute group — a two-level shuffle
+    (dedup on (group, suppkey), then count)."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 2, 3)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_volume_suppliers",
+    oracle="""
+    SELECT s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 90)
+    """,
+)
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess volume of selected parts):
+    an IN over a grouped-HAVING subquery — aggregate the bridge table
+    first, filter on the aggregate, then LEFT SEMI join the outer table
+    against the survivor keys. The semi join sees |survivors| rows, never
+    the bridge fan-out."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 90)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(heavy, "s_suppkey", "left_semi").select(
+        "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
