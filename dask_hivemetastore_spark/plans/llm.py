@@ -477,3 +477,105 @@ def ngram_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(25)
     )
+
+
+@query(
+    "token_pack_docs",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, lang, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT)
+               AS pack_id
+    FROM c
+    """,
+)
+def token_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data packing: assign every document a pack id such that
+    each (lang, pack) holds ~2048 tokens of consecutive docs — the step
+    that turns a filtered corpus into fixed-budget training examples.
+
+    Packing is a running-sum window per language shard in a deterministic
+    (doc_id) order: pack = floor((cumsum − own)/budget) — a doc whose
+    tokens straddle the boundary starts the next pack. Sharding by lang
+    matters at 100 TB: an UNPARTITIONED cumulative sum is a single-reducer
+    bottleneck, while per-shard packing is embarrassingly parallel and is
+    also what a curriculum (per-language mixing) wants. Pure window
+    functions both sides → exact oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    pack = F.floor(
+        (F.col("cum") - F.col("n_tokens")).cast("double") / 2048
+    ).cast("bigint")
+    return cum.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        pack.alias("pack_id"),
+    )
+
+
+@query(
+    "doc_chunk_windows",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+                      len(string_split(text, ' ')) AS n
+               FROM documents WHERE doc_id % 17 = 0),
+    c AS (SELECT doc_id, words,
+                 unnest(range(0, 1 + CAST(CEIL(GREATEST(n - 64, 0) / 48.0)
+                                          AS BIGINT))) AS chunk_idx
+          FROM w)
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(words, chunk_idx * 48 + 1,
+                                      chunk_idx * 48 + 64), ' ') AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    64-token windows with stride 48 (16-token overlap) — the standard
+    prep for embedding/pretraining pipelines with a fixed context length.
+
+    Per-doc arithmetic only (no shuffle): n_chunks = 1 + ceil(max(n−64,0)/48),
+    explode the chunk indices, slice the word array per index. The split
+    column materializes behind an exchange before the per-chunk slices
+    reference it (the CollapseProject O(n²) inlining trap —
+    see operators/dedup.py:with_word_ngrams)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    words = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .repartition(nparts)
+        .withColumn("n", F.size("words"))
+    )
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("n") - 64, F.lit(0)).cast("double") / 48.0
+    ).cast("int")
+    chunks = words.select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice("words", F.col("chunk_idx") * 48 + 1, F.lit(64))
+        ).alias("chunk_text"),
+    )

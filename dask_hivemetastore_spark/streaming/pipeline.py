@@ -356,6 +356,68 @@ def stream_filter_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/data")
 
 
+# ----------------------------------------------- I7: stream-stream interval join
+
+
+@query(
+    "stream_click_attribution",
+    oracle="""
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS buy_ts,
+           ROUND(p.value, 2) AS buy_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL JOIN (click→purchase attribution): two
+    watermarked streams joined on key + a bounded event-time range — the
+    canonical two-stream stateful operator Structured Streaming adds over
+    any batch engine.
+
+    The time bound is load-bearing twice: semantically (attribute a
+    purchase to a click at most 30 minutes earlier) and operationally —
+    with both watermarks and a two-sided range, each side's join state is
+    evicted once the other side's watermark passes the range, so state is
+    O(window), not O(stream). Append mode: pairs emit exactly once, and on
+    a finite availableNow drain the result equals the batch interval join
+    — hence the exact DuckDB oracle.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("ts").alias("buy_ts"),
+            "value",
+        )
+        .withWatermark("buy_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "user_id = buy_user AND "
+            "buy_ts >= click_ts AND buy_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        F.date_format("buy_ts", _TS_FMT).alias("buy_ts"),
+        F.round("value", 2).alias("buy_value"),
+    )
+    return run_to_memory(joined, "stream_click_attribution", "append")
+
+
 # ------------------------------------- I6c: transformWithStateInPandas (TWS)
 
 
