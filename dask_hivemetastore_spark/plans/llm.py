@@ -459,14 +459,20 @@ def ngram_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training corpus diagnostic. JVM path: transform+sequence generates
     bigrams per doc (no Python), explode, one hash agg, TakeOrdered top-k.
     At 100 TB the agg's partial (map-side) combine collapses the heavy hitters
-    before the shuffle; a count-min sketch is the streaming sibling."""
+    before the shuffle; a count-min sketch is the streaming sibling.
+
+    The split column materializes behind an exchange before the indexed
+    lambda references it (CollapseProject would otherwise inline the split
+    per array element — O(words²)/doc; measured 2.6 s → 0.6 s here)."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = docs.select(
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ws = docs.select(F.split("text", " ").alias("ws")).repartition(nparts)
+    bigrams = ws.select(
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(0, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1])) "
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> concat_ws(' ', ws[i], ws[i+1])) "
                 "ELSE array() END"
             )
         ).alias("bigram")
