@@ -585,3 +585,80 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice("words", F.col("chunk_idx") * 48 + 1, F.lit(64))
         ).alias("chunk_text"),
     )
+
+
+@query(
+    "training_corpus_pipeline",
+    oracle="""
+    WITH RECURSIVE
+    feat AS (SELECT doc_id, source, text,
+                    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+                    0.4 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0)
+                    + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
+                          w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+                          / len(string_split(lower(text), ' ')))
+                    + 0.3 * (1.0 - abs((CAST(length(text) AS DOUBLE)
+                          - (len(string_split(lower(text), ' ')) - 1))
+                          / len(string_split(lower(text), ' ')) - 4.5) / 10.0) AS q
+             FROM documents WHERE lang = 'en'),
+    kept AS (SELECT doc_id, source, text, n_tokens FROM feat
+             WHERE q >= 0.5 AND n_tokens BETWEEN 20 AND 2000),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws)-1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+          FROM w WHERE len(ws) >= 3),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.9),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    surv AS (SELECT doc_id FROM kept
+             WHERE NOT EXISTS (SELECT 1 FROM reach
+                               WHERE reach.a = doc_id AND reach.b < doc_id))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept JOIN surv USING (doc_id)
+    GROUP BY source
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data pipeline, end-to-end in one plan: language
+    filter → quality scoring → token-length bounds → MinHash+LSH
+    near-dedup → connected-component canonicalization → per-source corpus
+    stats. This is the composition a 100 TB pretraining-data job actually
+    runs; every stage is an operator certified individually elsewhere in
+    this registry, and the whole chain is checked here against a single
+    recursive-closure DuckDB oracle.
+
+    Scale shape: the filter stages are scan-local (no shuffle); dedup
+    shuffles hashes and band keys, never full texts; the final aggregate
+    shuffles |survivors| rows. Dedup runs WITHIN the filtered set —
+    filter-then-dedup is both cheaper (fewer signatures) and what quality
+    pipelines want (a high-quality doc must not be deduped away in favor
+    of a filtered-out twin)."""
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    feats = text_ops.quality_features(docs)
+    kept = feats.where(
+        (F.col("quality_score") >= 0.5) & F.col("n_tokens").between(20, 2000)
+    ).select("doc_id", "source", "text", "n_tokens")
+    pairs = dedup.minhash_lsh_pairs(kept, "doc_id", "text", n=3, threshold=0.9)
+    comps = dedup.connected_components(pairs, kept.select("doc_id"), "doc_id")
+    surv = comps.where(F.col("doc_id") == F.col("component")).select("doc_id")
+    return (
+        kept.join(surv, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
