@@ -148,3 +148,27 @@ def test_ivf_centroid_cache_reused(spark):
     assert a is b
     c = ivf_train_centroids(emb, n_cells=4, cache_key="k1")
     assert c.shape[0] == 4
+
+
+def test_q21_semi_anti_lowering(spark):
+    """The EXISTS/NOT-EXISTS pair must lower to one semi and one anti join
+    over lineitem — never an inner join that materializes match
+    multiplicity."""
+    plan = _explain(plans.QUERIES["q21_suppliers_waiting"](spark, SF_SMOKE), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q9_broadcasts_all_dimensions(spark):
+    """Four dimension sides broadcast; the only shuffle is the final
+    (nation, year) aggregate — no SortMergeJoin anywhere."""
+    plan = _explain(plans.QUERIES["q9_product_profit"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_decorrelates_to_window(spark):
+    """The correlated scalar MIN decorrelates to a window function over the
+    part key (one shuffle), not a re-aggregate + self-join."""
+    plan = _explain(plans.QUERIES["q2_min_cost_supplier"](spark, SF_SMOKE), "simple")
+    assert "Window" in plan, plan
