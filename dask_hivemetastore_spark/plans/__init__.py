@@ -46,7 +46,8 @@ _CERTIFICATION_PRIORITY = [
     # C6 / C7: range + as-of joins
     "range_join_events",
     "asof_join_events",
-    "asof_join_tolerance",
+    # I7 (round 2): stream-stream interval join
+    "stream_click_attribution",
     # H-date / H-json / H-map / H-array
     "date_arithmetic",
     "json_extract_props",
@@ -59,7 +60,8 @@ _CERTIFICATION_PRIORITY = [
     "custom_agg_geomean",
     "grouped_map_zscore",
     "map_partitions_net_price",
-    "map_arrow_net_price",
+    # K6 (round 2): the end-to-end filter→dedup→stats pipeline
+    "training_corpus_pipeline",
     "explode_words_top",
     "cogrouped_map_ratio",
     "udtf_bigrams",
