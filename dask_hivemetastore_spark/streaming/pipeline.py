@@ -356,6 +356,89 @@ def stream_filter_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/data")
 
 
+# --------------------------------------------------- I8: stream-static join
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_type,
+           c.c_mktsegment AS segment,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (dimension enrichment): the event stream joins a
+    BATCH dimension table — no watermark needed on the static side, no
+    join state at all (each micro-batch broadcast-joins the dimension),
+    and the static side is re-resolved per batch, so slowly-changing
+    dimensions pick up updates between batches. This is the silver-layer
+    enrichment pattern: at 100 TB the stream is Kafka and the dimension a
+    Delta table; the plan is unchanged.
+
+    Aggregation after a stream-static inner join stays append-compatible
+    state-wise (only the agg holds state); complete mode drains the finite
+    fixture to the exact batch answer.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("event_type", "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return run_to_memory(agg, "stream_static_enrich", "complete")
+
+
+# ------------------------------------------------ I4b: streaming sliding window
+
+
+@query(
+    "stream_sliding_30m",
+    oracle="""
+    WITH g AS (SELECT date_trunc('hour', ts)
+                      + CASE WHEN date_part('minute', ts) >= 30
+                             THEN INTERVAL 30 MINUTE
+                             ELSE INTERVAL 0 MINUTE END AS w1
+               FROM events),
+    b AS (SELECT w1 AS ws FROM g
+          UNION ALL
+          SELECT w1 - INTERVAL 30 MINUTE FROM g)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n_events
+    FROM b GROUP BY 1
+    """,
+)
+def stream_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 as a streaming query: 1-hour windows sliding every 30 minutes —
+    each event lands in exactly two overlapping windows. Watermark bounds
+    how long a window stays open; complete mode drains the finite stream
+    to the batch answer (the oracle enumerates both windows per event:
+    the containing hour-aligned one and the half-hour-shifted one)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("win_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "stream_sliding_30m", "complete")
+
+
 # ----------------------------------------------- I7: stream-stream interval join
 
 
