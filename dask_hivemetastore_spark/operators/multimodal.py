@@ -86,3 +86,53 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         feats, f"{id_col} long, n_bytes long, sha_hex string, fake_w int, fake_h int"
     )
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB: needs an image codec (PIL/cv2) absent
+    from this environment — on a real cluster this is a vectorized
+    decode→interpolate→encode inside the same mapInPandas pass as
+    :func:`extract_features` (one decode per image, never two)."""
+    raise NotImplementedError(
+        "image resize requires an image codec library (PIL/cv2) not present "
+        "in this environment"
+    )
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id",
+                 frame_bytes: int = 64, stride: int = 4) -> DataFrame:
+    """Frame sampling over a binary "video" column: chunk each payload into
+    fixed-size frames and keep every ``stride``-th one — the 1→N row
+    expansion every video pipeline needs, as an Arrow-batched mapInPandas
+    (a real decoder would yield decoded frames here; the chunking stand-in
+    keeps the plumbing — schema, batch shape, expansion — identical and
+    oracle-checkable).
+
+    Scale: expansion happens executor-side with no shuffle; the sampled
+    frames table is narrow (id, idx, frame) and should be written
+    partitioned like its source. Frames are never a join/groupBy key —
+    key by (id, frame_idx)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, outs, totals = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    ids.append(did)
+                    idxs.append(i)
+                    outs.append(b[i * frame_bytes:(i + 1) * frame_bytes])
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(outs, dtype=object),
+                    "n_frames": pd.Series(totals, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        frames, f"{id_col} long, frame_idx long, frame binary, n_frames long"
+    )

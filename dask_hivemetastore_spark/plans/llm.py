@@ -662,3 +662,37 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS n
+               FROM documents WHERE lang = 'en' AND doc_id % 11 = 0),
+    f AS (SELECT doc_id, text,
+                 CAST((n + 63) // 64 AS BIGINT) AS n_frames,
+                 unnest(range(0, CAST((n + 63) // 64 AS BIGINT), 4)) AS frame_idx
+          FROM d)
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame_text,
+           n_frames
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 frame sampling: binary payloads chunked into 64-byte frames,
+    every 4th kept — the video frame-sample plumbing (1→N Arrow
+    expansion) with a deterministic stand-in decoder. English docs only so
+    byte offsets equal character offsets and the oracle can use
+    substring on the text."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.col("lang") == "en") & (F.col("doc_id") % 11 == 0)
+    )
+    with_payload = multimodal.attach_binary_payload(docs)
+    sampled = multimodal.frame_sample(with_payload, "doc_id")
+    return sampled.select(
+        "doc_id", "frame_idx",
+        F.decode("frame", "utf-8").alias("frame_text"),
+        "n_frames",
+    )

@@ -239,3 +239,29 @@ def test_similar_pairs_tiling_invariant(spark, sf_dir):
             (r.id_a, r.id_b) for r in similar_pairs(emb, 0.45, n_blocks=nb).collect()
         }
         assert tiled == base, f"n_blocks={nb} changed the result set"
+
+
+def test_resize_stub_raises():
+    """resize_image is an environment-gated stub with a clear contract."""
+    from dask_hivemetastore_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x00" * 10, 32, 32)
+
+
+def test_frame_sample_expansion(spark, sf_dir):
+    """Every sampled frame index is a stride multiple below its doc's
+    frame count, and frame bytes reassemble to the payload prefix."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 29 = 0")
+    sampled = frame_sample(attach_binary_payload(docs), "doc_id").collect()
+    assert sampled, "fixture slice must produce frames"
+    for r in sampled:
+        assert r.frame_idx % 4 == 0
+        assert r.frame_idx < r.n_frames
+        assert 1 <= len(r.frame) <= 64
