@@ -696,3 +696,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode("frame", "utf-8").alias("frame_text"),
         "n_frames",
     )
+
+
+@query(
+    "embedding_group_centroid",
+    oracle="""
+    WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                      unnest(embedding) AS v
+               FROM embeddings),
+    m AS (SELECT label, i, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mv
+          FROM e GROUP BY 1, 2),
+    c AS (SELECT label, list(mv ORDER BY i) AS centroid FROM m GROUP BY 1),
+    n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
+    SELECT c.label, n.n_vecs, c.centroid FROM c JOIN n USING (label)
+    """,
+)
+def embedding_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid (class prototypes / cluster means):
+    dimension-wise mean over an array column per group.
+
+    The scalable shape is posexplode → groupBy(label, dim) → avg →
+    re-assemble sorted: the shuffle carries scalars (label, dim, value),
+    never whole vectors, and the per-dimension aggregate is partial+final
+    like any hash agg. The alternative — collect_list of vectors then a
+    driver/UDF fold — shuffles full vectors to one place per group and
+    caps at executor memory. Means are ROUNDed on both sides
+    (accumulation-order drift)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    )
+    m = ex.groupBy("label", "i").agg(F.round(F.avg("v"), 6).alias("mv"))
+    c = (
+        m.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mv"))).alias("s"))
+        .select("label", F.expr("transform(s, x -> x.mv)").alias("centroid"))
+    )
+    n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return c.join(n, "label").select("label", "n_vecs", "centroid")

@@ -615,3 +615,47 @@ def python_stream_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("i") % 5).alias("bucket"))
         .agg(F.count("*").alias("n"), F.sum("i").alias("total"))
     )
+
+
+# ----------------------------------------------------- I9: foreachBatch sink
+
+
+@query(
+    "stream_foreach_batch_snapshot",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_foreach_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: per micro-batch, arbitrary BATCH write logic gets
+    the batch DataFrame + batch id — the escape hatch for sinks Structured
+    Streaming lacks natively (JDBC upserts, multi-table writes, merges).
+    Here each batch overwrites a parquet snapshot of the complete-mode
+    aggregate; the final snapshot after an availableNow drain equals the
+    batch answer.
+
+    At 100 TB this exact shape becomes MERGE INTO a warehouse table;
+    foreachBatch gives at-least-once delivery, so production sinks key the
+    write on batch_id (idempotent overwrite here has the same property).
+    """
+    out_dir = tempfile.mkdtemp(prefix="feb_sink_")
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/data")
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(f"{out_dir}/data")
