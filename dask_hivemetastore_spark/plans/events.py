@@ -350,3 +350,91 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("asof_ts"),
         F.col("asof_value"),
     )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    r AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+    g AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM r)
+    SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(b.n, 0) AS n_events
+    FROM g LEFT JOIN b USING (h)
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine (sequence over the
+    observed [min, max] range, exploded) LEFT JOINed with the sparse
+    aggregate, zeros for missing buckets — what every downstream charting
+    or rate job needs after a bucketed aggregate.
+
+    The spine generates from a 1-row bounds aggregate (broadcast), so the
+    only data-sized operations are the bucket agg and a broadcast join of
+    the aggregate against the spine — both safe at any scale; the spine's
+    size is hours-of-history, not rows."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    buckets = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = buckets.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    return (
+        spine.join(buckets, "h", "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH f AS (SELECT user_id,
+                      MIN(CASE WHEN event_type = 'signup' THEN ts END)   AS t_signup,
+                      MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+                      MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+               FROM events GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_signup,
+           CAST(SUM(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click_after,
+           CAST(SUM(CASE WHEN t_click > t_signup AND t_buy > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_funnel_complete
+    FROM f
+    """,
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup → first click after signup → first purchase
+    after that click): conditional-MIN pivot per user, then ordered-step
+    comparisons — one shuffle on user_id, the stages fold into a single
+    hash aggregate. NULL comparisons (user never clicked) are false in
+    both engines, so the step predicates need no explicit null guards."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    f = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    step2 = F.col("t_click") > F.col("t_signup")
+    step3 = step2 & (F.col("t_buy") > F.col("t_click"))
+    return f.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)).alias("n_signup"),
+        F.sum(F.when(step2, 1).otherwise(0)).alias("n_click_after"),
+        F.sum(F.when(step3, 1).otherwise(0)).alias("n_funnel_complete"),
+    )

@@ -172,3 +172,17 @@ def test_q2_decorrelates_to_window(spark):
     part key (one shuffle), not a re-aggregate + self-join."""
     plan = _explain(plans.QUERIES["q2_min_cost_supplier"](spark, SF_SMOKE), "simple")
     assert "Window" in plan, plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A selective dim filter must inject a dynamicpruningexpression into
+    the partitioned fact scan's PartitionFilters — at 100 TB this is what
+    keeps a fact⋈filtered-dim join from scanning every partition."""
+    path = str(tmp_path / "dpp_fact")
+    spark.range(1000).selectExpr("id", "id % 20 AS pk").write.partitionBy(
+        "pk"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.range(20).selectExpr("id AS pk", "id % 7 AS attr").where("attr = 0")
+    plan = _explain(fact.join(dim, "pk"))
+    assert "dynamicpruning" in plan.lower(), plan
