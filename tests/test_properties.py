@@ -125,3 +125,45 @@ def test_dot_f64_is_sequential_fold(spark, va, vb):
     for x, y in zip(np.array(va, dtype=np.float32), np.array(vb, dtype=np.float32)):
         acc += float(x) * float(y)
     assert got == pytest.approx(acc, abs=0.0) or got == acc
+
+
+words_st = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=8)
+    .map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@SETTINGS
+@given(texts=words_st, threshold=st.sampled_from([0.5, 0.8, 0.9]))
+def test_prefix_filter_is_lossless(spark, texts, threshold):
+    """ngram_jaccard_pairs (prefix-filtered) must equal the brute-force
+    Python computation for ANY corpus and threshold — the AllPairs prefix
+    bound and the length filter are optimizations, never semantics. Small
+    word alphabet forces heavy gram collisions (the regime where a buggy
+    prefix/tie-break would drop pairs)."""
+    from dask_hivemetastore_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                                     threshold=threshold).collect()
+    }
+
+    def grams(t: str) -> set:
+        ws = t.split(" ")
+        return {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)} if len(ws) >= 2 else None
+
+    expect = set()
+    gsets = {i: grams(t) for i, t in enumerate(texts)}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            ga, gb = gsets[a], gsets[b]
+            if ga is None or gb is None:
+                continue
+            inter = len(ga & gb)
+            if inter and inter / (len(ga) + len(gb) - inter) >= threshold:
+                expect.add((a, b))
+    assert got == expect, (sorted(got), sorted(expect), texts)
