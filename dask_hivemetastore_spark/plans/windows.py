@@ -242,3 +242,49 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_ord), 6).alias("cd"),
         F.ntile(4).over(w_ord).alias("quartile"),
     )
+
+
+@query(
+    "window_price_band",
+    oracle="""
+    WITH c AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_orderkey % 19 = 0)
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_band,
+           CAST(SUM(cents) OVER w AS DOUBLE) / 100.0
+                 / (COUNT(*) OVER w) AS band_avg
+    FROM c
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+    """,
+)
+def window_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family numeric RANGE frame: per order, stats over all orders of
+    the same status within ±1000 of its price — a VALUE-based frame
+    (rangeBetween), not a row-count one; rows with equal prices share one
+    frame. The per-partition sort is the cost; the frame scan is an
+    incremental two-pointer inside each partition, not O(n²).
+
+    Parity: the band mean is an exact integer-cents SUM divided once, and
+    the quotient ships RAW — a float AVG over a sliding frame accumulates
+    incrementally and drifts (3 boundary flips per ~500 rows measured),
+    and even on the exact sum a final ROUND(,2) diverges where the
+    quotient is exactly .xx5 (Spark rounds the shortest-decimal rendering,
+    DuckDB the binary value). Identical exact inputs + identical division
+    order ⇒ bit-identical doubles with no rounding at all."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 19 == 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return orders.withColumn("cents", cents).select(
+        "o_orderkey",
+        F.count("*").over(w).alias("n_in_band"),
+        (
+            F.sum("cents").over(w).cast("double") / 100.0
+            / F.count("*").over(w)
+        ).alias("band_avg"),
+    )

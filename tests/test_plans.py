@@ -186,3 +186,22 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     dim = spark.range(20).selectExpr("id AS pk", "id % 7 AS attr").where("attr = 0")
     plan = _explain(fact.join(dim, "pk"))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_registry_orders_consistent():
+    """QUERIES and ORACLES must share a prefix-consistent iteration order —
+    the certification window depends on it — and every priority key must
+    exist (a typo in _CERTIFICATION_PRIORITY would silently shrink the
+    window)."""
+    from dask_hivemetastore_spark.plans import (
+        _CERTIFICATION_PRIORITY,
+        ORACLES,
+        QUERIES,
+    )
+
+    qkeys = list(QUERIES)
+    missing = [k for k in _CERTIFICATION_PRIORITY if k not in QUERIES]
+    assert not missing, f"priority keys not registered: {missing}"
+    assert qkeys[: len(_CERTIFICATION_PRIORITY)] == _CERTIFICATION_PRIORITY
+    okeys = [k for k in qkeys if k in ORACLES]
+    assert okeys == list(ORACLES), "oracle order diverges from query order"
