@@ -265,3 +265,28 @@ def test_frame_sample_expansion(spark, sf_dir):
         assert r.frame_idx % 4 == 0
         assert r.frame_idx < r.n_frames
         assert 1 <= len(r.frame) <= 64
+
+
+def test_ivf_probe_indexed_full_probe_equals_brute(spark, sf_dir, tmp_path):
+    """Probing ALL cells of the materialized index must reproduce the
+    brute-force top-k exactly (the approximation lives solely in probing
+    fewer cells)."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_indexed,
+        knn_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_full")
+    C = ivf_build_index(emb, path, n_cells=8, cache_key=path)
+    qv = emb.where("vec_id = 0").select("embedding").first()[0]
+    brute = [(r.vec_id, r.cosine) for r in knn_topk(emb, 0, k=10).collect()]
+    probed = [
+        (r.vec_id, r.cosine)
+        for r in ivf_probe_indexed(
+            spark, path, C, qv, k=10, nprobe=8, exclude_id=0
+        ).collect()
+    ]
+    assert probed == brute
