@@ -1225,3 +1225,40 @@ def row_ids_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("__rid").alias("n_distinct_ids"),
     )
+
+
+@query(
+    "parquet_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_note
+    FROM orders WHERE o_orderkey % 31 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'v2' AS o_note
+    FROM orders WHERE o_orderkey % 37 = 0
+    """,
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family schema evolution: two parquet footprints under one table
+    directory — an old layout and a new one with an added column — read
+    back as one DataFrame via ``mergeSchema``; rows from the old files get
+    NULL for the added column. This is how a long-lived 100 TB table
+    absorbs additive schema change without rewriting history. mergeSchema
+    costs a footer read per file at planning (off by default for that
+    reason) — production tables keep the merged schema in a catalog
+    instead and pass it explicitly."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="schema_evo_") + "/orders_evo"
+    orders.where(F.col("o_orderkey") % 31 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{out}/v1")
+    orders.where(F.col("o_orderkey") % 37 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v2").alias("o_note")
+    ).write.mode("overwrite").parquet(f"{out}/v2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+        .select("o_orderkey", "o_totalprice", "o_note")
+    )
