@@ -1262,3 +1262,76 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("o_orderkey", "o_totalprice", "o_note")
     )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 30000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family histogram: fixed-width value bucketing + count — the
+    building block of every numeric profile/distribution report. The
+    bucket expression is the IDENTICAL floor division on both sides
+    (width_bucket's internal arithmetic differs between engines at
+    boundaries; a shared explicit expression cannot)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 30000).cast("bigint")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "regression_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13+ linear-regression aggregates (slope/intercept/R²) — built-in
+    partial-izable aggregates in both engines, so the fit costs exactly
+    one hash-agg shuffle like any SUM; no ML library, no iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "nations_per_region_csv",
+    oracle="""
+    SELECT r_name,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def nations_per_region_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9+ ordered string aggregation (listagg/string_agg): collect_set →
+    array_sort → concat_ws gives a DETERMINISTIC delimited list — the only
+    safe form in a distributed engine, where bare listagg order is
+    partition-dependent."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias(
+                "nations"
+            )
+        )
+    )
