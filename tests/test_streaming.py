@@ -210,3 +210,30 @@ def test_tws_gate_consistency():
     avail = pipeline._tws_available()
     assert ("stream_tws_counts" in plans.QUERIES) == avail
     assert ("stream_tws_counts" in plans.ORACLES) == avail
+
+
+def test_rocksdb_state_store_provider(spark):
+    """The off-heap state path (RocksDBStateStoreProvider) must produce
+    identical results to the default provider — at 100 TB this is how
+    watermarked aggregation / dedup / stateful ops keep state off the
+    executor heap with changelog checkpointing."""
+    from dask_hivemetastore_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    key = "stream_stateful_counts"
+    baseline = sorted(map(tuple, plans.QUERIES[key](spark, sf).collect()))
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(
+            conf,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = sorted(map(tuple, plans.QUERIES[key](spark, sf).collect()))
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+    assert rocks == baseline and len(rocks) > 0
