@@ -438,3 +438,40 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(step2, 1).otherwise(0)).alias("n_click_after"),
         F.sum(F.when(step3, 1).otherwise(0)).alias("n_funnel_complete"),
     )
+
+
+@query(
+    "scd2_user_event_intervals",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, event_type,
+                      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          AS next_ts
+               FROM events WHERE user_id % 97 = 0)
+    SELECT user_id,
+           event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(next_ts, '%Y-%m-%d %H:%M:%S'), 'current')
+               AS valid_to
+    FROM o
+    """,
+)
+def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval building: each state change becomes a
+    [valid_from, valid_to) row via LEAD over (entity, time) — the
+    standard way a change log becomes a point-in-time-queryable dimension.
+    One window shuffle on the entity key; the open interval gets a
+    'current' sentinel. (event_id breaks ts ties deterministically on
+    both sides.)"""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 97 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+    )

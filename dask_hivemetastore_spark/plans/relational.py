@@ -1335,3 +1335,35 @@ def nations_per_region_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region,
+           COALESCE(n_name, 'ALL') AS nation,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 with grouping indicators: GROUPING() distinguishes a real NULL
+    key from a subtotal row — without it a rollup over nullable keys is
+    ambiguous. gid doubles as the aggregation-level id (0=detail,
+    1=per-region subtotal, 3=grand total)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    j = region.join(nation, nation.n_regionkey == region.r_regionkey)
+    gid = (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("bigint")
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(gid.alias("gid"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gid",
+            "n",
+        )
+    )
