@@ -1,0 +1,235 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md §2-K).
+
+Four families the LLM-corpus literature treats as standard pre-training
+hygiene, each expressed Spark-first so the plan scales to a 100 TB corpus:
+
+- **repetition scoring** (duplicate-n-gram fraction, the Gopher/MassiveText
+  quality signal): per-document, fully JVM-side — no shuffle at all beyond
+  the projection-collapse barrier `with_word_ngrams` documents.
+- **per-domain capping** (bound any one source's share of the corpus):
+  windowed top-k per group — one shuffle on the group key, top-k applied
+  map-side per partition after the sort.
+- **benchmark decontamination** (drop training docs sharing any n-gram with
+  an evaluation set): inverted-index semi/anti join on grams — the benchmark
+  side is tiny relative to the corpus, so its gram table broadcasts and the
+  corpus is never shuffled.
+- **SemDeDup-style cluster-bounded embedding dedup**: k-means cells bound
+  the pair blowup to within-cell self-joins instead of a corpus² crossJoin.
+
+All heavy lifting stays in whole-stage codegen (`split`/`transform`/
+`array_distinct`/window functions); Python appears only in the k-means cell
+assignment, which reuses :mod:`.similarity`'s Arrow-batched `mapInPandas`
+assigner and cached centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import similarity
+
+
+# ------------------------------------------------------------- repetition
+
+def with_repetition_score(df: DataFrame, text_col: str = "text", n: int = 2,
+                          out_col: str = "dup_ngram_frac") -> DataFrame:
+    """Attach the duplicate word-``n``-gram fraction of ``text_col``.
+
+    ``1 - distinct_grams / total_grams`` — 0 for a text that never repeats
+    an n-gram, →1 for a degenerate loop (boilerplate, scraped nav bars,
+    decoding failures). Documents with fewer than ``n`` words score 0: they
+    have no n-gram to repeat, and dropping them here would silently shrink
+    the corpus.
+
+    Scale: pure per-row JVM expressions — narrow plan, no shuffle. The
+    ``repartition`` is the same projection-collapse barrier documented on
+    :func:`dedup.with_word_ngrams`: without it Catalyst inlines the split
+    into the transform lambda and re-runs it per array element (O(words²)
+    per doc).
+    """
+    nparts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        df.rdd.getNumPartitions(),
+    )
+    concat = ", ".join(f"__ws[i+{j}]" for j in range(n))
+    grams = F.expr(
+        f"transform(sequence(0, size(__ws)-{n}), i -> concat_ws(' ', {concat}))"
+    )
+    return (
+        df.withColumn("__ws", F.split(F.col(text_col), " "))
+        .repartition(nparts)
+        .withColumn("__gs", F.when(F.size("__ws") >= n, grams))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__gs").isNull(), F.lit(0.0)
+            ).otherwise(
+                1.0 - F.size(F.array_distinct("__gs")) / F.size("__gs")
+            ),
+        )
+        .drop("__ws", "__gs")
+    )
+
+
+def repetition_filter(df: DataFrame, max_frac: float,
+                      text_col: str = "text", n: int = 2) -> DataFrame:
+    """Keep documents whose duplicate-n-gram fraction is ≤ ``max_frac``."""
+    scored = with_repetition_score(df, text_col=text_col, n=n)
+    return scored.where(F.col("dup_ngram_frac") <= max_frac)
+
+
+# ----------------------------------------------------------- domain capping
+
+def cap_per_group(df: DataFrame, group_col: str, order_col: str,
+                  k: int) -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col``, lowest ``order_col`` first.
+
+    The standard corpus-balancing move (no single domain may exceed a fixed
+    share). One shuffle on the group key; Spark's `WindowExec` applies the
+    rank cut per partition after the sort, so output size is bounded at
+    ``k × n_groups`` regardless of input skew. A pathologically hot group
+    still sorts on one task — for known-hot domains at 100 TB, pre-filter
+    with an approximate per-group count and sample before the exact window.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# -------------------------------------------------------- decontamination
+
+def contaminated_ids(train: DataFrame, bench: DataFrame, id_col: str,
+                     text_col: str = "text", n: int = 5) -> DataFrame:
+    """Ids of training docs sharing ≥1 word-``n``-gram with the benchmark.
+
+    The n-gram-overlap decontamination check (GPT-3 App. C / PaLM-style):
+    build the benchmark's distinct gram set, semi-join the training side's
+    exploded grams against it, distinct the surviving ids. The benchmark is
+    orders of magnitude smaller than the corpus, so Spark broadcasts its
+    gram table and the corpus side never shuffles; at 100 TB the corpus is
+    read once, grams are generated and probed map-side, and only the (tiny)
+    contaminated-id set aggregates.
+    """
+    from .dedup import with_word_ngrams
+
+    bench_grams = (
+        with_word_ngrams(bench, n=n, text_col=text_col)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train_grams = with_word_ngrams(train, n=n, text_col=text_col).select(
+        id_col, F.explode("grams").alias("gram")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
+                  text_col: str = "text", n: int = 5) -> DataFrame:
+    """Training docs with NO word-``n``-gram overlap with the benchmark.
+
+    Docs with fewer than ``n`` words cannot overlap and always survive
+    (they produce no gram rows, so the anti join keeps them).
+    """
+    bad = contaminated_ids(train, bench, id_col, text_col=text_col, n=n)
+    return train.join(bad, id_col, "left_anti")
+
+
+# ---------------------------------------------------- percentile gating
+
+def percentile_keep(df: DataFrame, score_col: str, by: str,
+                    min_pct: float) -> DataFrame:
+    """Keep rows at or above the ``min_pct`` percent-rank of ``score_col``
+    within each ``by`` group — threshold-free quality gating ("top decile
+    per language") that adapts per group instead of using one global cutoff.
+
+    ``percent_rank`` gives ties identical rank in Spark and in ANSI SQL, so
+    the survivor set is deterministic and oracle-checkable. One shuffle on
+    the group key; the rank cut is applied during the window scan.
+    """
+    w = Window.partitionBy(by).orderBy(F.col(score_col).asc())
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .where(F.col("__pr") >= min_pct)
+        .drop("__pr")
+    )
+
+
+# ------------------------------------------------------------- SemDeDup
+
+def semdedup_pairs(emb: DataFrame, threshold: float, n_cells: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cache_key: str | None = None) -> DataFrame:
+    """Within-cluster embedding near-dup pairs (SemDeDup, Abbas et al. 2023).
+
+    Assign every vector to its nearest k-means centroid, then search for
+    near-duplicate pairs ONLY within each cell: the cell id becomes an
+    equi-join key, so the candidate set is Σ|cell|² instead of corpus².
+    Cosine is computed exactly JVM-side (`zip_with` dot over unit-norm
+    vectors); pairs that straddle a cell boundary are missed by
+    construction — that recall trade is the published algorithm, and
+    ``n_cells=1`` degenerates to the exact all-pairs answer (the property
+    the parity test pins).
+
+    Scale: centroids train once on a bounded sample (cached via
+    ``cache_key``, see :func:`similarity.ivf_train_centroids`); assignment
+    is one Arrow-batched map; the self-join shuffles each side once on
+    ``cell`` and AQE handles cell-size skew.
+    """
+    if n_cells == 1:
+        # degenerate case: one cell IS the all-pairs search (KMeans needs k≥2)
+        assigned = emb.select(
+            F.lit(0).alias("cell"), F.col(id_col), F.col(vec_col)
+        )
+    else:
+        centroids = similarity.ivf_train_centroids(
+            emb, n_cells=n_cells, vec_col=vec_col, cache_key=cache_key
+        )
+        assigned = similarity.ivf_assign_full(
+            emb.select(id_col, vec_col), centroids, vec_col=vec_col
+        ).select(id_col, "cell", vec_col)
+    a = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    cos = F.aggregate(
+        F.zip_with(
+            "__va", "__vb",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def semdedup_survivors(emb: DataFrame, threshold: float, n_cells: int = 16,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       cache_key: str | None = None) -> DataFrame:
+    """SemDeDup survivor set: drop the larger id of every within-cell near-dup
+    pair (min-id canonical, matching the other dedup families)."""
+    pairs = semdedup_pairs(
+        emb, threshold, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        cache_key=cache_key,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(losers, id_col, "left_anti")

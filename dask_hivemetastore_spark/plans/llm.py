@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import curation, dedup, multimodal, similarity, text
 from .registry import query
 
 # ---------------------------------------------------------------- K1: exact
@@ -735,3 +735,106 @@ def embedding_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
     return c.join(n, "label").select("label", "n_vecs", "centroid")
+
+
+# ------------------------------------------------- K7: corpus curation ops
+
+
+@query(
+    "repetition_score_docs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(ws) >= 2 THEN
+                     1.0 - CAST(len(list_distinct(list_transform(
+                               range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE)
+                         / (len(ws) - 1)
+                 ELSE 0.0 END AS f
+          FROM w)
+    SELECT doc_id, ROUND(f, 6) AS dup_ngram_frac FROM s
+    """,
+)
+def repetition_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 repetition scoring: per-doc duplicate-bigram fraction, the
+    Gopher/MassiveText boilerplate signal. All 500 docs score (short docs
+    score 0), every value hash-checked against the DuckDB twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.with_repetition_score(docs, n=2).select(
+        "doc_id", F.round("dup_ngram_frac", 6).alias("dup_ngram_frac")
+    )
+
+
+@query(
+    "domain_cap_docs",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+    """,
+)
+def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 per-domain capping: at most 10 docs per source, lowest doc_id
+    first — the corpus-balancing move that bounds any single domain's
+    share. Deterministic (doc_id is unique), so exact-row certified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.cap_per_group(docs, "source", "doc_id", k=10).select(
+        "doc_id", "source"
+    )
+
+
+@query(
+    "decontaminate_docs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws) - 3),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gs
+          FROM w WHERE len(ws) >= 5),
+    bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0),
+    bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram))
+    SELECT doc_id FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 benchmark decontamination: treat every 97th doc as the eval set,
+    drop training docs sharing any word-5-gram with it. The benchmark gram
+    table broadcasts (plan-asserted in tests) so the corpus side never
+    shuffles — the GPT-3-style overlap check at 100 TB is one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return curation.decontaminate(train, bench, "doc_id", n=5).select("doc_id")
+
+
+@query(
+    "quality_percentile_gate",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    QUALIFY PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) >= 0.8
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 percentile quality gating: keep the top quintile of docs by
+    length *within each language* — per-group adaptive thresholds instead
+    of one global cutoff. percent_rank ties agree across engines, so the
+    survivor set is exact-row certified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.percentile_keep(docs, "n_chars", "lang", 0.8).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query("semdedup_survivors", oracle=None)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 SemDeDup (cluster-bounded embedding dedup): k-means cells bound
+    the pair search to within-cell self-joins — the published recall trade
+    for corpus²→Σ|cell|² cost. Rows-only here (k-means cells aren't
+    SQL-reproducible); `tests/test_curation.py` pins the n_cells=1
+    degenerate case to the exact all-pairs oracle answer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return curation.semdedup_survivors(
+        emb, threshold=0.45, n_cells=8, cache_key=f"semdedup:{sf_dir}"
+    ).select("vec_id", "label")

@@ -1,0 +1,96 @@
+"""Corpus-curation operator tests (SURVEY.md §2-K7): properties the oracle
+parity gate can't express — SemDeDup's degenerate-case exactness, the
+decontamination partition invariant, and the broadcast plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_hivemetastore_spark.catalog import load_table
+from dask_hivemetastore_spark.operators import curation, similarity
+
+
+def test_semdedup_one_cell_equals_brute_force(spark, sf_dir):
+    """n_cells=1 puts every vector in one cell → the within-cell search IS
+    the all-pairs search, so SemDeDup must reproduce similar_pairs exactly.
+    (With >1 cell it may only miss pairs, never invent them — checked
+    below.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in similarity.similar_pairs(emb, threshold=0.45).collect()
+    }
+    one_cell = {
+        (r.id_a, r.id_b)
+        for r in curation.semdedup_pairs(emb, 0.45, n_cells=1).collect()
+    }
+    assert one_cell == brute and brute
+
+    clustered = {
+        (r.id_a, r.id_b)
+        for r in curation.semdedup_pairs(emb, 0.45, n_cells=8).collect()
+    }
+    assert clustered <= brute
+
+
+def test_decontaminate_partitions_the_training_set(spark, sf_dir):
+    """survivors ∪ contaminated == train, disjoint; short docs survive."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+
+    bad = {
+        r.doc_id
+        for r in curation.contaminated_ids(train, bench, "doc_id", n=5).collect()
+    }
+    kept = {
+        r.doc_id for r in curation.decontaminate(train, bench, "doc_id", n=5).collect()
+    }
+    all_train = {r.doc_id for r in train.select("doc_id").collect()}
+    assert kept | bad == all_train
+    assert kept & bad == set()
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram table must broadcast: the corpus side of the
+    contamination probe never shuffles (the 100 TB requirement)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    plan = (
+        curation.contaminated_ids(train, bench, "doc_id", n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_cap_per_group_bounds_and_order(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    capped = curation.cap_per_group(docs, "source", "doc_id", k=3)
+    per = capped.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx")
+    )
+    assert per.where(F.col("n") > 3).count() == 0
+    # survivors are the k LOWEST ids: no kept id may exceed a dropped one
+    mins = (
+        docs.join(capped.select("doc_id").withColumn("__k", F.lit(1)), "doc_id", "left")
+        .where(F.col("__k").isNull())
+        .groupBy("source")
+        .agg(F.min("doc_id").alias("min_dropped"))
+    )
+    bad = per.join(mins, "source").where(F.col("mx") > F.col("min_dropped"))
+    assert bad.count() == 0
+
+
+def test_repetition_score_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = curation.with_repetition_score(docs, n=2)
+    assert (
+        scored.where(
+            (F.col("dup_ngram_frac") < 0) | (F.col("dup_ngram_frac") >= 1)
+        ).count()
+        == 0
+    )
+    short = spark.createDataFrame([(1, "oneword")], "doc_id long, text string")
+    row = curation.with_repetition_score(short, n=2).collect()[0]
+    assert row.dup_ngram_frac == 0.0
