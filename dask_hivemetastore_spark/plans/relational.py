@@ -1367,3 +1367,134 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ------------------------------------------------ more source formats (A*)
+
+
+@query(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                    AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 7 = 0
+    GROUP BY 1
+    """,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-alt: ORC sink + scan — Spark's second native columnar format
+    (the Hive-ecosystem default the reference's metastore tables often
+    use). Same round-trip certification shape as `csv_roundtrip_agg`: the
+    oracle aggregates straight from parquet, so a hash match proves the
+    ORC write→read preserves values exactly. ORC keeps predicate pushdown
+    and column pruning like parquet, so it's a storage-path peer, not an
+    interchange-only format."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 7 == 0
+    )
+    out = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.mode(
+        "overwrite"
+    ).orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "jsonl_roundtrip_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)                  AS n,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer WHERE c_custkey % 5 = 0
+    GROUP BY 1
+    """,
+)
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-alt: JSON-lines sink + declared-schema scan — the training-data
+    interchange format (one JSON object per line, splittable, appendable).
+    Schema is DECLARED on read (metastore-style, no inference pass — at
+    100 TB an inference pass is a full extra scan). Oracle aggregates from
+    parquet, certifying the JSON write→read round-trip including float
+    formatting."""
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_rt_") + "/customer_jsonl"
+    cust.select("c_custkey", "c_mktsegment", "c_acctbal").write.mode(
+        "overwrite"
+    ).json(out)
+    back = spark.read.schema(
+        "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).json(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+# ------------------------------------------------------ SCD1 merge-upsert
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 1.0
+        FROM orders WHERE o_orderkey % 1000 = 1
+    )
+    SELECT COALESCE(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_totalprice, o.o_totalprice) AS o_totalprice
+    FROM orders o FULL OUTER JOIN upd u USING (o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 merge-upsert (MERGE ... WHEN MATCHED THEN UPDATE / WHEN NOT
+    MATCHED THEN INSERT), the last-writer-wins compaction every CDC
+    ingest needs: full-outer join base↔updates on the key, updates win
+    via COALESCE. (The update mutation is ``+1000.0`` — IEEE-exact and
+    engine-identical; a ``×1.1`` + ROUND hits double half-even edges
+    where Spark and DuckDB disagree by one cent.)
+
+    Scale: one shuffle per side on the merge key — exactly what a table
+    format's MERGE executes underneath. When updates are small relative
+    to base (the common CDC shape), prefer partition-overwrite: semi-join
+    to find touched partitions, rewrite only those. The updates side here
+    derives deterministically from orders (10% updated rows + planted
+    inserts), so the result is exact-row certified."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 1000 == 1).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    merged = orders.alias("o").join(
+        upd.alias("u"), "o_orderkey", "full_outer"
+    )
+    return merged.select(
+        "o_orderkey",
+        F.coalesce(F.col("u.o_totalprice"), F.col("o.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
