@@ -13,7 +13,7 @@ distincts shuffle on the full row which is exactly what they would do at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1497,4 +1497,105 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("u.o_totalprice"), F.col("o.o_totalprice")).alias(
             "o_totalprice"
         ),
+    )
+
+
+# --------------------------------------- fuzzy match + null-safe join (C*)
+
+
+@query(
+    "fuzzy_match_nations",
+    oracle="""
+    WITH d AS (SELECT n_nationkey AS dirty_key,
+                      lower(substr(n_name, 1, length(n_name) - 1)) AS dirty_name
+               FROM nation),
+    c AS (SELECT d.dirty_key, d.dirty_name, n.n_name,
+                 levenshtein(d.dirty_name, lower(n.n_name)) AS dist
+          FROM d JOIN nation n
+            ON substr(d.dirty_name, 1, 1) = substr(lower(n.n_name), 1, 1)
+           AND levenshtein(d.dirty_name, lower(n.n_name)) <= 2)
+    SELECT dirty_key, dirty_name, n_name AS matched, dist
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY dirty_key
+                               ORDER BY dist, n_name) = 1
+    """,
+)
+def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution via blocking + verify: corrupt every nation name
+    deterministically (lowercase, last char dropped), then re-match it to
+    the canonical dimension by edit distance, keeping the best match.
+
+    The plan is the production shape: a cheap BLOCKING predicate (equal
+    first letter) bounds the candidate set so the quadratic levenshtein
+    verify runs per block, never all-pairs — at 100 TB the block key is
+    the join key (one shuffle / broadcast), and only candidates inside a
+    block pay the DP cost. Best-match via row_number over (dist, name) is
+    deterministic, so the result is exact-row certified."""
+    nat = load_table(spark, sf_dir, "nation")
+    dirty = nat.select(
+        F.col("n_nationkey").alias("dirty_key"),
+        F.lower(
+            F.expr("substring(n_name, 1, length(n_name) - 1)")
+        ).alias("dirty_name"),
+    )
+    canon = nat.select("n_name", F.lower("n_name").alias("__lc"))
+    cand = (
+        dirty.join(
+            F.broadcast(canon),
+            (
+                F.substring("dirty_name", 1, 1)
+                == F.substring("__lc", 1, 1)
+            )
+            & (F.levenshtein("dirty_name", "__lc") <= 2),
+        )
+        .withColumn("dist", F.levenshtein("dirty_name", "__lc"))
+    )
+    w = Window.partitionBy("dirty_key").orderBy("dist", "n_name")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("dirty_key", "dirty_name", F.col("n_name").alias("matched"), "dist")
+    )
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (SELECT NULLIF(n_regionkey, 2) AS rk, COUNT(*) AS n_a
+               FROM nation GROUP BY 1),
+    b AS (SELECT NULLIF(r_regionkey, 2) AS rk, r_name
+          FROM region)
+    SELECT a.rk, a.n_a, b.r_name
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-family: null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) —
+    NULL keys MATCH each other instead of vanishing, the semantics CDC
+    and dimension-cleanup joins need for unknown keys. Still hash-joinable
+    (null-safe equality is an equi-key to Spark), so no plan downgrade to
+    nested-loop."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    a = nation.groupBy(
+        F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk")
+    ).agg(F.count("*").alias("n_a"))
+    b = region.select(
+        F.nullif(F.col("r_regionkey"), F.lit(2)).alias("rk"), "r_name"
+    )
+    return a.join(b, a.rk.eqNullSafe(b.rk)).select(a.rk.alias("rk"), "n_a", "r_name")
+
+
+@query("quantile_approx_value", oracle=None)
+def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7's 100 TB path made runnable: ``percentile_approx`` (a mergeable
+    quantile sketch) instead of the exact sort-based percentile — partials
+    merge map-side like any agg, so quantiles of a 100 TB column cost one
+    scan + a scalar-sized shuffle. Rows-only by design: sketch outputs are
+    engine-specific (the exact twin `quantile_value` is the hash-checked
+    one)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("median_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("p95_approx"),
     )

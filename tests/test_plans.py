@@ -205,3 +205,25 @@ def test_registry_orders_consistent():
     assert qkeys[: len(_CERTIFICATION_PRIORITY)] == _CERTIFICATION_PRIORITY
     okeys = [k for k in qkeys if k in ORACLES]
     assert okeys == list(ORACLES), "oracle order diverges from query order"
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    """eqNullSafe is an equi-key to Spark — the plan must be a hash join,
+    never a BroadcastNestedLoopJoin downgrade."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["null_safe_join"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
+
+
+def test_fuzzy_match_blocks_before_verify(spark):
+    """The blocking predicate must be the join key (hash/broadcast join);
+    levenshtein runs only inside blocks, never as a nested-loop over
+    all pairs."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["fuzzy_match_nations"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
