@@ -233,3 +233,65 @@ def semdedup_survivors(emb: DataFrame, threshold: float, n_cells: int = 16,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------- deterministic splits
+
+def hash_bucket(key_col: str, n_buckets: int = 100) -> F.Column:
+    """Deterministic, engine-portable bucket in ``[0, n_buckets)`` from a
+    key column: first 8 hex chars of ``md5(cast(key as string))`` read as an
+    integer, mod ``n_buckets``.
+
+    md5 is bitwise-identical everywhere, so the SAME rows land in the same
+    bucket in Spark, DuckDB, or any downstream system — the property a
+    train/test split must have to be reproducible across engines and re-runs
+    (a ``rand()`` split is neither). Pure JVM expression: no shuffle, no
+    Python, applies map-side during the scan at any corpus size.
+    """
+    return (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+
+
+def train_test_split(df: DataFrame, key_col: str, test_frac: float = 0.1,
+                     out_col: str = "split") -> DataFrame:
+    """Assign each row to 'train'/'test' by hash bucket on ``key_col``.
+
+    Split membership is a pure function of the key — stable under corpus
+    growth (new rows don't move old rows between splits), partition layout,
+    and engine. The standard held-out-split recipe for a corpus too large to
+    shuffle-and-slice.
+    """
+    pct = int(round(test_frac * 100))
+    return df.withColumn(
+        out_col,
+        F.when(hash_bucket(key_col, 100) < 100 - pct, F.lit("train"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def rebalance_to_min(df: DataFrame, group_col: str, key_col: str,
+                     precision: int = 10_000) -> DataFrame:
+    """Downsample every group to (approximately) the size of the smallest
+    group — a uniform source mixture — by deterministic hash-thresholding.
+
+    Per group, keep rows whose hash bucket (out of ``precision``) falls
+    below ``floor(min_count * precision / group_count)``. The keep decision
+    is a pure function of (key, group sizes): reproducible across engines
+    and runs, and rows are filtered map-side — the only shuffle is the tiny
+    per-group count aggregation, whose result broadcasts back onto the scan.
+    At 100 TB this is one pass of partial-agg counts plus one filtered pass;
+    no global sort, no per-group shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    floor = counts.agg(F.min("__n").alias("__min_n"))
+    thresholds = counts.crossJoin(F.broadcast(floor)).select(
+        group_col,
+        F.floor(F.col("__min_n") * precision / F.col("__n")).alias("__keep_lt"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .where(hash_bucket(key_col, precision) < F.col("__keep_lt"))
+        .drop("__keep_lt")
+    )

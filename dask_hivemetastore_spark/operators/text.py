@@ -142,3 +142,87 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     identical hex in any engine, so it is the oracle-safe fingerprint; a
     locality-sensitive alternative (SimHash) lives in operators/dedup.py."""
     return df.withColumn(out_col, F.md5(F.lower(F.col(text_col))))
+
+
+# ------------------------------------------------------------ PII redaction
+
+# Redaction rules: (pattern, replacement token), applied in order. SSN before
+# phone so the longer pattern wins its overlap with the shorter one.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    (r"\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Mask emails / SSNs / phone-shaped substrings with typed placeholder
+    tokens, attaching per-rule hit counts (``n_email`` / ``n_ssn`` /
+    ``n_phone``) counted BEFORE replacement.
+
+    Pure chained ``regexp_replace`` — per-row JVM projection inside
+    whole-stage codegen, no shuffle, no Python, so it streams at scan speed
+    over any corpus size. Counts use ``regexp_count`` on the original text
+    so downstream auditing can aggregate redaction volume per source.
+    """
+    redacted = F.col(text_col)
+    for pat, tok in PII_RULES:
+        redacted = F.regexp_replace(redacted, pat, tok)
+    return (
+        df.withColumn("n_email", F.regexp_count(F.col(text_col), F.lit(PII_RULES[0][0])))
+        .withColumn("n_ssn", F.regexp_count(F.col(text_col), F.lit(PII_RULES[1][0])))
+        .withColumn("n_phone", F.regexp_count(
+            # count phones on the SSN-masked text so SSN tails aren't double-counted
+            F.regexp_replace(F.col(text_col), PII_RULES[1][0], PII_RULES[1][1]),
+            F.lit(PII_RULES[2][0]),
+        ))
+        .withColumn(out_col, redacted)
+    )
+
+
+# -------------------------------------------------------------- BM25 ranking
+
+def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                out_col: str = "bm25") -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query ``terms``.
+
+    Plan, scale-first:
+    - term frequencies come from exploding ONLY query-term hits — the
+      ``isin(terms)`` filter runs before the explode's output ever shuffles,
+      so the grouped tf table is |terms| × matching docs, not corpus-sized;
+    - corpus stats (N, avgdl) are one partial-agg scan reduced to a single
+      row and ``crossJoin(broadcast(...))``-ed back (never ``.count()`` on
+      the driver — no extra job, no second scan);
+    - per-term document frequencies aggregate to |terms| rows and broadcast.
+    The idf form is ln(1 + (N - df + 0.5)/(df + 0.5)) (always positive).
+    Scores are rounded to 6 dp so cross-engine float summation agrees.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    docs = df.select(F.col(id_col), words.alias("__ws"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.size("__ws")).alias("__avgdl"),
+    )
+    tf = (
+        docs.select(id_col, F.size("__ws").alias("__dl"),
+                    F.explode("__ws").alias("__term"))
+        .where(F.col("__term").isin(terms))
+        .groupBy(id_col, "__term", "__dl")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    dft = tf.groupBy("__term").agg(
+        F.countDistinct(id_col).cast("double").alias("__dft")
+    )
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__dft") + 0.5)
+                / (F.col("__dft") + 0.5))
+    score = idf * F.col("__tf") * (k1 + 1) / (
+        F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dft), "__term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(score), 6).alias(out_col))
+    )

@@ -838,3 +838,156 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.semdedup_survivors(
         emb, threshold=0.45, n_cells=8, cache_key=f"semdedup:{sf_dir}"
     ).select("vec_id", "label")
+
+
+# ------------------------------------------- splits, redaction, retrieval
+
+
+@query(
+    "train_test_split_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 AS bucket,
+           CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 < 90 THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by md5 hash bucket of the doc
+    key. Split membership is a pure function of the key — identical in any
+    engine (the oracle recomputes it in DuckDB and must agree row-for-row),
+    stable as the corpus grows, and computed map-side with zero shuffle.
+    The per-row assignment is returned so the hash check certifies every
+    single membership decision, not just the aggregate ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.train_test_split(docs, "doc_id", test_frac=0.1).select(
+        "doc_id",
+        curation.hash_bucket("doc_id", 100).alias("bucket"),
+        "split",
+    )
+
+
+@query(
+    "corpus_rebalance_sources",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n,
+                      MIN(COUNT(*)) OVER () AS min_n
+               FROM documents GROUP BY source),
+    kept AS (SELECT d.source, d.doc_id
+             FROM documents d JOIN c USING (source)
+             WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 < FLOOR(c.min_n * 10000 / c.n))
+    SELECT c.source, c.n AS n_before, COUNT(kept.doc_id) AS n_kept
+    FROM c LEFT JOIN kept USING (source)
+    GROUP BY c.source, c.n
+    """,
+)
+def corpus_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform source-mixture rebalancing: every source downsampled to
+    ≈ the smallest source's size by deterministic hash-thresholding
+    (operators/curation.rebalance_to_min). The keep decision is a pure
+    function of (doc_id, group sizes) — the oracle recomputes it and must
+    select the exact same rows. One tiny count agg broadcasts back onto the
+    scan; the corpus itself is filtered map-side, never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    kept = curation.rebalance_to_min(docs, "source", "doc_id").groupBy(
+        "source"
+    ).agg(F.count("*").alias("__k"))
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source", "n_before",
+            F.coalesce(F.col("__k"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "pii_redact_docs",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             CONCAT('contact user', doc_id, '@example.com or 555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' ssn 123-45-6789 ', substr(text, 1, 40)) AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+               '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+      FROM synth)
+    SELECT doc_id, redacted,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\d{3}-\d{2}-\d{4}')) AS n_ssn,
+           len(regexp_extract_all(
+               regexp_replace(text, '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+               '\d{3}-\d{4}')) AS n_phone
+    FROM red
+    """,
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 text hygiene: PII masking. The fixture corpus contains no PII, so
+    the query PLANTS a deterministic email + phone + SSN per document
+    (pure function of doc_id — the oracle synthesizes the identical text),
+    then redacts with typed placeholders and per-rule hit counts. All
+    chained regexp_replace/regexp_count: per-row codegen at scan speed,
+    no shuffle, no Python (operators/text.pii_redact)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 "),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return text.pii_redact(docs).select(
+        "doc_id", "redacted", "n_email", "n_ssn", "n_phone"
+    )
+
+
+@query(
+    "bm25_rank_docs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     AVG(len(ws)) AS avgdl FROM w),
+    tf AS (SELECT doc_id, len(ws) AS dl, t.x AS term,
+                  CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM w, unnest(ws) AS t(x)
+           WHERE t.x IN ('spark', 'hash', 'window')
+           GROUP BY 1, 2, 3),
+    dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dft
+            FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           ROUND(SUM(ln(1.0 + (stats.n - dft.dft + 0.5) / (dft.dft + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))),
+                 6) AS bm25
+    FROM tf JOIN dft USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 retrieval: Okapi BM25 top-10 for the query bag
+    ['spark','hash','window'] (operators/text.bm25_scores). The explode is
+    filtered to query-term hits BEFORE any shuffle, corpus stats reduce to
+    one broadcast row, per-term dfs to |terms| broadcast rows — the corpus
+    is scanned once and never shuffled at corpus size. Deterministic
+    tiebreak (score desc, doc_id asc) keeps the top-10 exactly
+    reproducible; scores round to 6 dp for cross-engine float parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bm25_scores(docs, ["spark", "hash", "window"])
+    return scored.orderBy(F.desc("bm25"), "doc_id").limit(10)

@@ -227,3 +227,21 @@ def test_fuzzy_match_blocks_before_verify(spark):
     df = plans.QUERIES["fuzzy_match_nations"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_and_split_are_shuffle_free(spark):
+    """PII redaction and hash-split are per-row projections — the executed
+    plan must contain no Exchange at all (they stream at scan speed)."""
+    for key in ("pii_redact_docs", "train_test_split_docs"):
+        df = plans.QUERIES[key](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{key} shuffles:\n{plan}"
+
+
+def test_rebalance_broadcasts_thresholds(spark):
+    """Mixture rebalancing joins the corpus to per-group keep-thresholds;
+    the thresholds side is group-cardinality-sized and must broadcast —
+    the corpus itself is never shuffled for the join."""
+    df = plans.QUERIES["corpus_rebalance_sources"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
