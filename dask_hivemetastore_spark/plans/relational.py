@@ -1599,3 +1599,84 @@ def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("median_approx"),
         F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("p95_approx"),
     )
+
+
+# ------------------------------------ mergeable aggregation state (D5/D1)
+
+
+@query("hll_sketch_merge", oracle=None)
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5's production form: Apache DataSketches HLL state persisted and
+    re-merged. Per (day, event_type) sketches (``hll_sketch_agg``) land in
+    parquet as BINARY columns — a materialized, *mergeable* distinct-count
+    state — then a second job unions them per event_type
+    (``hll_union_agg``) and reads off the estimate.
+
+    This is how distinct-counting actually runs at 100 TB: each
+    day/partition aggregates its own fixed-size sketch once (map-side
+    partial, bytes not rows shuffle), and any rollup window — day, month,
+    all-time — is a cheap union of stored sketches with NO rescan of the
+    raw events. Rows-only by design: sketch estimates are engine-specific
+    (no DuckDB twin); ``tests/test_operators.py`` asserts the estimates
+    against exact distinct counts instead."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="hll_") + "/sketches"
+    per_day = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    per_day.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_users_est"),
+            F.count("*").alias("n_sketches_merged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via persisted partial state: the stream of
+    events arrives as two batches (even/odd event_id halves standing in
+    for yesterday/today); each batch reduces to per-group (sum, count)
+    partials appended to a parquet state table; the final answer merges
+    partials — sums add, counts add, avg = merged sum / merged count.
+
+    The point at 100 TB: the raw events are aggregated ONCE per batch at
+    arrival; every later query touches only the group-cardinality-sized
+    state table. The algebra is exactly Spark's own partial/final split
+    (plans/tpch.py q1 plan test), lifted to a *durable* boundary. The
+    oracle recomputes from scratch over the full table — the hash match
+    proves batch-split + merge ≡ single-pass aggregation."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    state_dir = tempfile.mkdtemp(prefix="aggstate_") + "/state"
+    for parity in (0, 1):
+        batch = ev.where(F.col("event_id") % 2 == parity)
+        batch.groupBy("event_type").agg(
+            F.sum("value").alias("part_sum"),
+            F.count("*").alias("part_n"),
+        ).write.mode("append").parquet(state_dir)
+    state = spark.read.parquet(state_dir)
+    return state.groupBy("event_type").agg(
+        F.sum("part_n").alias("n_events"),
+        F.round(F.sum("part_sum"), 2).alias("total_value"),
+        F.round(F.sum("part_sum") / F.sum("part_n"), 6).alias("avg_value"),
+    )

@@ -290,3 +290,26 @@ def test_ivf_probe_indexed_full_probe_equals_brute(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert probed == brute
+
+
+def test_hll_sketch_estimates_near_exact(spark, sf_dir):
+    """The persisted-and-merged HLL estimates must agree with exact
+    distinct counts to within sketch error (<2% at lgK=12; at this
+    cardinality, ~exact)."""
+    from dask_hivemetastore_spark import plans
+    from dask_hivemetastore_spark.catalog import load_table
+
+    est = {
+        r["event_type"]: r["n_users_est"]
+        for r in plans.QUERIES["hll_sketch_merge"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(2, 0.02 * exact[k]), (k, e, exact[k])
