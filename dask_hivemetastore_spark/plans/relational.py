@@ -1680,3 +1680,142 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("part_sum"), 2).alias("total_value"),
         F.round(F.sum("part_sum") / F.sum("part_n"), 6).alias("avg_value"),
     )
+
+
+# ------------------------------------------------- CDC / layout / sampling
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                  WHEN o_orderkey % 10 IN (1, 2) THEN 'U' END AS op,
+             o_totalprice * 1.1 AS new_price
+      FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)),
+    ins AS (
+      SELECT o_orderkey + 3000000 AS k, 'I' AS op,
+             o_totalprice / 2 AS new_price,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 3),
+    applied AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             COALESCE(c.new_price, o.o_totalprice) AS price
+      FROM orders o LEFT JOIN chg c ON o.o_orderkey = c.k
+      WHERE c.op IS DISTINCT FROM 'D'
+      UNION ALL
+      SELECT k, o_orderstatus, new_price FROM ins)
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(price), 2) AS total_price
+    FROM applied GROUP BY 1
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply: a change feed with typed ops — D(elete),
+    U(pdate), I(nsert) — applied to a base table in one pass. Deletes and
+    updates resolve through a single left join on the key (NULL op =
+    untouched, 'D' filtered, 'U' price coalesced); inserts union in after.
+
+    Scale shape: ONE equi-join of base against the (always far smaller)
+    change batch — broadcast when the batch fits, shuffle-hash otherwise —
+    plus a union; no window, no global sort, no driver loop. This is the
+    standard lakehouse upsert plan (what MERGE INTO lowers to). The change
+    feed is synthesized deterministically from orders so the oracle can
+    rebuild the identical feed and certify the applied state."""
+    orders = load_table(spark, sf_dir, "orders")
+    mod = F.col("o_orderkey") % 10
+    chg = orders.where(mod.isin(0, 1, 2)).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(mod == 0, "D").otherwise("U").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+    )
+    ins = orders.where(mod == 3).select(
+        (F.col("o_orderkey") + 3_000_000).alias("o_orderkey"),
+        "o_orderstatus",
+        (F.col("o_totalprice") / 2).alias("price"),
+    )
+    applied = (
+        orders.join(chg, orders.o_orderkey == chg.k, "left")
+        .where(F.coalesce(F.col("op") != "D", F.lit(True)))
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.coalesce("new_price", "o_totalprice").alias("price"),
+        )
+        .unionByName(ins)
+    )
+    return applied.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "sample_k_per_group",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 50
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank rows inside each
+    group by the md5 of their key (a uniform, engine-portable pseudo-random
+    order) and keep the first 50. Unlike ``rand()`` reservoir sampling the
+    selection is reproducible across engines/runs/partitionings — the
+    oracle re-derives the identical 50 ids per source — and unlike
+    ``sample(fraction)`` the per-group size is exact. One shuffle on the
+    group key; the window's top-k applies during the sort, so at 100 TB
+    this is the partition-parallel 'take a pinned eval slice per domain'
+    op."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 50)
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "sorted_layout_roundtrip",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04'
+    GROUP BY 1, 2
+    """,
+)
+def sorted_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-layout optimization: rewrite events range-partitioned AND
+    sorted by ``ts`` (``repartitionByRange`` + ``sortWithinPartitions``),
+    then answer a time-slice query from the rewritten copy.
+
+    Why this layout wins at 100 TB: parquet stores per-row-group min/max
+    stats; with rows time-clustered, a ``ts`` predicate prunes whole files
+    (range partitioning ⇒ most files' ranges miss) and whole row groups
+    inside surviving files — I/O proportional to the slice, not the table.
+    Unsorted data defeats both prunings (every row group spans the full
+    range). The oracle answers from the original source, so the hash match
+    certifies the rewrite lost/duplicated nothing."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="sorted_") + "/events_sorted"
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(
+        (F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+    )
+    return back.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
