@@ -77,11 +77,13 @@ _CERTIFICATION_PRIORITY = [
     # K3: similarity search
     "embedding_near_pairs",
     "knn_cosine_topk",
-    # K4: text analysis
+    # K4: text analysis (lang_id_docs / doc_fingerprint rotate out this
+    # round — same family, certified by these two representatives)
     "text_stats_docs",
-    "lang_id_docs",
-    "doc_fingerprint",
     "tfidf_top_terms",
+    # K8 (round 2): splits + hygiene — new family, needs a first driver row
+    "train_test_split_docs",
+    "pii_redact_docs",
     # K7 (round 2): corpus curation
     "repetition_score_docs",
     "domain_cap_docs",
