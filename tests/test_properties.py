@@ -167,3 +167,49 @@ def test_prefix_filter_is_lossless(spark, texts, threshold):
             if inter and inter / (len(ga) + len(gb) - inter) >= threshold:
                 expect.add((a, b))
     assert got == expect, (sorted(got), sorted(expect), texts)
+
+
+ids_st = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True
+)
+
+
+@SETTINGS
+@given(ids=ids_st, extra=st.lists(
+    st.integers(min_value=10_001, max_value=20_000), max_size=10, unique=True))
+def test_hash_split_stable_under_growth(spark, ids, extra):
+    """A row's train/test membership is a pure function of its key: adding
+    new rows to the corpus must never move an existing row between splits
+    (the property rand()-based splits lack)."""
+    from dask_hivemetastore_spark.operators.curation import train_test_split
+
+    base = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    grown = spark.createDataFrame([(i,) for i in ids + extra], "doc_id: long")
+    s1 = {r["doc_id"]: r["split"] for r in train_test_split(base, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in train_test_split(grown, "doc_id").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+
+
+@SETTINGS
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5_000),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=3, max_size=60, unique_by=lambda t: t[0]))
+def test_rebalance_never_exceeds_min_group(spark, rows):
+    """rebalance_to_min's kept count per group is bounded: the hash
+    threshold admits at most ~min_count-proportional mass, and the smallest
+    group is never upsampled (kept <= its own size)."""
+    from dask_hivemetastore_spark.operators.curation import rebalance_to_min
+
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    sizes = {r["source"]: r["n"] for r in
+             df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    min_n = min(sizes.values())
+    kept = {r["source"]: r["n"] for r in
+            rebalance_to_min(df, "source", "doc_id")
+            .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in kept.items():
+        assert n <= sizes[src]
+        # hash thresholding is probabilistic around the target; bound by
+        # the group's admissible ceiling rather than min_n exactly
+        assert n <= sizes[src] * (min_n / sizes[src]) + 10
