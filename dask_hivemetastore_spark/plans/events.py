@@ -475,3 +475,30 @@ def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("current"),
         ).alias("valid_to"),
     )
+
+
+@query(
+    "variant_extract_props",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 7 AS k_mod,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-variant: the Spark 4 VARIANT path for semi-structured data —
+    ``parse_json`` ingests the props JSON once into the binary Variant
+    encoding, ``variant_get`` then extracts typed paths without re-parsing
+    the string per access. At 100 TB this is the preferred layout for
+    ragged JSON: parse once at ingest, store the variant column in
+    parquet (shredded in Spark 4), and every downstream path access is a
+    binary seek instead of a string parse (`get_json_object` re-parses per
+    call — see ``json_extract_props`` for that legacy form). The oracle
+    extracts the same field with a regex, avoiding DuckDB's JSON
+    extension."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.groupBy((k % 7).alias("k_mod")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )

@@ -1819,3 +1819,32 @@ def sorted_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+@query(
+    "xml_parse_orders",
+    oracle="""
+    SELECT o_orderpriority      AS priority,
+           COUNT(*)             AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def xml_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-xml: ``from_xml`` (built into Spark 4 — no spark-xml package)
+    round-trip: serialize two order fields into an XML fragment, parse
+    them back with a declared schema, aggregate on the parsed struct.
+    Mirrors ``csv_roundtrip_agg``'s pattern for feeds that arrive as XML
+    documents: the parse is JVM-side (StaxXmlParser), stays inside
+    whole-stage codegen's pipeline, and never touches Python. The oracle
+    aggregates the source columns directly — parse-then-aggregate must be
+    lossless."""
+    orders = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><p>"), F.col("o_orderpriority"), F.lit("</p><t>"),
+        F.col("o_totalprice").cast("string"), F.lit("</t></o>"),
+    )
+    parsed = orders.select(F.from_xml(xml, "p STRING, t DOUBLE").alias("x"))
+    return parsed.groupBy(F.col("x.p").alias("priority")).agg(
+        F.count("*").alias("n"), F.round(F.sum("x.t"), 2).alias("total")
+    )

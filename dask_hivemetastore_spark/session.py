@@ -24,9 +24,24 @@ from pyspark.sql import SparkSession
 #    the scan fails with PARQUET_TYPE_ILLEGAL on Spark 4.
 #  - session timeZone UTC: `timestamp_micros()` → NTZ casts must not shift
 #    wall-clock values relative to the DuckDB oracle (which is tz-naive).
+#  - excludedRules InferFiltersFromGenerate: that rule infers
+#    `size(arr) > 0 AND isnotnull(arr)` from every explode and pushes it
+#    below any exchange toward the scan; alias substitution re-expands the
+#    array expression inside the pushed filter, so an n-gram
+#    `transform(..., i -> concat_ws(split(text)[i..]))` is re-evaluated with
+#    `split(text)` inlined PER ARRAY ELEMENT — the O(words²) projection-
+#    collapse pathology (PERF.md) resurrected via predicate pushdown, and an
+#    exchange barrier cannot stop it (filters push through exchanges).
+#    Measured: decontaminate_docs 9.0 s → 3.1 s at sf0.1. The rule's upside
+#    (skipping rows whose array is empty before the Generate) is ~0 on this
+#    engine's corpora, where the empty-gram case is already filtered
+#    explicitly (`size(__ws) >= n`). Runtime-settable, so driver-built
+#    sessions get it via ensure_runtime_confs too.
 REQUIRED_RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 DEFAULT_CONFS = {
