@@ -55,3 +55,34 @@ def save_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "object"],
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> dict[str, object]:
+    """Write parquet and collect named QC metrics IN THE SAME PASS.
+
+    ``metrics`` maps names to aggregate Columns (``F.count``, ``F.sum``,
+    ``F.avg``, ``approx_count_distinct`` …) evaluated by Spark's
+    ``Observation`` mechanism as rows stream through the write — no second
+    scan. At 100 TB, the naive "write, then re-read to compute row counts /
+    null rates for the manifest" doubles the pipeline's I/O; an observed
+    write makes the QC manifest free. Returns the observed values.
+
+    Constraint (Spark's, worth knowing): observed metrics must be
+    aggregates over the observed plan node and at most one action may
+    consume them; this helper owns that action (the write).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    w = observed.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return obs.get

@@ -659,3 +659,28 @@ def stream_foreach_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     q.awaitTermination()
     q.stop()
     return spark.read.parquet(f"{out_dir}/data")
+
+
+# ------------------------------------------- state-store observability
+
+
+def read_query_state(spark: SparkSession, checkpoint: str, **options: str) -> DataFrame:
+    """Read a streaming query's state store as a batch DataFrame (Spark 4
+    State Data Source, format ``statestore``).
+
+    Returns ``key`` / ``value`` structs per state row (plus
+    ``partition_id``). This is the operational answer to "what does my
+    stream currently believe": state inspection, state-size audits, and
+    offline repair pipelines all become plain DataFrame queries against the
+    checkpoint — no replay of the input. Options pass through (e.g.
+    ``batchId`` for time travel to an earlier micro-batch,
+    ``storeName``/``joinSide`` for stream-stream join state).
+
+    Scale note: the source shards by state-store partition, so reading a
+    1000-partition RocksDB state is a 1000-task parallel scan, not a
+    driver walk.
+    """
+    reader = spark.read.format("statestore")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(checkpoint)

@@ -245,3 +245,50 @@ def test_rebalance_broadcasts_thresholds(spark):
     df = plans.QUERIES["corpus_rebalance_sources"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """AQE's runtime bloom filter: a selective filter on the build side of a
+    shuffle join injects `bloom_filter_agg` over the build keys and a
+    `might_contain` probe into the big side's scan — rows that cannot join
+    are dropped BEFORE the shuffle. At 100 TB this is the difference between
+    shuffling the full fact table and shuffling only the ~selectivity
+    fraction that survives; the knob is
+    `spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold`
+    (default 10 GB — local testdata never reaches it, hence 0 here; on a
+    real cluster the default triggers exactly when the shuffle saving
+    matters)."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = _explain(j)
+        assert "bloom_filter_agg" in plan.lower() or "bloomfilter" in plan.lower()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

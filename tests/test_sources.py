@@ -259,3 +259,33 @@ def test_thin_catalog_scan_planning_scales(spark, tmp_path):
     assert n_scan == n_union == nparts
     # generous margin to keep CI stable; measured gap is ~10x+
     assert t_scan < t_union / 2, (t_scan, t_union)
+
+
+def test_write_parquet_observed_single_pass(spark, tmp_path):
+    """The observed write's QC metrics equal a recompute over the written
+    files — and they were produced without a second scan of the input."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.sources.writers import write_parquet_observed
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "observed")
+    got = write_parquet_observed(
+        docs,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.count_if(F.col("text").isNull()),
+            "total_chars": F.sum(F.length("text")),
+        },
+    )
+    back = spark.read.parquet(out).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("text").isNull()).alias("n_null_text"),
+        F.sum(F.length("text")).alias("total_chars"),
+    ).collect()[0]
+    assert got["n_rows"] == back["n_rows"] > 0
+    assert got["n_null_text"] == back["n_null_text"]
+    assert got["total_chars"] == back["total_chars"]

@@ -237,3 +237,42 @@ def test_rocksdb_state_store_provider(spark):
         else:
             spark.conf.set(conf, old)
     assert rocks == baseline and len(rocks) > 0
+
+
+def test_state_store_reader_matches_counts(spark, tmp_path):
+    """The statestore batch source reads back exactly the per-key state a
+    drained streaming aggregation left in its checkpoint — state
+    observability without replaying the stream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from dask_hivemetastore_spark.streaming.pipeline import read_query_state
+
+    src = tmp_path / "state_src"
+    src.mkdir()
+    _write_batch(str(src), 1, [(1, 10), (1, 11), (2, 10)])
+    _write_batch(str(src), 2, [(2, 12), (3, 13)])
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+    ckpt = str(tmp_path / "state_ckpt")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(str(src) + "/*.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("state_reader_counts")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    state = read_query_state(spark, ckpt)
+    got = sorted(
+        (r["key"]["user_id"], r["value"]["count"]) for r in state.collect()
+    )
+    assert got == [(1, 2), (2, 2), (3, 1)]
