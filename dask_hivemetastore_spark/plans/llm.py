@@ -991,3 +991,30 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = text.bm25_scores(docs, ["spark", "hash", "window"])
     return scored.orderBy(F.desc("bm25"), "doc_id").limit(10)
+
+
+@query(
+    "collated_distinct_words",
+    oracle="""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT COUNT(DISTINCT lower(word)) AS n_ci,
+           COUNT(DISTINCT word)        AS n_cs
+    FROM w WHERE word <> ''
+    """,
+)
+def collated_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: ``collate(col, 'UTF8_LCASE')`` makes
+    case-insensitivity a property of the TYPE, so every downstream
+    comparison/group/join/distinct on that column is case-insensitive
+    JVM-side — no ``lower()`` wrapping at each use site, and the collation
+    survives into shuffles and joins. Here: corpus vocabulary size under
+    case-insensitive vs. binary collation (the fixture's words are ASCII,
+    so the oracle's ``lower()`` is an exact stand-in for LCASE folding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return words.agg(
+        F.count_distinct(F.collate("word", "UTF8_LCASE")).alias("n_ci"),
+        F.count_distinct("word").alias("n_cs"),
+    )

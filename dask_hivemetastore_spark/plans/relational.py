@@ -1848,3 +1848,86 @@ def xml_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(F.col("x.p").alias("priority")).agg(
         F.count("*").alias("n"), F.round(F.sum("x.t"), 2).alias("total")
     )
+
+
+@query(
+    "lateral_top_lineitems",
+    oracle="""
+    SELECT big.o_orderkey, big.o_totalprice, t.l_extendedprice
+    FROM (SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 5) big,
+         LATERAL (SELECT l_extendedprice FROM lineitem
+                  WHERE l_orderkey = big.o_orderkey
+                  ORDER BY l_extendedprice DESC LIMIT 2) t
+    """,
+)
+def lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 ``DataFrame.lateralJoin``): for
+    each of the 5 priciest orders, the 2 most expensive lineitems. The
+    lateral form evaluates the correlated top-k per outer row — the right
+    tool when the outer side is tiny (vs. a window rank over the whole
+    fact table, which is the scale path when every group is needed; see
+    ``topn_parts_per_brand`` for that twin). Ordering ties on
+    ``l_extendedprice`` are harmless: the projected output is the price
+    itself, so any tie choice yields the same multiset."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(5)
+        .select("o_orderkey", "o_totalprice")
+    )
+    top_li = (
+        li.where(F.col("l_orderkey") == F.col("o_orderkey").outer())
+        .orderBy(F.desc("l_extendedprice"))
+        .limit(2)
+        .select("l_extendedprice")
+    )
+    return big.lateralJoin(top_li)
+
+
+@query(
+    "recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE spine(m) AS (
+        SELECT DATE '1996-01-01'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < DATE '1997-12-01'
+    )
+    SELECT strftime(m, '%Y-%m') AS month, COUNT(o.o_orderkey) AS n_urgent
+    FROM spine s LEFT JOIN orders o
+      ON date_trunc('month', o.o_orderdate) = s.m
+     AND o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): generate the complete month spine of
+    the order-date range — including months with zero matching orders —
+    then left-join urgent-order counts onto it. Zero-filled calendar spines
+    are the canonical WITH RECURSIVE use (a bare GROUP BY silently drops
+    empty months); the window is pinned to 24 months because every
+    recursion level costs one plan segment (~150 ms of fixed overhead
+    locally — depth, not data volume, is what recursion prices), and
+    ``spark.sql.cteRecursionLevelLimit`` (100 default) bounds it. For
+    unbounded-depth graph closure, iterative checkpointed propagation
+    (``operators/dedup.py:connected_components``) remains the 100 TB path."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT TIMESTAMP '1996-01-01'
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM spine
+            WHERE m < TIMESTAMP '1997-12-01'
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               COUNT(o.o_orderkey)         AS n_urgent
+        FROM spine s LEFT JOIN __orders_rec o
+          ON date_trunc('MONTH', o.o_orderdate) = s.m
+         AND o.o_orderpriority = '1-URGENT'
+        GROUP BY 1
+        """
+    )

@@ -294,3 +294,40 @@ def map_arrow_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInArrow(
         add_net, "l_orderkey bigint, l_linenumber int, net_price double"
     )
+
+
+@query(
+    "grouped_arrow_minmax",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           COUNT(*)       AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def grouped_arrow_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 variant on the Spark 4 Arrow-native grouped map
+    (``applyInArrow``): the group arrives as a ``pyarrow.Table`` — no
+    pandas conversion, no NumPy copy, the fastest Python grouped path
+    when the logic can stay in Arrow compute kernels. Same executor-memory
+    caveat as applyInPandas: one group must fit; pre-aggregate or window
+    when it cannot."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def minmax(tbl: pa.Table) -> pa.Table:
+        bal = tbl["c_acctbal"]
+        return pa.table(
+            {
+                "segment": [tbl["c_mktsegment"][0].as_py()],
+                "min_bal": [pc.min(bal).as_py()],
+                "max_bal": [pc.max(bal).as_py()],
+                "n": pa.array([tbl.num_rows], pa.int64()),
+            }
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").applyInArrow(
+        minmax, "segment string, min_bal double, max_bal double, n bigint"
+    )
