@@ -68,25 +68,30 @@ _CERTIFICATION_PRIORITY = [
     "training_corpus_pipeline",
     "cogrouped_map_ratio",
     "udtf_bigrams",
-    # K1–K2: dedup family
+    # K1–K2: dedup family (dedup_embedding_components rotates out — its
+    # tiled similar_pairs core is certified by embedding_near_pairs and its
+    # components loop by dedup_near_survivors)
     "dedup_exact",
     "dedup_near",
     "dedup_near_minhash",
     "dedup_near_survivors",
-    "dedup_embedding_components",
     # K3: similarity search
     "embedding_near_pairs",
     "knn_cosine_topk",
-    # K4: text analysis (lang_id_docs / doc_fingerprint rotate out this
-    # round — same family, certified by these two representatives)
+    # K4: text analysis (lang_id_docs / doc_fingerprint / tfidf_top_terms
+    # rotate out this round — same family, certified by this representative)
     "text_stats_docs",
-    "tfidf_top_terms",
+    # Spark-4 surface families added late in round 2 — each needs its
+    # first hard driver row (swapped in for K4/K7/K2 family siblings)
+    "variant_extract_props",
+    "xml_parse_orders",
+    "lateral_top_lineitems",
+    "collated_distinct_words",
     # K8 (round 2): splits + hygiene — new family, needs a first driver row
     "train_test_split_docs",
     "pii_redact_docs",
-    # K7 (round 2): corpus curation
-    "repetition_score_docs",
-    "domain_cap_docs",
+    # K7 (round 2): corpus curation (repetition_score_docs / domain_cap_docs
+    # rotate out — family keeps these two representatives)
     "decontaminate_docs",
     "quality_percentile_gate",
     # K5: multimodal
