@@ -295,3 +295,37 @@ def rebalance_to_min(df: DataFrame, group_col: str, key_col: str,
         .where(hash_bucket(key_col, precision) < F.col("__keep_lt"))
         .drop("__keep_lt")
     )
+
+
+def rebalance_temperature(df: DataFrame, group_col: str, key_col: str,
+                          alpha: float = 0.5,
+                          precision: int = 10_000) -> DataFrame:
+    """Temperature-smoothed source mixture (sampling weight ∝ n^``alpha``,
+    the multilingual-corpus recipe; XLM-R / mT5 use α ≈ 0.3–0.7): keep
+    fraction per group is ``(min_n / n)^(1-alpha)`` — ``alpha=1`` keeps
+    everything (natural mixture), ``alpha=0`` degenerates to
+    :func:`rebalance_to_min` (uniform mixture), in between big sources are
+    damped without flattening them. No group is upsampled; the smallest
+    group is kept whole.
+
+    Same scale shape as :func:`rebalance_to_min`: a tiny count aggregate
+    broadcasts back onto the scan and rows are filtered map-side by the
+    deterministic md5 bucket of the key — reproducible across engines,
+    no corpus shuffle. ``alpha=0.5`` routes through ``sqrt`` (correctly
+    rounded per IEEE-754, unlike ``pow``) so the floor'd threshold is
+    bit-identical in any oracle engine.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    floor_n = counts.agg(F.min("__n").alias("__min_n"))
+    ratio = F.col("__min_n") / F.col("__n")
+    frac = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    thresholds = counts.crossJoin(F.broadcast(floor_n)).select(
+        group_col, F.floor(frac * precision).alias("__keep_lt")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .where(hash_bucket(key_col, precision) < F.col("__keep_lt"))
+        .drop("__keep_lt")
+    )

@@ -269,7 +269,10 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
     train = train_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    # coarse quantizers don't need convergence (FAISS trains IVF with ~10
+    # iters); 8 halves the fit cost vs 20 with recall unchanged on the
+    # fixture (test_ivf_topk_recall)
+    model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(train)
     C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
     norms = np.linalg.norm(C, axis=1, keepdims=True)
     C = C / np.clip(norms, 1e-12, None)

@@ -1018,3 +1018,37 @@ def collated_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.collate("word", "UTF8_LCASE")).alias("n_ci"),
         F.count_distinct("word").alias("n_cs"),
     )
+
+
+@query(
+    "corpus_rebalance_temperature",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n,
+                      MIN(COUNT(*)) OVER () AS min_n
+               FROM documents GROUP BY source),
+    kept AS (SELECT d.source, d.doc_id
+             FROM documents d JOIN c USING (source)
+             WHERE CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 < FLOOR(SQRT(CAST(c.min_n AS DOUBLE) / c.n) * 10000))
+    SELECT c.source, c.n AS n_before, COUNT(kept.doc_id) AS n_kept
+    FROM c LEFT JOIN kept USING (source)
+    GROUP BY c.source, c.n
+    """,
+)
+def corpus_rebalance_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8: temperature-smoothed mixture at α=0.5 — big sources damped to
+    ∝√n, smallest source kept whole (operators/curation.
+    rebalance_temperature). Every keep decision is a pure function of
+    (doc_id, group sizes); the oracle recomputes the same md5 thresholding
+    and must select the exact same rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_before"))
+    kept = curation.rebalance_temperature(docs, "source", "doc_id", alpha=0.5)
+    kept_n = kept.groupBy("source").agg(F.count("*").alias("__k"))
+    return (
+        counts.join(kept_n, "source", "left")
+        .select(
+            "source", "n_before",
+            F.coalesce(F.col("__k"), F.lit(0)).alias("n_kept"),
+        )
+    )

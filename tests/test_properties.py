@@ -213,3 +213,34 @@ def test_rebalance_never_exceeds_min_group(spark, rows):
         # hash thresholding is probabilistic around the target; bound by
         # the group's admissible ceiling rather than min_n exactly
         assert n <= sizes[src] * (min_n / sizes[src]) + 10
+
+
+@SETTINGS
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5_000),
+              st.sampled_from(["a", "b", "c"])),
+    min_size=3, max_size=60, unique_by=lambda t: t[0]))
+def test_rebalance_temperature_bounds(spark, rows):
+    """Temperature sampling never upsamples, keeps the smallest group
+    whole, and interpolates: every row kept at alpha=0.5 is also kept at
+    alpha=1 (thresholds grow monotonically with alpha)."""
+    from dask_hivemetastore_spark.operators.curation import rebalance_temperature
+
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    sizes = {r["source"]: r["n"] for r in
+             df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    min_n = min(sizes.values())
+    half = {r["doc_id"] for r in
+            rebalance_temperature(df, "source", "doc_id", alpha=0.5).collect()}
+    full = {r["doc_id"] for r in
+            rebalance_temperature(df, "source", "doc_id", alpha=1.0).collect()}
+    kept_by_src = {s: 0 for s in sizes}
+    for did, src in rows:
+        if did in half:
+            kept_by_src[src] += 1
+    for src, n in sizes.items():
+        assert kept_by_src[src] <= n
+        if n == min_n:
+            assert kept_by_src[src] == n  # smallest source kept whole
+    assert half <= full
+    assert len(full) == len(rows)  # alpha=1 is the natural mixture
