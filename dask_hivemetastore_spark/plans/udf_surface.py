@@ -331,3 +331,49 @@ def grouped_arrow_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").applyInArrow(
         minmax, "segment string, min_bal double, max_bal double, n bigint"
     )
+
+
+@query(
+    "udtf_polymorphic_firstwords",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents WHERE doc_id % 97 = 0)
+    SELECT doc_id,
+           words[1] AS word_1,
+           words[2] AS word_2,
+           words[3] AS word_3
+    FROM w
+    """,
+)
+def udtf_polymorphic_firstwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 polymorphic table function: the UDTF's ``analyze()`` hook (Spark
+    4) computes the OUTPUT SCHEMA from the call's literal arguments at plan
+    time — here ``first_words(text, 3)`` declares columns word_1..word_3.
+    This is how a table function family (parse_csv(n), top_k(k),
+    struct-flatteners) exposes one name instead of one registration per
+    arity, while Catalyst still sees a fully resolved static schema —
+    column pruning and downstream resolution work exactly as for a fixed
+    UDTF."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstWordsUDTF:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(k.value):
+                schema = schema.add(f"word_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            words = text.split(" ")
+            yield tuple(words[i] if i < len(words) else None for i in range(k))
+
+    spark.udtf.register("first_words", udtf(FirstWordsUDTF))
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
+    docs.createOrReplaceTempView("_udtf_poly_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.* FROM _udtf_poly_docs d, "
+        "LATERAL first_words(d.text, 3) t"
+    )

@@ -107,3 +107,80 @@ def make_stream_source():
 
 def register_stream(spark) -> None:
     spark.dataSource.register(make_stream_source())
+
+
+def make_jsonl_sink():
+    """Build the ``pyjsonl`` batch SINK classes (Spark 4 Python
+    DataSourceWriter) — the write-side twin of the reader above, i.e. the
+    modern extension point for teaching Spark a destination it doesn't
+    know (REST ingest endpoints, bespoke stores).
+
+    Commit protocol is the real content: each task writes its partition to
+    a UNIQUE temp-suffixed file and returns a WriterCommitMessage naming
+    it; the driver's ``commit(messages)`` renames all parts into place and
+    stamps a manifest, ``abort`` removes strays. Task retries/speculation
+    therefore never produce duplicate or torn output — exactly the
+    two-phase contract FileFormatWriter gives built-in sinks, reproduced
+    at the Python layer. Closure-local classes for the same pickle-by-value
+    reason as :func:`make_stream_source`.
+    """
+    import json
+    import os
+    import uuid
+
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    @dataclass
+    class PartFile(WriterCommitMessage):
+        tmp_path: str
+        final_path: str
+        n_rows: int
+
+    class JsonlWriter(DataSourceWriter):
+        def __init__(self, options) -> None:
+            self.path = options["path"]
+
+        def write(self, iterator) -> "PartFile":
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            tmp = f"{final}.{uuid.uuid4().hex}.tmp"
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return PartFile(tmp_path=tmp, final_path=final, n_rows=n)
+
+        def commit(self, messages) -> None:
+            total = 0
+            for m in messages:
+                os.replace(m.tmp_path, m.final_path)
+                total += m.n_rows
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                json.dump({"n_rows": total, "n_files": len(messages)}, f)
+
+        def abort(self, messages) -> None:
+            for m in messages:
+                try:
+                    os.remove(m.tmp_path)
+                except FileNotFoundError:
+                    pass
+
+    class JsonlSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pyjsonl"
+
+        def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+            return JsonlWriter(self.options)
+
+    return JsonlSinkDataSource
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(make_jsonl_sink())

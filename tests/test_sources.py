@@ -289,3 +289,32 @@ def test_write_parquet_observed_single_pass(spark, tmp_path):
     assert got["n_rows"] == back["n_rows"] > 0
     assert got["n_null_text"] == back["n_null_text"]
     assert got["total_chars"] == back["total_chars"]
+
+
+def test_python_datasource_sink_roundtrip(spark, tmp_path):
+    """The pyjsonl Python-DataSource sink commits per-task part files
+    atomically (two-phase rename) and the written corpus reads back
+    identically."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.sources.pyds import register_jsonl_sink
+    from .conftest import SF_SMOKE
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "jsonl_sink")
+    nations = load_table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    nations.write.format("pyjsonl").option("path", out).mode("append").save()
+
+    manifest = json.load(open(f"{out}/_MANIFEST.json"))
+    assert manifest["n_rows"] == 25
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    assert back.count() == 25
+    got = sorted((r.n_nationkey, r.n_name) for r in back.collect())
+    want = sorted((r.n_nationkey, r.n_name) for r in nations.collect())
+    assert got == want
+    # no stray temp files survive the commit
+    import os
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
