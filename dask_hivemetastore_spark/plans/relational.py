@@ -1931,3 +1931,72 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@query(
+    "pandas_api_groupby",
+    oracle="""
+    SELECT o_orderstatus                    AS status,
+           COUNT(*)                         AS n,
+           ROUND(AVG(o_totalprice), 4)      AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (``pyspark.pandas``) — the direct counterpart of
+    the reference's Dask-dataframe dialect: a user migrating from
+    ``dd.read_parquet(...).groupby(...).agg(...)`` keeps that exact shape
+    and gets a Catalyst plan underneath (``to_spark`` exposes it — same
+    partial+final hash aggregate as the native ``groupBy``; the pandas
+    layer adds plan nodes, not a different execution). The escape hatch in
+    both directions (`to_spark` / `pandas_api`) means the two dialects mix
+    freely in one pipeline."""
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    g = (
+        psdf.groupby("o_orderstatus")
+        .agg(n=("o_orderkey", "count"), avg_price=("o_totalprice", "mean"))
+        .reset_index()
+    )
+    sdf = g.to_spark()
+    return sdf.select(
+        F.col("o_orderstatus").alias("status"),
+        "n",
+        F.round("avg_price", 4).alias("avg_price"),
+    )
+
+
+@query(
+    "try_arithmetic_safety",
+    oracle="""
+    SELECT COUNT(*)                                          AS n,
+           COUNT(*) - COUNT(l_extendedprice / NULLIF(l_quantity - 10, 0))
+                                                             AS n_div_null,
+           ROUND(SUM(l_extendedprice / NULLIF(l_quantity - 10, 0)), 2)
+                                                             AS ratio_sum,
+           COUNT(TRY_CAST(substr(strftime(l_shipdate, '%Y-%m-%d'), 1, 4) AS INTEGER))
+                                                             AS n_year_castable,
+           COUNT(TRY_CAST(l_returnflag AS INTEGER))          AS n_flag_castable
+    FROM lineitem
+    """,
+)
+def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety valves: Spark 4 runs with ANSI SQL semantics ON —
+    division by zero / overflow / bad casts RAISE by default instead of
+    silently corrupting. The ``try_*`` family opts specific expressions
+    back into null-on-error, which is what a 100 TB ingest of dirty data
+    wants: one malformed row yields a NULL to count and quarantine, not a
+    dead 6-hour job. The oracle mirrors ``try_divide`` with
+    ``NULLIF``-guarded division and DuckDB's own ``TRY_CAST``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide("l_extendedprice", F.col("l_quantity") - 10)
+    year = F.substring(F.col("l_shipdate").cast("string"), 1, 4).try_cast("int")
+    flag = F.col("l_returnflag").try_cast("int")
+    return li.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count(ratio)).alias("n_div_null"),
+        F.round(F.sum(ratio), 2).alias("ratio_sum"),
+        F.count(year).alias("n_year_castable"),
+        F.count(flag).alias("n_flag_castable"),
+    )
