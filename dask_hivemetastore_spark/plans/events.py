@@ -502,3 +502,63 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy((k % 7).alias("k_mod")).agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
     )
+
+
+@query(
+    "sessionize_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL '45 minutes'
+                         ELSE INTERVAL '15 minutes' END AS ends
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN MAX(ends) OVER w IS NULL OR ts >= MAX(ends) OVER w
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 session windows with a PER-EVENT gap (``session_window`` accepts a
+    Column): purchases hold the session open 45 min, everything else 15 min
+    — the "checkout keeps the visit alive" shape real clickstream
+    sessionization needs. Each event contributes the interval
+    [ts, ts + its own gap); Spark merges overlapping intervals per key, so
+    a session closes only when the next event starts at/after the RUNNING
+    MAX of prior ends — which is exactly what the gaps-and-islands oracle
+    computes (``MAX(ends) OVER (... AND 1 PRECEDING)``; the fixed-gap
+    oracle's simple LAG is not enough here, because a long-gap event can
+    outlast several short-gap successors). Same single-shuffle plan as the
+    fixed-gap form; works identically under Structured Streaming
+    watermarks."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("45 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -2000,3 +2000,66 @@ def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(year).alias("n_year_castable"),
         F.count(flag).alias("n_flag_castable"),
     )
+
+
+@query(
+    "parameterized_sql_orders",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*)                    AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def parameterized_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4): ``spark.sql(text, args=...)`` binds
+    named parameters server-side — ``:cutoff`` arrives as a typed literal
+    (a Python ``date`` stays a DATE, so the parquet min/max pushdown still
+    prunes), and ``IDENTIFIER(:tbl)`` resolves a *name* position safely —
+    the injection-proof way to template one audited query text over many
+    tables/dates in a 100 TB pipeline. ``GROUP BY ALL`` groups by every
+    non-aggregate select item. The oracle is the fully-inlined equivalent."""
+    import datetime
+
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               COUNT(*)                    AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderdate >= :cutoff
+        GROUP BY ALL
+        """,
+        args={"tbl": "orders", "cutoff": datetime.date(1997, 1, 1)},
+    )
+
+
+@query(
+    "paginate_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 + pagination: ``offset(10).limit(10)`` — page 2 of a
+    deterministically ordered result (tie-broken on the key). Spark plans
+    this as a single ``TakeOrderedAndProject(limit=20, offset=10)``: each
+    partition keeps only its local top-20 heap, the driver merges and
+    drops the first 10 — no global sort, no shuffle of anything beyond
+    20 rows per partition, which is why ORDER BY + LIMIT/OFFSET pagination
+    is safe at 100 TB as long as the page depth stays bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(10)
+    )
