@@ -1,0 +1,94 @@
+"""Multi-dimensional clustered layouts (Z-order).
+
+Single-dim sort-clustering (``sorted_layout_roundtrip``) makes parquet
+min/max stats prune perfectly on the sort key and not at all on any other
+column. Z-ordering interleaves the bits of several quantized keys into one
+cluster key, so each file's bounding box is small in EVERY interleaved
+dimension — a predicate on any one of them (or any combination) skips most
+files. This is the standard multi-dim layout for 100 TB lakehouse tables
+(Delta/Iceberg ``OPTIMIZE ZORDER BY``), reproduced here with nothing but
+built-in expressions: quantize → interleave bits → ``repartitionByRange``
+on the z-value → ``sortWithinPartitions`` → write.
+
+Everything stays in whole-stage codegen: the z-value is a pure bitwise
+expression (no UDF), and the only extra cost over a plain rewrite is one
+min/max stats aggregate over the clustering columns (one pass; in a real
+lakehouse these bounds come from table-level stats instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Map ``col`` from [lo, hi] onto the integer grid [0, 2**bits - 1].
+
+    Monotonic, so range predicates on the raw column translate to range
+    predicates on the cell index; constant inputs (hi == lo) collapse to
+    cell 0 rather than dividing by zero.
+    """
+    span = (hi - lo).cast("double")
+    scaled = F.when(
+        span > 0,
+        F.floor((col.cast("double") - lo.cast("double")) * ((1 << bits) - 1) / span),
+    ).otherwise(F.lit(0))
+    return scaled.cast("long")
+
+
+def zorder_value(cells: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each cell index (Morton code).
+
+    Bit ``i`` of column ``c`` lands at output position ``i * n_cols + c``,
+    giving every column equal weight in the cluster order. Built as a
+    single OR-tree of shift/mask expressions — pure JVM codegen, no UDF;
+    ``n_cols * bits`` must stay < 63 to fit a long.
+    """
+    n = len(cells)
+    if n * bits >= 63:
+        raise ValueError(f"{n} cols x {bits} bits overflows a long z-value")
+    z = F.lit(0).cast("long")
+    for c, cell in enumerate(cells):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * n + c)
+            )
+    return z
+
+
+def zorder_rewrite(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 10,
+    n_files: int = 16,
+) -> None:
+    """Rewrite ``df`` z-order-clustered on ``cols`` into ``path``.
+
+    One stats pass bounds each column, then the z-value drives a range
+    partition (files = contiguous z-ranges = small multi-dim boxes) and a
+    within-partition sort (row groups inherit the same locality). The
+    rewrite is content-preserving: same rows, new physical order.
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+    ).first()
+    cells = [
+        quantize(
+            F.col(c),
+            F.lit(bounds[f"__lo_{c}"]),
+            F.lit(bounds[f"__hi_{c}"]),
+            bits,
+        )
+        for c in cols
+    ]
+    (
+        df.withColumn("__z", zorder_value(cells, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

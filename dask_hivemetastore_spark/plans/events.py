@@ -12,7 +12,7 @@ nanoseconds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -561,4 +561,106 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+@query(
+    "interpolate_hourly_events",
+    oracle="""
+    WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h, AVG(value) AS v
+               FROM events WHERE event_type = 'purchase' AND user_id < 8
+               GROUP BY 1, 2),
+    r AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM r),
+    j AS (SELECT g.user_id, g.h, b.v FROM g LEFT JOIN b USING (user_id, h)),
+    w AS (SELECT user_id, h, v,
+            last_value(v IGNORE NULLS) OVER pw AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER pw AS ph,
+            first_value(v IGNORE NULLS) OVER nw AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                OVER nw AS nh
+          FROM j
+          WINDOW pw AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 nw AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT user_id,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS observed,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * date_diff('second', ph, h)
+                           / date_diff('second', ph, nh) END + 1e-9, 6)
+               AS v_interp
+    FROM w
+    """,
+)
+def interpolate_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation (pandas ``interpolate(method=
+    'time')``, Dask-era resample+fill): bucket each user's purchase values
+    hourly, densify to that user's own [first, last] hour, and fill every
+    interior gap by time-weighted linear interpolation between the nearest
+    observed neighbors.
+
+    Per-user spines mean no edge extrapolation (first/last hour of every
+    user is observed, so prev/next always exist for gaps). Scale shape:
+    one bucket agg (partial+final), a per-user bounds agg whose exploded
+    spine is hours-not-rows sized, and two frame-bounded window passes
+    over data partitioned by user — all JVM-side, the same single shuffle
+    key (user_id) reused by bucket agg, spine join, and windows, so AQE
+    plans exactly one exchange of the data-sized side."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 8)
+    )
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.avg("value").alias("v"))
+    spine = (
+        b.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    j = spine.join(b, ["user_id", "h"], "left")
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nw = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    w = j.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(pw).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(pw).alias("ph"),
+        F.first("v", ignorenulls=True).over(nw).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(nw).alias("nh"),
+    )
+    frac = F.expr("timestampdiff(SECOND, ph, h)") / F.expr(
+        "timestampdiff(SECOND, ph, nh)"
+    )
+    return w.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+        # the +1e-9 nudge (mirrored in the oracle) moves exact rational
+        # interpolants off the round-half boundary at the 6th decimal —
+        # gap fractions like k/16 otherwise produce …5×10⁻⁷ ties that the
+        # two engines' low-bit float noise rounds in opposite directions
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("v_interp"),
     )

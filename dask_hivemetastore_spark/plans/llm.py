@@ -5,7 +5,7 @@ fixtures (25 near-dup pairs >= 0.9 Jaccard at sf0.01; unit-norm embeddings).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1051,4 +1051,63 @@ def corpus_rebalance_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_before",
             F.coalesce(F.col("__k"), F.lit(0)).alias("n_kept"),
         )
+    )
+
+
+@query(
+    "interleave_sources_rr",
+    oracle="""
+    WITH s AS (SELECT source,
+                      dense_rank() OVER (ORDER BY source) AS src_idx
+               FROM (SELECT DISTINCT source FROM documents)),
+         c AS (SELECT COUNT(*) AS n_src FROM s),
+         d AS (SELECT doc_id, source,
+                      row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+               FROM documents)
+    SELECT CAST((d.rn - 1) AS BIGINT) * c.n_src + s.src_idx AS pos,
+           d.doc_id, d.source
+    FROM d JOIN s USING (source) CROSS JOIN c
+    ORDER BY pos LIMIT 60
+    """,
+)
+def interleave_sources_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8: deterministic round-robin source interleave — assign every doc a
+    reproducible global training position cycling source₁, source₂, …,
+    sourceₙ, source₁, … so a sequential reader sees a stable curriculum
+    mix without any global sort.
+
+    The trick that makes this 100 TB-safe: a naive global
+    ``row_number() OVER (ORDER BY …)`` is a single-task window. Instead
+    the position is CLOSED-FORM — ``pos = (rn-1)·n_src + src_idx`` where
+    ``rn`` is the per-source row_number (shuffles only by source, n-way
+    parallel) and ``src_idx``/``n_src`` come from a ~20-row dimension
+    (broadcast; its dense_rank window runs on 20 rows, not the corpus).
+    Writing ordered shards then needs only ``repartitionByRange(pos)`` +
+    sortWithinPartitions — never a one-partition sort. The demo returns
+    the first 60 positions (TakeOrderedAndProject)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("source").distinct()
+    src_idx = src.withColumn(
+        "src_idx", F.dense_rank().over(Window.orderBy("source"))
+    )
+    n_src = src.agg(F.count("*").alias("n_src"))
+    d = (
+        docs.join(F.broadcast(src_idx), "source")
+        .crossJoin(F.broadcast(n_src))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            ),
+        )
+    )
+    return (
+        d.select(
+            ((F.col("rn") - 1).cast("bigint") * F.col("n_src") + F.col("src_idx"))
+            .alias("pos"),
+            "doc_id",
+            "source",
+        )
+        .orderBy("pos")
+        .limit(60)
     )

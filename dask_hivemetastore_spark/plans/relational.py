@@ -2063,3 +2063,303 @@ def paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(10)
     )
+
+
+@query(
+    "median_mode_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 6)                                  AS median_qty,
+           mode(l_linestatus)                                            AS mode_status,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6)                 AS p50_price,
+           ROUND(quantile_disc(l_extendedprice, 0.5), 6)                 AS p50_price_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def median_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D10 extension: exact order statistics — ``median`` (linear
+    interpolation), ``mode`` (most frequent value), and the ANSI
+    ``percentile_cont/_disc`` WITHIN GROUP forms, per group.
+
+    Scale notes: unlike ``percentile_approx`` (mergeable GK sketch, the
+    100 TB default elsewhere in this repo), exact percentiles must gather
+    each group's values — Spark's ``Percentile`` aggregate buffers a
+    counts-map per group (value → count), so memory is O(distinct values
+    per group), not O(rows); ``mode`` likewise partial-aggregates a
+    counts-map map-side. Both are safe when per-group cardinality is
+    bounded (quantities/prices here), and exactly the aggregates a
+    training-data QC report wants precise. The fixture has no count ties
+    within a group (A 10003 / N 9924 / R 10009 per status at sf0.01), so
+    ``mode`` is engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.mode("l_linestatus").alias("mode_status"),
+        F.round(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 6
+        ).alias("p50_price"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 6
+        ).alias("p50_price_disc"),
+    )
+
+
+@query(
+    "table_diff_snapshots",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice + CASE WHEN o_orderkey % 101 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT -o_orderkey AS o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_totalprice <> new.o_totalprice
+                     OR old.o_orderstatus <> new.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END  AS change_type,
+           COUNT(*)                   AS n
+    FROM old FULL OUTER JOIN orders AS new USING (o_orderkey)
+    GROUP BY change_type
+    """,
+)
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (data-diff): classify every key across two
+    table versions as added / removed / changed / unchanged — the
+    validation step behind any CDC or backfill pipeline ("did the rewrite
+    lose rows? silently mutate values?").
+
+    The "old" snapshot is derived deterministically from orders (drop
+    keys %97 → added in new; negate keys %89 → removed; bump price %101 →
+    changed) so both engines diff identical inputs. Plan shape at 100 TB:
+    one full-outer shuffle join on the primary key — both sides
+    hash-partition once, comparison is per-row JVM codegen; with both
+    snapshots bucketed on the key it degrades to a zero-shuffle zip. The
+    per-column null-safe comparison stays in whole-stage codegen (no
+    row hashing UDF)."""
+    new = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = (
+        new.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 101 == 0, F.lit(1.0)).otherwise(0.0),
+        )
+        .unionByName(
+            new.where(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderkey", -F.col("o_orderkey")
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.groupBy(change.alias("change_type")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "zorder_layout_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*)                    AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 240
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dim clustered layout: rewrite orders Z-ORDERED on
+    (o_custkey, order day) — operators/layout.zorder_rewrite — then answer
+    a two-dimensional box query from the rewritten copy.
+
+    Why this beats single-key sort at 100 TB: sorting by custkey alone
+    gives every file the FULL date range (a date predicate prunes
+    nothing); interleaving the bits of both keys gives every file a small
+    bounding box in BOTH dimensions, so parquet min/max stats skip most
+    files for customer-only, date-only, and box queries alike
+    (tests/test_plans.py quantifies the skip vs a linear sort on this
+    exact layout). The oracle answers from the original table — the hash
+    match certifies the rewrite lost/duplicated nothing."""
+    import tempfile
+
+    from ..operators.layout import zorder_rewrite
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__day", F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp_ntz"))
+    )
+    out = tempfile.mkdtemp(prefix="zorder_") + "/orders_z"
+    zorder_rewrite(o, ["o_custkey", "__day"], out, bits=10, n_files=16)
+    back = spark.read.parquet(out).where(
+        F.col("o_custkey").between(100, 240)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "mad_robust_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type,
+                        quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, e.value, m.med,
+                   ABS(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type,
+                   quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           ROUND(ANY_VALUE(d.med), 6)  AS median_value,
+           ROUND(ANY_VALUE(m.mad), 6)  AS mad_value,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           COUNT(*)                    AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median + MAD (median absolute
+    deviation), flagging values beyond 3×MAD — the quality gate that
+    survives heavy-tailed training data where mean/stddev z-scores are
+    themselves dragged by the outliers they should catch.
+
+    Two exact grouped medians (counts-map percentile aggregate, memory
+    O(distinct values per group)) with the tiny per-group stats broadcast
+    back onto the data — the corpus shuffles once on the group key and the
+    second pass is a broadcast join, so the shape is two scans + one
+    shuffle regardless of table size. ``percentile_approx`` is the drop-in
+    at extreme group cardinality."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("median_value"),
+            F.round(F.any_value("mad"), 6).alias("mad_value"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY 1),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                    AS INT) AS week_offset
+        FROM events e JOIN first_seen f USING (user_id))
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*)                          AS n_active
+    FROM activity
+    WHERE week_offset BETWEEN 0 AND 3
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, distinct-active
+    counts at week offsets 0-3 — the canonical product-analytics rollup
+    (and, for training pipelines, the freshness profile of a crawl).
+
+    Shape at 100 TB: first-seen is one groupBy(user) min; the offset table
+    re-joins events to that aggregate on user_id — same shuffle key both
+    times, so AQE reuses one exchange of the event log; the DISTINCT
+    before counting dedups (user, cohort, offset) triples at a cardinality
+    bounded by users × 4, far below the raw log."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "CAST(timestampdiff(WEEK, cohort_week, date_trunc('week', ts)) AS INT)"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("week_offset").between(0, 3))
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "persist_cache_agg",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def persist_cache_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dask ``persist()`` parity: materialize a frame once
+    (``df.persist()``, deserialized in-memory columnar batches with
+    disk spill), reuse it across two actions, and certify caching is
+    semantically invisible (same answer as the uncached oracle).
+
+    At 100 TB, persist() is for REUSE not speed of one pass: iterative
+    loops (the components/IVF operators here localCheckpoint for the same
+    reason) and multi-output pipelines. MEMORY_AND_DISK means partitions
+    that don't fit spill instead of recomputing the lineage per access;
+    ``unpersist`` releases executor memory eagerly."""
+    o = load_table(spark, sf_dir, "orders").persist()
+    try:
+        n_rows = o.count()  # action 1 materializes the cache
+        assert n_rows > 0
+        rows = (
+            o.groupBy("o_orderstatus")  # action 2 reads InMemoryRelation
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            )
+            .collect()
+        )
+    finally:
+        o.unpersist(blocking=False)
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, n bigint, avg_price double"
+    )

@@ -292,3 +292,56 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_skips_files_on_second_dim(spark, tmp_path):
+    """Quantified multi-dim skipping: z-ordering (o_custkey, day) leaves
+    each file a small bounding box on BOTH keys, so a date-only predicate
+    can skip files; a custkey-sorted layout gives every file the full
+    date range (zero date pruning). Asserts on the actual parquet footer
+    stats of both layouts — the property the zorder_layout_roundtrip
+    oracle cannot see."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.layout import zorder_rewrite
+
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "__day",
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp_ntz")),
+    )
+    z_dir, lin_dir = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_rewrite(o, ["o_custkey", "__day"], z_dir, bits=10, n_files=16)
+    (
+        o.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(lin_dir)
+    )
+
+    def files_hit(d: str, lo: int, hi: int) -> tuple[int, int]:
+        """(#files whose [min,max] __day box intersects [lo, hi], #files)."""
+        hits = total = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("__day")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            total += 1
+            if min(mins) <= hi and max(maxs) >= lo:
+                hits += 1
+        return hits, total
+
+    # date-only box: days 365..730 (~1996) = ~15% of the day range
+    z_hits, z_total = files_hit(z_dir, 365, 730)
+    lin_hits, lin_total = files_hit(lin_dir, 365, 730)
+    assert lin_hits == lin_total  # custkey sort: every file spans all dates
+    assert z_hits < lin_hits  # z-order: footer stats skip files
+    assert z_total == lin_total
