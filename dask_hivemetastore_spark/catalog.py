@@ -31,23 +31,48 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_is_long(df: DataFrame) -> bool:
+    """True when ``events.ts`` reads as bigint nanos (legacy TIMESTAMP(NANOS)
+    parquet under ``nanosAsLong``); False when it reads as a native timestamp
+    (the current testdata stores TIMESTAMP(MICROS), which Spark reads as
+    TIMESTAMP_NTZ directly). The catalog adapts to whichever physical layout
+    the driver generated rather than assuming one.
+    """
+    from pyspark.sql.types import LongType
+
+    return isinstance(df.schema["ts"].dataType, LongType)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with oracle-aligned column semantics.
 
-    ``events.ts``: parquet TIMESTAMP(NANOS) → (with nanosAsLong) bigint
-    nanoseconds. The DuckDB oracle reads the same column as µs TIMESTAMP
-    (truncating), so we expose ``ts`` as TIMESTAMP_NTZ at µs precision via
-    integer division — float division would lose precision (ns since epoch
-    ≈ 1.7e18 > 2^53). The raw value is kept as ``ts_ns`` for
-    precision-sensitive operators.
+    ``events.ts`` is exposed as TIMESTAMP_NTZ at µs precision (what the
+    DuckDB oracle sees) regardless of physical layout:
+
+    - TIMESTAMP(NANOS) parquet + ``nanosAsLong`` → bigint nanoseconds →
+      convert via integer division (float division would lose precision:
+      ns since epoch ≈ 1.7e18 > 2^53).
+    - TIMESTAMP(MICROS) parquet → native TIMESTAMP_NTZ → passthrough.
+
+    The raw value is kept as ``ts_ns`` (bigint ns since epoch) for
+    precision-sensitive operators; the NTZ→TZ cast used to derive it is
+    wall-clock-exact because the session pins ``timeZone=UTC``.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts",
-            F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns")
+        if events_ts_is_long(df):
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts",
+                F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
+            )
+        else:
+            df = df.withColumn(
+                "ts_ns", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000")
+            ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        df = df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns"
+        )
     return df
 
 

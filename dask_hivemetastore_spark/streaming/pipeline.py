@@ -57,25 +57,34 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §7.6).
 
     The schema is captured once from a batch read (driver-side footer peek) —
-    streaming file sources require a user-supplied schema. ``ts`` arrives as
-    bigint nanos under ``nanosAsLong``; the watermark column must be a plain
-    TIMESTAMP (event-time), so unlike the batch path we use TIMESTAMP (UTC
-    session tz) rather than TIMESTAMP_NTZ — wall-clock values are identical
-    because the session factory pins ``spark.sql.session.timeZone=UTC``.
+    streaming file sources require a user-supplied schema. ``ts`` arrives
+    either as bigint nanos (legacy TIMESTAMP(NANOS) + ``nanosAsLong``) or as
+    a native timestamp (TIMESTAMP(MICROS) testdata); the watermark column
+    must be a plain TIMESTAMP (event-time), so unlike the batch path we use
+    TIMESTAMP (UTC session tz) rather than TIMESTAMP_NTZ — wall-clock values
+    are identical because the session factory pins
+    ``spark.sql.session.timeZone=UTC``.
     """
+    from ..catalog import events_ts_is_long
+
     ensure_runtime_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_expr = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if events_ts_is_long(batch)
+        else F.col("ts").cast("timestamp")
+    )
     # glob path on purpose: for a non-glob path FileStreamSource force-sets
     # basePath to the (file) path itself, which partition discovery rejects;
     # a glob keeps our explicit directory basePath in effect
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(batch.schema)
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.parque[t]")
     )
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts_expr.alias("ts"),
         "user_id",
         "event_type",
         "value",
