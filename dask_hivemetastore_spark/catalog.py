@@ -5,10 +5,13 @@ Plays the role the Hive Metastore plays for the reference connector
 return a lazy DataFrame. Two layers:
 
 - :func:`load_table` / :func:`register_views` — the testdata catalog used by
-  every query in ``plans/``. Normalizes the one semantic quirk in the data
-  (``events.ts`` is parquet TIMESTAMP(NANOS); Spark 4 reads it as bigint
-  nanos under ``nanosAsLong`` while the DuckDB oracle truncates to µs —
-  SURVEY.md §7.6) so Spark-side queries and oracle SQL see identical values.
+  every query in ``plans/``. Normalizes the one semantic quirk in the data:
+  ``events.ts`` has shipped in two physical layouts across driver testdata
+  regenerations — parquet TIMESTAMP(NANOS) (Spark 4 reads bigint nanos under
+  ``nanosAsLong``) and TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ).
+  Either way the column is exposed as TIMESTAMP_NTZ at µs precision, which
+  is what the DuckDB oracle sees (SURVEY.md §7.6), so Spark-side queries and
+  oracle SQL compare identical values on both layouts.
 - :class:`ThinCatalog` (in ``sources/metastore.py``) — a standalone
   metastore-like registry mirroring the reference's resolution flow for
   arbitrary tables.
@@ -52,27 +55,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP(NANOS) parquet + ``nanosAsLong`` → bigint nanoseconds →
       convert via integer division (float division would lose precision:
       ns since epoch ≈ 1.7e18 > 2^53).
-    - TIMESTAMP(MICROS) parquet → native TIMESTAMP_NTZ → passthrough.
+    - TIMESTAMP(MICROS) parquet → native TIMESTAMP_NTZ → passthrough
+      (the cast is a no-op Catalyst folds away).
 
-    The raw value is kept as ``ts_ns`` (bigint ns since epoch) for
-    precision-sensitive operators; the NTZ→TZ cast used to derive it is
-    wall-clock-exact because the session pins ``timeZone=UTC``.
+    Kept a *pure projection*: no derived columns. Precision-sensitive
+    operators that need integer µs/ns (rolling time windows, as-of
+    tolerance) derive them locally via ``unix_micros(ts)`` — wall-clock
+    exact because the session pins ``timeZone=UTC``.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         if events_ts_is_long(df):
-            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            df = df.withColumn(
                 "ts",
                 F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
             )
         else:
-            df = df.withColumn(
-                "ts_ns", F.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000")
-            ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-        df = df.select(
-            "event_id", "ts", "user_id", "event_type", "value", "props", "ts_ns"
-        )
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

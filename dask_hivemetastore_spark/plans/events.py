@@ -6,8 +6,8 @@ batch semantics are the parity target; ``streaming/`` holds the Structured
 Streaming variants of the same ops.
 
 ``events.ts`` arrives µs-truncated TIMESTAMP_NTZ from the catalog (identical
-to what the DuckDB oracle sees; SURVEY.md §7.6) and ``ts_ns`` carries the raw
-nanoseconds.
+to what the DuckDB oracle sees; SURVEY.md §7.6) regardless of the parquet
+layout; operators needing integer µs derive them with ``unix_micros(ts)``.
 """
 
 from __future__ import annotations

@@ -157,12 +157,12 @@ def rolling_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 rolling *time* window (rolling("1h", on=ts)).
 
     Spark's rangeBetween needs a numeric ordering column: order by µs since
-    epoch (``ts_ns div 1000`` — same precision the oracle sees) with a
+    epoch (``unix_micros(ts)`` — same precision the oracle sees) with a
     ±3.6e9 µs frame; range frames include ts-peers on both engines, so ties
     need no tiebreak.
     """
     ev = load_table(spark, sf_dir, "events")
-    us = F.expr("ts_ns div 1000")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     w = (
         Window.partitionBy("user_id")
         .orderBy(us.asc())

@@ -20,8 +20,11 @@ import zipfile
 from pyspark.sql import SparkSession
 
 # Configs that MUST hold for correctness on this testdata (SURVEY.md §7.6):
-#  - nanosAsLong: events.parquet stores TIMESTAMP(NANOS); without this flag
-#    the scan fails with PARQUET_TYPE_ILLEGAL on Spark 4.
+#  - nanosAsLong: kept for the legacy TIMESTAMP(NANOS) events.parquet layout,
+#    where the scan fails with PARQUET_TYPE_ILLEGAL on Spark 4 without it.
+#    The current driver testdata stores TIMESTAMP(MICROS), for which the flag
+#    is a no-op — but the catalog supports both layouts (catalog.py), so the
+#    flag stays.
 #  - session timeZone UTC: `timestamp_micros()` → NTZ casts must not shift
 #    wall-clock values relative to the DuckDB oracle (which is tz-naive).
 #  - excludedRules InferFiltersFromGenerate: that rule infers
@@ -82,21 +85,30 @@ def get_spark(
     return spark
 
 
+_CONFS_APPLIED: set[str] = set()
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply the correctness-critical runtime confs to an EXISTING session.
 
     The driver constructs its own SparkSession and passes it to
-    ``__spark_entry__.entry/queries``; both of the required confs are
-    runtime-settable SQL confs, so we set them defensively on every
-    entry-point call rather than assuming the session was built by
-    :func:`get_spark`.
+    ``__spark_entry__.entry/queries``; all of the required confs are
+    runtime-settable SQL confs, so we set them defensively on entry-point
+    calls rather than assuming the session was built by :func:`get_spark`.
+    Memoized per application: ``load_table`` calls this on every table load
+    (6 tables in a 6-way join), and each conf.set is a py4j round-trip —
+    cheap once, needless overhead per-query.
     """
+    key = spark.sparkContext.applicationId
+    if key in _CONFS_APPLIED:
+        return spark
     for k, v in REQUIRED_RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked; keep going
             pass
     ensure_package_on_executors(spark)
+    _CONFS_APPLIED.add(key)
     return spark
 
 
