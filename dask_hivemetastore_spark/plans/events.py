@@ -664,3 +664,38 @@ def interpolate_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("v_interp"),
     )
+
+
+# ------------------------------------------------- H-interval: day-time spans
+
+
+@query(
+    "interval_user_span",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(epoch(max(ts) - min(ts))) AS BIGINT) AS span_sec,
+           CAST(min(ts) + INTERVAL 90 MINUTE <= max(ts) AS BIGINT) AS exceeds_90m
+    FROM events GROUP BY user_id
+    """,
+)
+def interval_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-interval: ANSI DayTimeIntervalType arithmetic (SURVEY.md §1.2's one
+    optional type row).
+
+    Timestamp subtraction in Spark 4 yields ``INTERVAL DAY TO SECOND``; the
+    span is kept *as an interval* through the plan (cast to long = floored
+    total seconds only at the output boundary), and ``make_dt_interval``
+    builds the 90-minute deadline added back to a timestamp — both directions
+    of interval arithmetic. All JVM-side, codegen-friendly; no Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
+    )
+    span = F.col("max_ts") - F.col("min_ts")  # DayTimeIntervalType
+    deadline = F.col("min_ts") + F.expr("make_dt_interval(0, 1, 30, 0)")
+    return agg.select(
+        "user_id",
+        span.cast("long").alias("span_sec"),
+        (deadline <= F.col("max_ts")).cast("long").alias("exceeds_90m"),
+    )

@@ -2363,3 +2363,54 @@ def persist_cache_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "o_orderstatus string, n bigint, avg_price double"
     )
+
+
+# --------------------------------------------- A11: observed write as a query
+
+
+@query(
+    "observed_write_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)  AS n_rows,
+           CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT)
+                                     AS n_returned,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    """,
+)
+def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 observed write, surfaced as a query: copy lineitem to parquet and
+    collect the QC manifest (row count, returned-flag count, total price)
+    with ``Observation`` IN THE SAME PASS — zero extra scans. The oracle
+    recomputes the same aggregates from the source, so the hash match
+    certifies the observed metrics are exact, not sampled.
+
+    At 100 TB this is the difference between writing a manifest for free and
+    doubling pipeline I/O with a write-then-recount.
+    """
+    import tempfile
+
+    from ..sources.writers import write_parquet_observed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="observed_q_") + "/lineitem_copy"
+    got = write_parquet_observed(
+        li,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_returned": F.count(F.when(F.col("l_returnflag") == "R", 1)),
+            "total_price": F.round(F.sum("l_extendedprice"), 2),
+        },
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("n_returned", LongType()),
+            StructField("total_price", DoubleType()),
+        ]
+    )
+    row = (int(got["n_rows"]), int(got["n_returned"]), float(got["total_price"]))
+    return spark.createDataFrame([row], schema)
