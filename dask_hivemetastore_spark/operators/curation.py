@@ -329,3 +329,103 @@ def rebalance_temperature(df: DataFrame, group_col: str, key_col: str,
         .where(hash_bucket(key_col, precision) < F.col("__keep_lt"))
         .drop("__keep_lt")
     )
+
+
+def repeated_span_removal(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", span_words: int = 8,
+                          max_occurrences: int = 1) -> DataFrame:
+    """Corpus-level repeated-span removal (the RefinedWeb / C4 "line-level
+    dedup" recipe, adapted to newline-free text): split each document into
+    non-overlapping ``span_words``-word spans, drop every span whose exact
+    text occurs more than ``max_occurrences`` times ACROSS THE CORPUS
+    (boilerplate, licence headers, navigation chrome — the single biggest
+    contamination class web-scale pretraining corpora carry), and reassemble
+    the surviving spans in document order.
+
+    Scale design (100 TB):
+    - The split→span transform runs behind a ``repartition`` exchange — the
+      projection-collapse barrier from ``operators/dedup.py:build_grams``
+      (without it Catalyst inlines ``split(text)`` into the transform lambda
+      and re-runs it per span).
+    - Span frequency is counted on ``md5(span)`` (32 hex chars), not the
+      span text, so the count shuffle moves fixed-width keys; md5 is also
+      engine-portable, which is what lets the oracle certify the counts.
+    - Reassembly is one ``collect_list`` shuffle keyed by doc — spans of a
+      doc are grouped, ordered by ``array_sort`` on (position, text), and
+      joined JVM-side; no Python anywhere.
+
+    Returns (id_col, text_clean, n_chunks, n_dropped) — one row per doc.
+    """
+    nparts = max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        df.rdd.getNumPartitions(),
+    )
+    ws = df.select(
+        id_col, F.split(F.col(text_col), " ").alias("__ws")
+    ).repartition(nparts)
+    k = int(span_words)
+    spans = ws.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(__ws)/{k}.0) AS INT)-1),"
+                f" i -> concat_ws(' ', slice(__ws, i*{k}+1, {k})))"
+            )
+        ).alias("ci", "chunk"),
+    )
+    hashed = spans.withColumn("__h", F.md5("chunk"))
+    freq = hashed.groupBy("__h").agg(F.count("*").alias("__n"))
+    flagged = hashed.join(freq, "__h").withColumn(
+        "__dup", F.col("__n") > max_occurrences
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(~F.col("__dup"), F.struct("ci", "chunk")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept, lambda s: s["chunk"]), " "
+        ).alias("text_clean"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("__dup").cast("long")).alias("n_dropped"),
+    )
+
+
+def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
+                   salt: str = "shuffle:") -> DataFrame:
+    """Deterministic global shuffle into balanced training shards.
+
+    Training runs need the corpus in pseudo-random order, reproducibly: the
+    same corpus must shuffle to the same order on every engine and re-run
+    (``orderBy(rand())`` is neither). Two md5 draws per row do it:
+
+    - ``shard``  = :func:`hash_bucket` (key, ``n_shards``) — which shard.
+    - ``pos``    = rank of a second, salt-independent md5 draw within the
+      shard — position inside the shard.
+
+    Both are pure functions of the key, so shard files can be rewritten,
+    appended to, or re-sharded and every row lands exactly where it did
+    before. One shuffle total (the per-shard window sort); at 100 TB the
+    write side is ``repartitionByRange(shard, pos)`` + sortWithinPartitions
+    so each output file is one contiguous, already-ordered slice.
+
+    Returns (key_col, shard, pos).
+    """
+    order_draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    w = Window.partitionBy("shard").orderBy("__ord", key_col)
+    return (
+        df.select(
+            key_col,
+            hash_bucket(key_col, n_shards).alias("shard"),
+            order_draw.alias("__ord"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__ord")
+    )

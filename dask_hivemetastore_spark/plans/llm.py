@@ -1111,3 +1111,70 @@ def interleave_sources_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .limit(60)
     )
+
+
+# -------------------------------------------- K7: repeated-span removal (r4)
+
+
+@query(
+    "span_dedup_docs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    chunks AS (
+        SELECT doc_id, i AS ci, array_to_string(ws[i*8+1 : i*8+8], ' ') AS chunk
+        FROM t, UNNEST(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS u(i)
+    ),
+    freq AS (SELECT chunk, COUNT(*) AS n FROM chunks GROUP BY 1)
+    SELECT c.doc_id,
+           COALESCE(string_agg(c.chunk, ' ' ORDER BY c.ci)
+                      FILTER (WHERE f.n <= 1), '') AS text_clean,
+           COUNT(*)                                AS n_chunks,
+           COUNT(*) FILTER (WHERE f.n > 1)         AS n_dropped
+    FROM chunks c JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 corpus-level repeated-span removal (RefinedWeb/C4 line-dedup
+    recipe adapted to newline-free text): drop every 8-word span whose exact
+    text occurs more than once across the corpus, reassemble the survivors
+    in order. The oracle recomputes the whole pipeline — span extraction,
+    corpus-wide frequency, filtered ordered reassembly — so the hash match
+    certifies the cleaned TEXT byte-for-byte, not just counts.
+    See :func:`..operators.curation.repeated_span_removal` for the scale
+    notes (collapse barrier, fixed-width md5 count keys, single reassembly
+    shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.repeated_span_removal(
+        docs, id_col="doc_id", text_col="text", span_words=8, max_occurrences=1
+    )
+
+
+# ------------------------------------------- K8: deterministic shard shuffle
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS shard,
+               CAST(CONCAT('0x', substr(md5(CONCAT('shuffle:',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS ord
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+    FROM h
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 deterministic training-order shuffle: every doc gets a (shard,
+    position) from two independent md5 draws of its key — reproducible on
+    any engine (the oracle re-derives every row), stable under corpus
+    appends, one window shuffle total. The per-row assignment is returned
+    so the hash check certifies the full permutation.
+    See :func:`..operators.curation.shuffle_shards`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.shuffle_shards(docs, "doc_id", n_shards=16, salt="shuffle:")

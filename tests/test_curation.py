@@ -94,3 +94,53 @@ def test_repetition_score_bounds(spark, sf_dir):
     short = spark.createDataFrame([(1, "oneword")], "doc_id long, text string")
     row = curation.with_repetition_score(short, n=2).collect()[0]
     assert row.dup_ngram_frac == 0.0
+
+
+def test_repeated_span_removal_drops_only_corpus_dups(spark):
+    # doc 1 and 2 share an identical 8-word span; doc 3 is unique
+    span = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, span + " " + "u1 u2 u3 u4 u5 u6 u7 u8"),
+            (2, span + " " + "v1 v2 v3 v4 v5 v6 v7 v8"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.repeated_span_removal(df, span_words=8).collect()
+    }
+    assert out[1].text_clean == "u1 u2 u3 u4 u5 u6 u7 u8"
+    assert out[2].text_clean == "v1 v2 v3 v4 v5 v6 v7 v8"
+    assert out[1].n_dropped == 1 and out[2].n_dropped == 1
+    assert out[3].text_clean == "w1 w2 w3 w4 w5 w6 w7 w8"
+    assert out[3].n_dropped == 0
+
+
+def test_repeated_span_removal_all_dropped_gives_empty_text(spark):
+    same = "x1 x2 x3 x4 x5 x6 x7 x8"
+    df = spark.createDataFrame(
+        [(1, same), (2, same)], "doc_id long, text string"
+    )
+    rows = curation.repeated_span_removal(df, span_words=8).collect()
+    assert all(r.text_clean == "" and r.n_dropped == 1 for r in rows)
+
+
+def test_shuffle_shards_is_balanced_total_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = curation.shuffle_shards(docs, "doc_id", n_shards=16)
+    sizes = {r.shard: r.n for r in a.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    n_docs = docs.count()
+    assert sum(sizes.values()) == n_docs
+    # md5 buckets of a uniform key: no shard should be >2x the ideal share
+    assert max(sizes.values()) <= 2 * (n_docs / 16) + 1
+    # positions are a dense 1..n permutation within each shard
+    dense = a.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"),
+        F.countDistinct("pos").alias("nd"),
+    )
+    assert dense.where((F.col("mx") != F.col("n")) | (F.col("nd") != F.col("n"))).count() == 0
+    # deterministic: second run identical
+    b = curation.shuffle_shards(docs, "doc_id", n_shards=16)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
