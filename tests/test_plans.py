@@ -345,3 +345,39 @@ def test_zorder_skips_files_on_second_dim(spark, tmp_path):
     assert lin_hits == lin_total  # custkey sort: every file spans all dates
     assert z_hits < lin_hits  # z-order: footer stats skip files
     assert z_total == lin_total
+
+
+def test_span_dedup_stays_jvm_side(spark):
+    """Repeated-span removal is split/transform/agg built-ins end to end —
+    no Python evaluation node may appear, and the frequency count must key
+    on the fixed-width md5, not raw span text."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["span_dedup_docs"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan, f"Python node in plan: {marker}"
+    assert "md5" in plan
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """The deterministic shard shuffle costs exactly one exchange (the
+    per-shard window sort); hash draws are map-side projections."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["corpus_shuffle_shards"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_interval_span_no_shuffle_beyond_agg(spark):
+    """Interval arithmetic lowers to JVM expressions: one aggregate
+    exchange on user_id, nothing else, no Python."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["interval_user_span"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "PythonUDF" not in plan
