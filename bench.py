@@ -52,8 +52,8 @@ def main() -> None:
     # before any timing starts. BASELINE.md's cells were measured per-query
     # as "warm session, best of 3" — without this sweep, queries early in
     # the loop pay the global JIT warm-up that the baseline never paid
-    # (measured ~40% inflation on q1/q3 at sf0.1).
-    # pay the JIT twice: C2-compiled codegen classes typically need a second
+    # (measured ~40% inflation on q1/q3 at sf0.1). The sweep runs twice
+    # because C2-compiled codegen classes typically need a second
     # invocation to reach steady state.
     for _ in range(2):
         for reg_key in BASELINE_KEY_MAP.values():

@@ -81,17 +81,50 @@ def repetition_filter(df: DataFrame, max_frac: float,
 
 # ----------------------------------------------------------- domain capping
 
-def cap_per_group(df: DataFrame, group_col: str, order_col: str,
-                  k: int) -> DataFrame:
+def cap_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
+                  hot_group_threshold: int | None = None,
+                  accuracy: int = 10_000) -> DataFrame:
     """Keep at most ``k`` rows per ``group_col``, lowest ``order_col`` first.
 
     The standard corpus-balancing move (no single domain may exceed a fixed
     share). One shuffle on the group key; Spark's `WindowExec` applies the
     rank cut per partition after the sort, so output size is bounded at
-    ``k × n_groups`` regardless of input skew. A pathologically hot group
-    still sorts on one task — for known-hot domains at 100 TB, pre-filter
-    with an approximate per-group count and sample before the exact window.
+    ``k × n_groups`` regardless of input skew.
+
+    A pathologically hot group still sorts on one task. With
+    ``hot_group_threshold = T`` (``T ≥ k``) an approximate pre-filter runs
+    ahead of the exact window: one cheap partial-agg pass computes each
+    group's count and its ``percentile_approx`` cutoff at fraction
+    ``p = k/T + 2/accuracy``; rows of groups larger than ``T`` are dropped
+    map-side when ``order_col`` exceeds the group's cutoff. The result is
+    EXACT: ``percentile_approx`` guarantees rank error ≤ n/accuracy, so for
+    any group with n ≥ T the cutoff's rank is ≥ (p − 1/accuracy)·n ≥ k·n/T
+    ≥ k — every true top-k row survives the filter (ties included, since
+    the filter keeps all rows ≤ the cutoff VALUE) and the window then cuts
+    exactly. A hot group's sort shrinks from n rows to ≈ n·k/T.
+
+    The per-group stats table (one row per group) is broadcast back onto
+    the scan — per-domain capping has at most ~millions of groups; use the
+    plain join if yours would not fit in the driver.
     """
+    if hot_group_threshold is not None:
+        t = int(hot_group_threshold)
+        if t < k:
+            raise ValueError(
+                f"hot_group_threshold ({t}) must be >= k ({k})"
+            )
+        p = min(1.0, k / t + 2.0 / accuracy)
+        stats = df.groupBy(group_col).agg(
+            F.count("*").alias("__n"),
+            F.percentile_approx(
+                F.col(order_col), F.lit(p), F.lit(accuracy)
+            ).alias("__cut"),
+        )
+        df = (
+            df.join(F.broadcast(stats), group_col)
+            .where((F.col("__n") <= t) | (F.col(order_col) <= F.col("__cut")))
+            .select(*df.columns)  # the join moved group_col first; restore
+        )
     w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -391,7 +424,8 @@ def repeated_span_removal(df: DataFrame, id_col: str = "doc_id",
 
 
 def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
-                   salt: str = "shuffle:") -> DataFrame:
+                   salt: str = "shuffle:",
+                   order_buckets: int = 256) -> DataFrame:
     """Deterministic global shuffle into balanced training shards.
 
     Training runs need the corpus in pseudo-random order, reproducibly: the
@@ -399,14 +433,31 @@ def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
     (``orderBy(rand())`` is neither). Two md5 draws per row do it:
 
     - ``shard``  = :func:`hash_bucket` (key, ``n_shards``) — which shard.
-    - ``pos``    = rank of a second, salt-independent md5 draw within the
-      shard — position inside the shard.
+      This draw ignores ``salt``.
+    - ``pos``    = rank of a second md5 draw, ``md5(salt || key)``, within
+      the shard — position inside the shard. Independent of the shard draw;
+      a pure function of (``salt``, key), so changing the salt reorders
+      every shard (that is the knob for drawing a fresh epoch order) while
+      the same (salt, corpus) always reproduces the same permutation.
 
-    Both are pure functions of the key, so shard files can be rewritten,
+    Both draws are deterministic per key, so shard files can be rewritten,
     appended to, or re-sharded and every row lands exactly where it did
-    before. One shuffle total (the per-shard window sort); at 100 TB the
-    write side is ``repartitionByRange(shard, pos)`` + sortWithinPartitions
-    so each output file is one contiguous, already-ordered slice.
+    before.
+
+    Scale (100 TB): ranking within a shard via a plain
+    ``Window.partitionBy(shard)`` would cap the sort at ``n_shards`` tasks
+    — the classic single-hot-partition window bottleneck. Instead pos is a
+    DISTRIBUTED rank: the uniform order draw is range-cut into
+    ``order_buckets`` sub-buckets per shard (a map-side projection, since
+    the bucket is ``__ord``'s high bits), per-(shard, bucket) counts
+    (one tiny partial-agg pass) turn into cumulative per-bucket offsets,
+    and the corpus shuffles once on (shard, bucket) — ``n_shards ×
+    order_buckets`` concurrent sort tasks — where
+    ``pos = bucket_offset + row_number within bucket``. Concatenating
+    range-cut buckets in bucket order IS the shard order (ties of ``__ord``
+    share a bucket and break by key inside it), so the result is
+    bit-identical to the single-window rank at any ``order_buckets``;
+    the parity test pins it.
 
     Returns (key_col, shard, pos).
     """
@@ -419,13 +470,37 @@ def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
             10,
         ).cast("bigint")
     )
-    w = Window.partitionBy("shard").orderBy("__ord", key_col)
-    return (
-        df.select(
-            key_col,
-            hash_bucket(key_col, n_shards).alias("shard"),
-            order_draw.alias("__ord"),
+    base = df.select(
+        key_col,
+        hash_bucket(key_col, n_shards).alias("shard"),
+        order_draw.alias("__ord"),
+    )
+    if order_buckets <= 1:
+        w = Window.partitionBy("shard").orderBy("__ord", key_col)
+        return (
+            base.withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__ord")
         )
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("__ord")
+    # __ord is uniform in [0, 2^32): the sub-bucket is a range cut, so
+    # bucket order == order-draw order and the offsets below are exact.
+    base = base.withColumn(
+        "__b", F.floor(F.col("__ord") * order_buckets / F.lit(2 ** 32)).cast("int")
+    )
+    counts = base.groupBy("shard", "__b").agg(F.count("*").alias("__cnt"))
+    woff = (
+        Window.partitionBy("shard")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+    ).drop("__cnt")
+    w = Window.partitionBy("shard", "__b").orderBy("__ord", key_col)
+    return (
+        base.join(F.broadcast(offsets), ["shard", "__b"])
+        .withColumn(
+            "pos", (F.col("__off") + F.row_number().over(w)).cast("long")
+        )
+        .drop("__ord", "__b", "__off")
+        .select(key_col, "shard", "pos")
     )

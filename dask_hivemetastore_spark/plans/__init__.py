@@ -17,98 +17,102 @@ from . import llm  # noqa: F401,E402
 from .. import streaming  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
-# Certification window ordering.
+# Certification window ordering — STANDING ROTATION POLICY (round 5+).
 #
 # The driver's CORRECTNESS gate checks the first 50 registry keys in
-# iteration order. Round 1 certified the first 50 keys of module import
-# order (TPC-H + relational); the 61 keys after `sample_stratified` —
-# the window/event/UDF/LLM/streaming families — got no hard driver row
-# (VERDICT.md round 1, "Next round #1"). The list below front-loads one
-# certifying key per still-uncertified SURVEY §2 family and per
-# K-operator; everything already certified in CORRECTNESS_r01.json
-# rotates behind them, preserving module registration order.
+# iteration order. The local parity suite (tests/test_oracle_parity.py)
+# runs the IDENTICAL rows+schema+hash compare against DuckDB for all
+# registered full-oracle keys, but the brief's bar is a hard driver row
+# per operator — so the window is a rotating certification budget, not a
+# fixed showcase. Policy, applied every round:
+#
+#   1. Any key certified green in ≥1 prior round's CORRECTNESS_r*.json is
+#      eligible to rotate OUT (its certification is on record; the local
+#      suite keeps guarding it).
+#   2. Every NEW query lands in the window the round it is added.
+#   3. Remaining slots go to never-certified full-oracle keys, oldest
+#      first, spread across SURVEY §2 families.
+#   4. Rows-only keys stay outside — the driver's rows-only check adds
+#      nothing over the local suite.
+#   5. Pre-flight before committing a reorder: the full parity suite at
+#      sf0.01 plus a driver-sim run (.claude/skills/verify) so oracle
+#      dialect bugs surface locally, never in the driver.
+#
+# History: r1 certified keys 1–50 of module order (TPC-H + relational);
+# r2–r4 certified the 50 family representatives listed in git history of
+# this file. Union after r4: 100 of 184 keys (see VERDICT.md r4). This
+# round rotates ALL 50 slots to never-certified keys → union 150.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # A1 / A8: metastore + custom-source scans
-    "thin_metastore_scan",
-    "python_datasource_scan",
-    # A9 / A10 (round 2): more formats + merge-upsert
-    "orc_roundtrip_agg",
-    "jsonl_roundtrip_agg",
-    "merge_upsert_orders",
-    # E1–E6: window family
-    "window_rank_orders",
-    "cumsum_orders",
-    "lag_lead_events",
-    "rolling_avg_value",
-    "rolling_1h_events",
-    "topn_parts_per_brand",
-    # I1–I3: batch time windows
-    "events_tumbling_1h",
-    "events_sliding",
-    "events_sessionize",
-    # C6 / C7: range + as-of joins
-    "range_join_events",
-    "asof_join_events",
-    # I7 (round 2): stream-stream interval join
-    "stream_click_attribution",
-    # H-date / H-json / H-map / H-array
-    "date_arithmetic",
-    "json_extract_props",
-    "map_funcs_props",
-    "array_funcs_embeddings",
-    # NEW in round 2: DECIMAL end-to-end (VERDICT "Next round #3")
-    "decimal_money_agg",
-    # J1–J6: Arrow-batched Python surfaces
-    "pandas_udf_scalar",
-    "custom_agg_geomean",
-    "grouped_map_zscore",
-    "map_partitions_net_price",
-    # K6 (round 2): the end-to-end filter→dedup→stats pipeline
-    "training_corpus_pipeline",
-    "cogrouped_map_ratio",
-    "udtf_bigrams",
-    # K1–K2: dedup family (dedup_embedding_components rotates out — its
-    # tiled similar_pairs core is certified by embedding_near_pairs and its
-    # components loop by dedup_near_survivors)
-    "dedup_exact",
-    "dedup_near",
-    "dedup_near_minhash",
-    "dedup_near_survivors",
-    # K3: similarity search
-    "embedding_near_pairs",
-    "knn_cosine_topk",
-    # K4: text analysis (lang_id_docs / doc_fingerprint / tfidf_top_terms
-    # rotate out this round — same family, certified by this representative)
-    "text_stats_docs",
-    # Spark-4 surface families added late in round 2 — each needs its
-    # first hard driver row (swapped in for K4/K7/K2 family siblings)
-    "variant_extract_props",
-    "xml_parse_orders",
-    "lateral_top_lineitems",
-    "collated_distinct_words",
-    # K8 (round 2): splits + hygiene — new family, needs a first driver row
-    "train_test_split_docs",
-    "pii_redact_docs",
-    # K7 (round 2): corpus curation (repetition_score_docs / domain_cap_docs
-    # rotate out — family keeps these two representatives)
-    "decontaminate_docs",
-    "quality_percentile_gate",
-    # K5: multimodal
-    "multimodal_extract",
-    # I4–I6 + streaming sinks/sources
-    "stream_tumbling_1h",
-    "stream_dedup_users",
-    "stream_stateful_counts",
-    "stream_filter_to_parquet",
-    "python_stream_source_agg",
+    # --- TPC-H shapes never driver-certified (q1/3/5/6 etc. have rows) ---
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_suppliers_waiting",
+    # --- relational / state-mutating / layout surfaces ---
+    "incremental_agg_merge",
+    "cdc_apply_changes",
+    "recursive_month_spine",
+    "pandas_api_groupby",
+    "try_arithmetic_safety",
+    "parameterized_sql_orders",
+    "paginate_orders",
+    "median_mode_agg",
+    "table_diff_snapshots",
+    "mad_robust_outliers",
+    "cohort_retention_weekly",
+    "persist_cache_agg",
+    "observed_write_metrics",
+    "parquet_schema_evolution",
+    "crosstab_status_segment",
+    "sample_k_per_group",
+    # --- window-function kinds beyond the certified rank/cumsum set ---
+    "window_rank_kinds",
+    "window_value_funcs",
+    "window_price_band",
+    # --- event-time surfaces (r4 additions + never-certified siblings) ---
+    "events_date_parts",
+    "asof_join_tolerance",
+    "events_hourly_gapfill",
+    "funnel_signup_purchase",
+    "scd2_user_event_intervals",
+    "sessionize_dynamic_gap",
+    "interpolate_hourly_events",
+    "interval_user_span",
+    "interval_order_span_ym",  # NEW r5 — lands in-window (policy #2)
+    # --- Arrow/UDF surfaces beyond the certified J1–J6 representatives ---
+    "map_arrow_net_price",
+    "grouped_arrow_minmax",
+    "udtf_polymorphic_firstwords",
+    # --- K-operators: the r4 additions + never-certified family members ---
+    "span_dedup_docs",
+    "corpus_shuffle_shards",
+    "domain_cap_docs",
+    "domain_cap_prefiltered",  # NEW r5 — lands in-window (policy #2)
+    "bm25_rank_docs",
+    "token_pack_docs",
+    "dedup_embedding_components",
+    "lang_id_docs",
+    "tfidf_top_terms",
+    # --- streaming variants beyond the certified I4–I7 set ---
+    "stream_sessionize",
+    "stream_static_enrich",
+    "stream_sliding_30m",
+    "stream_foreach_batch_snapshot",
+    "stream_observe_metrics",  # NEW r5 — lands in-window (policy #2)
 ]
-# Deliberately OUTSIDE the window: rows-only keys (dedup_simhash,
-# knn_lsh_topk, knn_ivf_topk, semdedup_survivors, samples, approx sketch) —
-# the driver's rows-only check adds nothing over the local suite, so their
-# slots go to full-oracle keys; and same-family siblings already certified
-# by an in-window representative (quality_score_docs, token_count_docs,
-# explode_words_top, stream_sessionize — each family keeps ≥1 key inside).
+# Still never-certified after this round (round-6 window candidates, 31):
+# q11/q12/q16/q20, agg_misc, array_set_ops, union_mismatched_schemas,
+# posexplode_words, timestamp_parse_roundtrip, row_ids_unique,
+# price_histogram, regression_price_qty, nations_per_region_csv,
+# rollup_grouping_id, fuzzy_match_nations, null_safe_join,
+# sorted_layout_roundtrip, zorder_layout_roundtrip, explode_words_top,
+# dedup_exact_selfunion, quality_score_docs, token_count_docs,
+# doc_fingerprint, ngram_freq_top, doc_chunk_windows,
+# multimodal_frame_sample, embedding_group_centroid, repetition_score_docs,
+# corpus_rebalance_sources, corpus_rebalance_temperature,
+# interleave_sources_rr — plus the rows-only keys (policy #4).
 
 
 def _reorder_for_certification() -> None:

@@ -699,3 +699,42 @@ def interval_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         span.cast("long").alias("span_sec"),
         (deadline <= F.col("max_ts")).cast("long").alias("exceeds_90m"),
     )
+
+
+@query(
+    "interval_order_span_ym",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST((year(max(o_orderdate)) - year(min(o_orderdate))) * 12
+                + (month(max(o_orderdate)) - month(min(o_orderdate)))
+                AS BIGINT)                                        AS span_months,
+           CAST(min(o_orderdate) + INTERVAL 18 MONTH <= max(o_orderdate)
+                AS BIGINT)                                        AS exceeds_18m
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def interval_order_span_ym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-interval: ANSI YearMonthIntervalType twin of ``interval_user_span``
+    (SURVEY.md §1.2 lists BOTH interval types; round 4 exercised only
+    day-time — VERDICT r4 "Next round #8").
+
+    ``make_ym_interval(1, 6)`` builds an ``INTERVAL '1-6' YEAR TO MONTH``
+    added back to a timestamp (month-add clamps to end-of-month identically
+    in Spark and DuckDB), and the whole-month span is field arithmetic
+    (``(year Δ)*12 + month Δ``) — deliberately NOT ``months_between``, whose
+    fractional day-of-month semantics differ from DuckDB's month-boundary
+    ``datediff``. All JVM-side, codegen-friendly; one aggregate exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+    )
+    ym = F.expr("make_ym_interval(1, 6)")  # YearMonthIntervalType, 18 months
+    span_months = (
+        (F.year("mx") - F.year("mn")) * 12 + (F.month("mx") - F.month("mn"))
+    ).cast("long")
+    return agg.select(
+        "o_orderpriority",
+        span_months.alias("span_months"),
+        ((F.col("mn") + ym) <= F.col("mx")).cast("long").alias("exceeds_18m"),
+    )

@@ -783,6 +783,30 @@ def domain_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "domain_cap_prefiltered",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+    """,
+)
+def domain_cap_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 per-domain capping, hot-group path: identical semantics to
+    ``domain_cap_docs`` (same oracle — the pre-filter is provably exact)
+    but with ``hot_group_threshold`` engaged, so groups larger than the
+    threshold are cut map-side by an approximate per-group
+    ``percentile_approx`` bound BEFORE the exact window sort. At 100 TB
+    this is what keeps a pathologically hot domain from sorting on one
+    task: the windowed set shrinks to ≈ n·k/T rows per hot group. See
+    :func:`..operators.curation.cap_per_group` for the exactness argument;
+    ``tests/test_curation.py`` pins output identity with the plain path
+    and ``tests/test_plans.py`` pins the extra aggregate + broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.cap_per_group(
+        docs, "source", "doc_id", k=10, hot_group_threshold=50
+    ).select("doc_id", "source")
+
+
+@query(
     "decontaminate_docs",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import weakref
 import zipfile
 
 from pyspark.sql import SparkSession
@@ -85,7 +86,7 @@ def get_spark(
     return spark
 
 
-_CONFS_APPLIED: set[str] = set()
+_CONFS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
@@ -95,20 +96,27 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     ``__spark_entry__.entry/queries``; all of the required confs are
     runtime-settable SQL confs, so we set them defensively on entry-point
     calls rather than assuming the session was built by :func:`get_spark`.
-    Memoized per application: ``load_table`` calls this on every table load
-    (6 tables in a 6-way join), and each conf.set is a py4j round-trip —
-    cheap once, needless overhead per-query.
+    Memoized per SESSION OBJECT (a WeakSet, identity-keyed): the required
+    confs are session-scoped SQL confs, so memoizing by applicationId would
+    silently skip a second ``spark.newSession()`` in the same application —
+    whose nanos-layout events scan would then fail with
+    PARQUET_TYPE_ILLEGAL, or whose timestamps would shift vs the UTC oracle.
+    ``load_table`` calls this on every table load (6 tables in a 6-way
+    join), and each conf.set is a py4j round-trip — cheap once, needless
+    overhead per-query. A session is only marked applied when every set
+    succeeded, so a transiently-locked conf is retried on the next call.
     """
-    key = spark.sparkContext.applicationId
-    if key in _CONFS_APPLIED:
+    if spark in _CONFS_APPLIED:
         return spark
+    all_ok = True
     for k, v in REQUIRED_RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked; keep going
-            pass
+            all_ok = False
     ensure_package_on_executors(spark)
-    _CONFS_APPLIED.add(key)
+    if all_ok:
+        _CONFS_APPLIED.add(spark)
     return spark
 
 

@@ -693,3 +693,61 @@ def read_query_state(spark: SparkSession, checkpoint: str, **options: str) -> Da
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(checkpoint)
+
+
+# ------------------------------------------- A11 on streams: observe() QC
+
+
+@query(
+    "stream_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+                                    AS n_clicks,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_checksum
+    FROM events
+    """,
+)
+def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 observed metrics ON A STREAM (VERDICT r4 "Next round #8"):
+    ``DataFrame.observe`` attaches the same zero-extra-scan QC manifest the
+    batch ``observed_write_metrics`` certifies, but to a streaming query —
+    each micro-batch emits its metric row into
+    ``StreamingQueryProgress.observedMetrics`` and the per-batch rows SUM to
+    the exact whole-input answer, because every metric chosen is
+    batch-decomposable (counts and an integer checksum; a mean or distinct
+    count would NOT re-aggregate this way). The sink is ``noop``: the point
+    is metrics without landing data twice.
+
+    At 100 TB this is the streaming QC pattern: per-batch row counts and
+    checksums flow to the metrics bus via a StreamingQueryListener with no
+    second scan and no state; the oracle recomputing the same aggregates
+    from the source certifies the accumulated manifest is exact.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    observed = ev.observe(
+        "qc",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.sum("user_id").alias("user_id_checksum"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_obs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    n_rows = n_clicks = checksum = 0
+    for progress in q.recentProgress:
+        qc = (progress.observedMetrics or {}).get("qc")
+        if qc is None:  # no-data ticks carry no metric row
+            continue
+        n_rows += int(qc["n_rows"])
+        n_clicks += int(qc["n_clicks"])
+        checksum += int(qc["user_id_checksum"])
+    return spark.createDataFrame(
+        [(n_rows, n_clicks, checksum)],
+        "n_rows bigint, n_clicks bigint, user_id_checksum bigint",
+    )

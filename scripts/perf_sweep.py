@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Full-registry timing sweep at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Produces the PERF.md table body: one row per registered query, sorted by
+time descending, printed as JSON lines plus a markdown table on stdout.
+
+Methodology (round 5 — VERDICT r4 "Next round #6"): one warm session, then
+PER QUERY one untimed warm rep followed by the timed rep. The warm rep
+absorbs codegen compilation, Python-worker spin-up, and parquet footer
+reads for that query's tables, so sweep position in the alphabet no longer
+biases the number (the r3/r4 sweeps' apparent regressions were exactly
+that positional noise — see PERF.md and memory note). Streaming queries
+re-execute their full micro-batch drain both reps, so their numbers stay
+honest end-to-end costs.
+
+Usage:  python scripts/perf_sweep.py [--prev PERF_prev.json]
+Writes PERF_sweep.json next to the repo root for the next round's Δ column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from dask_hivemetastore_spark import plans
+    from dask_hivemetastore_spark.session import get_spark
+
+    prev: dict[str, float] = {}
+    if len(sys.argv) == 3 and sys.argv[1] == "--prev":
+        with open(sys.argv[2]) as f:
+            prev = json.load(f)["queries"]
+
+    spark = get_spark(app_name="perf-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for key, fn in plans.QUERIES.items():
+        fn(spark, sf_dir).count()  # untimed warm rep
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        times[key] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"query": key, "sec": times[key]}), flush=True)
+    total = round(time.perf_counter() - t_all, 1)
+
+    out = {"sf_dir": sf_dir, "total_sec": total, "n": len(times), "queries": times}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PERF_sweep.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    print(f"\n{len(times)} queries, {total} s wall (incl. warm reps)\n")
+    print("| query | sec |" + (" prev | Δ |" if prev else ""))
+    print("|---|---:|" + ("---:|---:|" if prev else ""))
+    for k in sorted(times, key=times.get, reverse=True):
+        row = f"| {k} | {times[k]:.2f} |"
+        if prev and k in prev:
+            d = times[k] / prev[k] if prev[k] else float("nan")
+            row += f" {prev[k]:.2f} | {d:.1f}× |"
+        print(row)
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,44 @@ def test_cap_per_group_bounds_and_order(spark, sf_dir):
     assert bad.count() == 0
 
 
+def test_cap_per_group_prefilter_identical(spark, sf_dir):
+    """hot_group_threshold engages an approximate percentile pre-filter
+    ahead of the exact window; the output must be IDENTICAL to the plain
+    path — on the real fixture (unique order key) and on a synthetic hot
+    group dominated by ties (the tie set must survive the value cutoff)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plain = curation.cap_per_group(docs, "source", "doc_id", k=10).select(
+        "doc_id", "source"
+    )
+    pre = curation.cap_per_group(
+        docs, "source", "doc_id", k=10, hot_group_threshold=50
+    ).select("doc_id", "source")
+    assert plain.exceptAll(pre).count() == 0
+    assert pre.exceptAll(plain).count() == 0
+
+    # hot group: 2000 rows over 7 tied values; cold group untouched (n<=T)
+    rows = [(i, "hot", i % 7) for i in range(2000)] + [
+        (10_000 + i, "cold", i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, val long")
+    a = sorted(
+        (r.grp, r.val)
+        for r in curation.cap_per_group(df, "grp", "val", k=3).collect()
+    )
+    b = sorted(
+        (r.grp, r.val)
+        for r in curation.cap_per_group(
+            df, "grp", "val", k=3, hot_group_threshold=100
+        ).collect()
+    )
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.cap_per_group(df, "grp", "val", k=3, hot_group_threshold=2)
+
+
 def test_repetition_score_bounds(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     scored = curation.with_repetition_score(docs, n=2)
@@ -144,3 +182,17 @@ def test_shuffle_shards_is_balanced_total_deterministic(spark, sf_dir):
     # deterministic: second run identical
     b = curation.shuffle_shards(docs, "doc_id", n_shards=16)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_shuffle_shards_bucketed_rank_equals_single_window(spark, sf_dir):
+    """The distributed rank (range-cut sub-buckets + offsets) must be
+    bit-identical to the degenerate single-window rank at ANY bucket
+    count — including one that doesn't divide the draw space evenly."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = curation.shuffle_shards(docs, "doc_id", n_shards=16, order_buckets=1)
+    for nb in (7, 256):
+        got = curation.shuffle_shards(
+            docs, "doc_id", n_shards=16, order_buckets=nb
+        )
+        assert ref.exceptAll(got).count() == 0
+        assert got.exceptAll(ref).count() == 0

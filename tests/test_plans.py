@@ -360,14 +360,37 @@ def test_span_dedup_stays_jvm_side(spark):
     assert "md5" in plan
 
 
-def test_shuffle_shards_single_exchange(spark):
-    """The deterministic shard shuffle costs exactly one exchange (the
-    per-shard window sort); hash draws are map-side projections."""
+def test_shuffle_shards_distributed_rank_shape(spark):
+    """The deterministic shard shuffle ranks via range-cut sub-buckets so
+    sort parallelism is n_shards × order_buckets, not n_shards (the r4
+    single-window plan capped the sort at 16 tasks — ADVICE r4). Pinned
+    shape: the corpus-carrying exchange partitions on (shard, __b); the
+    per-bucket offsets are a tiny broadcast; exchange count stays bounded
+    (2 tiny + 1 corpus hash exchange + 1 broadcast); no Python nodes."""
+    import re
+
     from dask_hivemetastore_spark import plans
 
     df = plans.QUERIES["corpus_shuffle_shards"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1, plan
+    assert re.search(r"hashpartitioning\(shard#\d+L?, __b#", plan), plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+    for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_domain_cap_prefilter_plan_shape(spark):
+    """The hot-group path adds exactly one approximate pre-aggregate
+    (count + percentile_approx) whose one-row-per-group result broadcasts
+    back onto the scan — the windowed sort then sees the filtered set."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["domain_cap_prefiltered"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan
     for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
 
@@ -378,6 +401,18 @@ def test_interval_span_no_shuffle_beyond_agg(spark):
     from dask_hivemetastore_spark import plans
 
     df = plans.QUERIES["interval_user_span"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "PythonUDF" not in plan
+
+
+def test_interval_ym_span_no_shuffle_beyond_agg(spark):
+    """YearMonthInterval twin: same shape guarantee as the day-time query —
+    make_ym_interval folds into JVM timestamp arithmetic, one aggregate
+    exchange on the group key, no Python."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["interval_order_span_ym"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "PythonUDF" not in plan

@@ -276,3 +276,47 @@ def test_state_store_reader_matches_counts(spark, tmp_path):
         (r["key"]["user_id"], r["value"]["count"]) for r in state.collect()
     )
     assert got == [(1, 2), (2, 2), (3, 1)]
+
+
+def test_observe_metrics_sum_across_batches(spark, tmp_path):
+    """stream_observe_metrics' correctness claim is batch-decomposability:
+    per-micro-batch observedMetrics rows must SUM to the whole-input
+    answer. Drive a 3-file source one file per trigger so the stream
+    actually produces multiple metric rows, then check the accumulation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    _write_batch(str(src), 1, [(1, 10), (2, 11)])
+    _write_batch(str(src), 2, [(3, 12)])
+    _write_batch(str(src), 3, [(4, 13), (5, 14), (6, 15)])
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts_us", LongType())]
+    )
+    observed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+        .observe(
+            "qc",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("user_id").alias("checksum"),
+        )
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = [
+        p.observedMetrics["qc"]
+        for p in q.recentProgress
+        if p.observedMetrics and "qc" in p.observedMetrics
+    ]
+    assert len(rows) >= 2  # one metric row per non-empty micro-batch
+    assert sum(int(r["n_rows"]) for r in rows) == 6
+    assert sum(int(r["checksum"]) for r in rows) == 21
