@@ -304,6 +304,48 @@ def train_test_split(df: DataFrame, key_col: str, test_frac: float = 0.1,
     )
 
 
+def split_leakage_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", test_frac: float = 0.1,
+                        n: int = 3, threshold: float = 0.9) -> DataFrame:
+    """Train/test split LEAKAGE AUDIT: near-duplicate pairs that straddle
+    the deterministic split boundary.
+
+    A held-out set only measures generalization if no test document has a
+    near-duplicate in train — dedup-then-split does not guarantee this when
+    dedup thresholds and split hygiene are chosen independently, so the
+    audit is its own pipeline stage (the eval-contamination literature's
+    recommendation; same motivation as benchmark decontamination but
+    INTERNAL to the corpus). Returns (doc_a, doc_b, split_a, split_b,
+    jaccard) for every word-``n``-gram Jaccard ≥ ``threshold`` pair whose
+    sides land in different splits.
+
+    Scale: the pair set comes from the prefix-filtered exact join
+    (:func:`..operators.dedup.ngram_jaccard_pairs` — the 100 TB-bounded
+    path), and because :func:`train_test_split` membership is a pure
+    function of the key, each side's split is recomputed MAP-SIDE from the
+    pair's own id columns — no join back to the corpus, no extra shuffle
+    beyond the pair join itself.
+    """
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold
+    )
+    pct = int(round(test_frac * 100))
+
+    def split_of(col: str) -> F.Column:
+        return F.when(
+            hash_bucket(col, 100) < 100 - pct, F.lit("train")
+        ).otherwise(F.lit("test"))
+
+    return (
+        pairs.withColumn("split_a", split_of("doc_a"))
+        .withColumn("split_b", split_of("doc_b"))
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
 def rebalance_to_min(df: DataFrame, group_col: str, key_col: str,
                      precision: int = 10_000) -> DataFrame:
     """Downsample every group to (approximately) the size of the smallest
@@ -425,7 +467,7 @@ def repeated_span_removal(df: DataFrame, id_col: str = "doc_id",
 
 def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
                    salt: str = "shuffle:",
-                   order_buckets: int = 256) -> DataFrame:
+                   order_buckets: int | None = None) -> DataFrame:
     """Deterministic global shuffle into balanced training shards.
 
     Training runs need the corpus in pseudo-random order, reproducibly: the
@@ -445,19 +487,29 @@ def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
     before.
 
     Scale (100 TB): ranking within a shard via a plain
-    ``Window.partitionBy(shard)`` would cap the sort at ``n_shards`` tasks
-    — the classic single-hot-partition window bottleneck. Instead pos is a
-    DISTRIBUTED rank: the uniform order draw is range-cut into
-    ``order_buckets`` sub-buckets per shard (a map-side projection, since
-    the bucket is ``__ord``'s high bits), per-(shard, bucket) counts
-    (one tiny partial-agg pass) turn into cumulative per-bucket offsets,
-    and the corpus shuffles once on (shard, bucket) — ``n_shards ×
-    order_buckets`` concurrent sort tasks — where
+    ``Window.partitionBy(shard)`` caps the sort at ``n_shards`` tasks —
+    the classic single-hot-partition window bottleneck (at 100 TB / 16
+    shards that is a 6 TB sort per task: not slow, impossible). With
+    ``order_buckets > 1`` pos becomes a DISTRIBUTED rank: the uniform
+    order draw is range-cut into ``order_buckets`` sub-buckets per shard
+    (a map-side projection, since the bucket is ``__ord``'s high bits),
+    per-(shard, bucket) counts (one extra counting pass — the textbook
+    two-pass distributed sort trade) turn into cumulative per-bucket
+    offsets, and the corpus shuffles once on (shard, bucket) —
+    ``n_shards × order_buckets`` concurrent sort tasks — where
     ``pos = bucket_offset + row_number within bucket``. Concatenating
     range-cut buckets in bucket order IS the shard order (ties of ``__ord``
     share a bucket and break by key inside it), so the result is
     bit-identical to the single-window rank at any ``order_buckets``;
     the parity test pins it.
+
+    The default ``order_buckets=None`` auto-sizes from the session:
+    ``max(1, 2 × spark.sql.shuffle.partitions / n_shards)``, so a local
+    test session degenerates to the cheap single-window plan (measured at
+    500 k rows: the counting pass costs ~1.6 s that tiny per-shard sorts
+    don't earn back) while a cluster session sized for the data gets
+    proportionally many sort tasks. Pos values do not depend on the
+    choice, only the plan does.
 
     Returns (key_col, shard, pos).
     """
@@ -475,6 +527,11 @@ def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
         hash_bucket(key_col, n_shards).alias("shard"),
         order_draw.alias("__ord"),
     )
+    if order_buckets is None:
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        order_buckets = max(1, (2 * shuffle_parts) // n_shards)
     if order_buckets <= 1:
         w = Window.partitionBy("shard").orderBy("__ord", key_col)
         return (

@@ -94,7 +94,7 @@ _CERTIFICATION_PRIORITY = [
     "token_pack_docs",
     "dedup_embedding_components",
     "lang_id_docs",
-    "tfidf_top_terms",
+    "split_leakage_audit",  # NEW r5 — lands in-window (policy #2)
     # --- streaming variants beyond the certified I4–I7 set ---
     "stream_sessionize",
     "stream_static_enrich",
@@ -109,7 +109,7 @@ _CERTIFICATION_PRIORITY = [
 # rollup_grouping_id, fuzzy_match_nations, null_safe_join,
 # sorted_layout_roundtrip, zorder_layout_roundtrip, explode_words_top,
 # dedup_exact_selfunion, quality_score_docs, token_count_docs,
-# doc_fingerprint, ngram_freq_top, doc_chunk_windows,
+# doc_fingerprint, tfidf_top_terms, ngram_freq_top, doc_chunk_windows,
 # multimodal_frame_sample, embedding_group_centroid, repetition_score_docs,
 # corpus_rebalance_sources, corpus_rebalance_temperature,
 # interleave_sources_rr — plus the rows-only keys (policy #4).

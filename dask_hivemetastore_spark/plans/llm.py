@@ -894,6 +894,47 @@ def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage_audit",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws)-1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+          FROM w WHERE len(ws) >= 3),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                   / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))),
+                   6) AS jaccard
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+            / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.9),
+    s AS (SELECT doc_a, doc_b,
+                 CASE WHEN CAST(CONCAT('0x',
+                        substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 100 < 90 THEN 'train' ELSE 'test' END AS split_a,
+                 CASE WHEN CAST(CONCAT('0x',
+                        substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 100 < 90 THEN 'train' ELSE 'test' END AS split_b,
+                 jaccard
+          FROM p)
+    SELECT * FROM s WHERE split_a <> split_b
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 split hygiene: near-dup pairs STRADDLING the 90/10 train/test
+    boundary — the leakage check a held-out split needs after any
+    independent dedup pass (4 of the 25 planted near-dup pairs straddle at
+    sf0.01). Pairs come from the prefix-filtered exact Jaccard join; each
+    side's split membership is recomputed map-side from the pair ids (the
+    split is a pure key function), so the audit costs nothing beyond the
+    pair join. See :func:`..operators.curation.split_leakage_pairs`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.split_leakage_pairs(
+        docs, "doc_id", "text", test_frac=0.1, n=3, threshold=0.9
+    )
+
+
+@query(
     "corpus_rebalance_sources",
     oracle="""
     WITH c AS (SELECT source, COUNT(*) AS n,

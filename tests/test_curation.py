@@ -196,3 +196,29 @@ def test_shuffle_shards_bucketed_rank_equals_single_window(spark, sf_dir):
         )
         assert ref.exceptAll(got).count() == 0
         assert got.exceptAll(ref).count() == 0
+
+
+def test_split_leakage_pairs_subset_and_labels(spark, sf_dir):
+    """Leakage pairs are exactly the near-dup pairs whose sides get
+    different train_test_split labels — checked against the full pair set
+    and the split assignment recomputed independently."""
+    from dask_hivemetastore_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    leaks = curation.split_leakage_pairs(
+        docs, "doc_id", "text", test_frac=0.1, n=3, threshold=0.9
+    ).collect()
+    all_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    split = {
+        r.doc_id: r.split
+        for r in curation.train_test_split(docs, "doc_id", test_frac=0.1).collect()
+    }
+    expected = {(a, b) for (a, b) in all_pairs if split[a] != split[b]}
+    assert {(r.doc_a, r.doc_b) for r in leaks} == expected
+    assert expected  # fixture plants straddling pairs (4 at sf0.01)
+    for r in leaks:
+        assert r.split_a == split[r.doc_a] and r.split_b == split[r.doc_b]
+        assert r.split_a != r.split_b

@@ -361,23 +361,36 @@ def test_span_dedup_stays_jvm_side(spark):
 
 
 def test_shuffle_shards_distributed_rank_shape(spark):
-    """The deterministic shard shuffle ranks via range-cut sub-buckets so
-    sort parallelism is n_shards × order_buckets, not n_shards (the r4
-    single-window plan capped the sort at 16 tasks — ADVICE r4). Pinned
-    shape: the corpus-carrying exchange partitions on (shard, __b); the
-    per-bucket offsets are a tiny broadcast; exchange count stays bounded
-    (2 tiny + 1 corpus hash exchange + 1 broadcast); no Python nodes."""
+    """The shard shuffle's rank is scale-adaptive (ADVICE r4): with
+    order_buckets > 1 it is a distributed rank — the corpus-carrying
+    exchange partitions on (shard, __b) so sort parallelism is
+    n_shards × order_buckets, offsets are a tiny broadcast, exchange
+    count bounded (2 tiny + 1 corpus hash + 1 broadcast). The auto
+    default degenerates to the cheap single-exchange window plan when the
+    session's shuffle sizing says per-shard sorts are small (this test
+    session: 8 shuffle partitions vs 16 shards). No Python nodes either
+    way."""
     import re
 
     from dask_hivemetastore_spark import plans
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators import curation
 
+    # auto path in the small test session → single-window degenerate plan
     df = plans.QUERIES["corpus_shuffle_shards"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"hashpartitioning\(shard#\d+L?, __b#", plan), plan
-    assert plan.count("BroadcastExchange") == 1, plan
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
-    for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
-        assert marker not in plan
+    assert plan.count("Exchange") == 1, plan
+
+    # explicit bucketing → distributed-rank plan
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df2 = curation.shuffle_shards(docs, "doc_id", n_shards=16, order_buckets=64)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(shard#\d+L?, __b#", plan2), plan2
+    assert plan2.count("BroadcastExchange") == 1, plan2
+    assert len(re.findall(r"Exchange hashpartitioning", plan2)) == 3, plan2
+    for p in (plan, plan2):
+        for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
+            assert marker not in p
 
 
 def test_domain_cap_prefilter_plan_shape(spark):
