@@ -504,12 +504,15 @@ def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
     the parity test pins it.
 
     The default ``order_buckets=None`` auto-sizes from the session:
-    ``max(1, 2 × spark.sql.shuffle.partitions / n_shards)``, so a local
-    test session degenerates to the cheap single-window plan (measured at
-    500 k rows: the counting pass costs ~1.6 s that tiny per-shard sorts
-    don't earn back) while a cluster session sized for the data gets
-    proportionally many sort tasks. Pos values do not depend on the
-    choice, only the plan does.
+    ``2 × spark.sql.shuffle.partitions / n_shards`` sort tasks per shard,
+    but only when that yields ≥ 8 buckets (fewer barely raises parallelism
+    while still paying the counting pass — measured at 500 k rows it costs
+    ~1.6 s that tiny per-shard sorts don't earn back, flat for any bucket
+    count ≥ 2). So a local session (tens of shuffle partitions)
+    degenerates to the cheap single-window plan and a cluster session
+    sized for its data (thousands of partitions) gets proportionally many
+    sort tasks. Pos values do not depend on the choice, only the plan
+    does.
 
     Returns (key_col, shard, pos).
     """
@@ -531,7 +534,8 @@ def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
         shuffle_parts = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        order_buckets = max(1, (2 * shuffle_parts) // n_shards)
+        auto = (2 * shuffle_parts) // n_shards
+        order_buckets = auto if auto >= 8 else 1
     if order_buckets <= 1:
         w = Window.partitionBy("shard").orderBy("__ord", key_col)
         return (
