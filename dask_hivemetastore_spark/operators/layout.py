@@ -1,4 +1,4 @@
-"""Multi-dimensional clustered layouts (Z-order).
+"""Physical-layout maintenance: Z-order clustering and small-file compaction.
 
 Single-dim sort-clustering (``sorted_layout_roundtrip``) makes parquet
 min/max stats prune perfectly on the sort key and not at all on any other
@@ -92,3 +92,63 @@ def zorder_rewrite(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def list_data_files(spark, path: str, suffix: str = ".parquet") -> list[tuple[str, int]]:
+    """Recursive (path, bytes) listing of a table directory via the Hadoop
+    FileSystem API — works for any scheme Spark can read (local, HDFS, s3a),
+    unlike a Python glob. Metadata/_SUCCESS files are skipped."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(suffix) and not name.startswith(("_", ".")):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def compact_rewrite(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction (the lakehouse ``OPTIMIZE`` / bin-packing
+    rewrite): coalesce a directory of many undersized parquet files into
+    ``ceil(total_bytes / target_bytes)`` right-sized files.
+
+    Small files are the silent killer of 100 TB scans — every file costs a
+    driver listing entry, a footer read, and a task schedule; streaming
+    sinks and over-parallel writers produce them constantly, so compaction
+    is a standing maintenance pass in any lakehouse. Sizing comes from the
+    actual on-disk bytes (Hadoop FS listing — the same numbers a real
+    OPTIMIZE uses), not a row-count guess, so compressed-size skew is
+    handled. With ``sort_cols`` the rewrite also restores a clustered
+    layout via ``repartitionByRange`` + ``sortWithinPartitions`` (stats
+    stay prunable); without it a round-robin ``repartition`` balances
+    output file sizes exactly. Content-preserving either way: same rows,
+    new physical layout.
+
+    Returns ``{"n_files_in", "bytes_in", "n_files_out"}``.
+    """
+    files = list_data_files(spark, in_path)
+    bytes_in = sum(sz for _, sz in files)
+    n_out = max(1, -(-bytes_in // target_bytes))  # ceil
+    df = spark.read.parquet(in_path)
+    if sort_cols:
+        writer = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        writer = df.repartition(n_out)
+    writer.write.mode("overwrite").parquet(out_path)
+    return {
+        "n_files_in": len(files),
+        "bytes_in": bytes_in,
+        "n_files_out": len(list_data_files(spark, out_path)),
+    }

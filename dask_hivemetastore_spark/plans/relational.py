@@ -2217,6 +2217,42 @@ def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "compact_small_files",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT)       AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout maintenance: explode lineitem into 64 undersized parquet
+    files (the streaming-sink/over-parallel-writer pathology), then
+    bin-pack them back to ``ceil(bytes / target)`` right-sized files via
+    :func:`..operators.layout.compact_rewrite` — sized from actual on-disk
+    bytes (Hadoop FS listing), the same numbers a lakehouse OPTIMIZE uses.
+    The aggregate is answered from the COMPACTED copy and the oracle from
+    the original table, so the hash match certifies the rewrite
+    lost/duplicated nothing; tests/test_sources.py pins the file-count
+    contract (64 → ceil) and the size balance."""
+    import tempfile
+
+    from ..operators.layout import compact_rewrite
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="compact_")
+    li.repartition(64).write.mode("overwrite").parquet(f"{base}/small")
+    compact_rewrite(
+        spark, f"{base}/small", f"{base}/packed", target_bytes=8 * 1024 * 1024
+    )
+    back = spark.read.parquet(f"{base}/packed")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@query(
     "mad_robust_outliers",
     oracle="""
     WITH med AS (SELECT event_type,

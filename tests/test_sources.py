@@ -318,3 +318,69 @@ def test_python_datasource_sink_roundtrip(spark, tmp_path):
     # no stray temp files survive the commit
     import os
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+
+def test_compact_rewrite_file_count_and_content(spark, tmp_path):
+    """Bin-packing contract: 64 undersized files compact to exactly
+    ceil(total_bytes/target) files, output sizes are balanced (round-robin
+    path), and the rewrite is content-preserving."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.layout import (
+        compact_rewrite,
+        list_data_files,
+    )
+    from .conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    small = str(tmp_path / "small")
+    packed = str(tmp_path / "packed")
+    li.repartition(64).write.mode("overwrite").parquet(small)
+    assert len(list_data_files(spark, small)) == 64
+
+    target = 256 * 1024
+    stats = compact_rewrite(spark, small, packed, target_bytes=target)
+    expect = -(-stats["bytes_in"] // target)
+    assert stats["n_files_in"] == 64
+    assert stats["n_files_out"] == expect < 64
+
+    sizes = [sz for _, sz in list_data_files(spark, packed)]
+    assert len(sizes) == expect
+    assert max(sizes) <= 2 * min(sizes)  # round-robin keeps files balanced
+
+    a = spark.read.parquet(packed)
+    assert a.count() == li.count()
+    key = F.sum(F.hash(*li.columns).cast("long"))
+    assert a.agg(key).first()[0] == li.agg(key).first()[0]
+
+
+def test_compact_rewrite_sorted_layout_prunable(spark, tmp_path):
+    """With sort_cols the compaction restores a clustered layout: each
+    output file covers a disjoint key range (footer min/max prunable)."""
+    import pyarrow.parquet as pq
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.layout import (
+        compact_rewrite,
+        list_data_files,
+    )
+    from .conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    small = str(tmp_path / "small_o")
+    packed = str(tmp_path / "packed_o")
+    o.repartition(32).write.mode("overwrite").parquet(small)
+    compact_rewrite(
+        spark, small, packed, target_bytes=24 * 1024, sort_cols=["o_orderkey"]
+    )
+    boxes = []
+    for path, _sz in list_data_files(spark, packed):
+        md = pq.ParquetFile(path.replace("file:", "")).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+        stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        boxes.append((min(s.min for s in stats), max(s.max for s in stats)))
+    boxes.sort()
+    assert len(boxes) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(boxes, boxes[1:]):
+        assert hi1 <= lo2  # disjoint ranges -> any key predicate prunes
