@@ -2253,6 +2253,63 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_quality_report",
+    oracle="""
+    WITH s AS (SELECT
+        COUNT(*) AS n,
+        COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS r0,
+        COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS r1,
+        COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) AS r2,
+        COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 25 THEN 1 END) AS r3,
+        COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END) AS r4,
+        GREATEST(0, 1000 - COUNT(*)) AS r5
+      FROM lineitem)
+    SELECT rule, violations,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM (
+      SELECT 'not_null(l_orderkey)' AS rule, CAST(r0 AS BIGINT) AS violations
+        FROM s
+      UNION ALL SELECT 'unique(l_orderkey, l_linenumber)', CAST(r1 AS BIGINT)
+        FROM s
+      UNION ALL SELECT 'in_range(l_discount, 0, 0.1)', CAST(r2 AS BIGINT)
+        FROM s
+      UNION ALL SELECT 'in_range(l_quantity, 1, 25)', CAST(r3 AS BIGINT)
+        FROM s
+      UNION ALL SELECT 'accepted_values(l_returnflag)', CAST(r4 AS BIGINT)
+        FROM s
+      UNION ALL SELECT 'min_rows(1000)', CAST(r5 AS BIGINT) FROM s
+    )
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report (Deequ / dbt-test pattern): six
+    declared rules — key not-null, composite-key uniqueness, two numeric
+    ranges, an accepted-values set, a minimum row count — ALL evaluated in
+    one aggregation pass over lineitem (operators/quality.py), unpivoted
+    to one deterministic (rule, violations, passed) row each. Two rules
+    FAIL by design — the l_quantity range is deliberately tight, and the
+    synthetic testdata's (l_orderkey, l_linenumber) key is genuinely
+    non-unique — so the report demonstrates exact violation counting, and
+    the oracle recomputing every rule in SQL certifies those counts. At
+    100 TB the single pass is the whole point — validation must not
+    double pipeline I/O."""
+    from ..operators import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return Q.check(
+        li,
+        [
+            Q.not_null("l_orderkey"),
+            Q.unique("l_orderkey", "l_linenumber"),
+            Q.in_range("l_discount", 0, 0.1),
+            Q.in_range("l_quantity", 1, 25),
+            Q.accepted_values("l_returnflag", ["A", "N", "R"]),
+            Q.min_rows(1000),
+        ],
+    )
+
+
+@query(
     "mad_robust_outliers",
     oracle="""
     WITH med AS (SELECT event_type,

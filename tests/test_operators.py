@@ -313,3 +313,49 @@ def test_hll_sketch_estimates_near_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert abs(e - exact[k]) <= max(2, 0.02 * exact[k]), (k, e, exact[k])
+
+
+def test_quality_check_single_pass_and_rules(spark, sf_dir):
+    """All declared rules evaluate in ONE pass (a single table scan in the
+    plan) and report exact violation counts with pass/fail flags."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    report = Q.check(
+        li,
+        [
+            Q.not_null("l_orderkey"),
+            Q.unique("l_orderkey", "l_linenumber"),
+            Q.in_range("l_quantity", 1, 25),
+            Q.min_rows(10**9),
+        ],
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+    rows = {r.rule: r for r in report.collect()}
+    n = li.count()
+    assert rows["not_null(l_orderkey)"].violations == 0
+    assert rows["not_null(l_orderkey)"].passed == 1
+    # the synthetic lineitem's composite key is genuinely non-unique —
+    # the rule must report the exact duplicate count, not 0
+    dup = n - li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert rows["unique(l_orderkey, l_linenumber)"].violations == dup > 0
+    assert rows["unique(l_orderkey, l_linenumber)"].passed == 0
+    over = li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 25)).count()
+    assert rows["in_range(l_quantity, 1, 25)"].violations == over > 0
+    assert rows["in_range(l_quantity, 1, 25)"].passed == 0
+    assert rows["min_rows(1000000000)"].violations == 10**9 - n
+    assert rows["min_rows(1000000000)"].passed == 0
+
+    # planted nulls + dup keys are counted exactly
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, None), (3, 2)], "k long, v long"
+    )
+    got = {
+        r.rule: r.violations
+        for r in Q.check(df, [Q.not_null("v"), Q.unique("k", "v")]).collect()
+    }
+    assert got["not_null(v)"] == 1
+    assert got["unique(k, v)"] == 1
