@@ -221,6 +221,53 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_banded",
+    oracle="""
+    SELECT p.event_id                          AS purchase_id,
+           COUNT(e.event_id)                   AS n_any_user,
+           COALESCE(ROUND(SUM(e.value), 2), 0) AS value_any_user
+    FROM events p
+    LEFT JOIN events e
+      ON e.ts > p.ts AND e.ts <= p.ts + INTERVAL '5 minutes'
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 banded range join: ALL activity (any user — deliberately NO
+    equi-key) within 5 minutes after each purchase. A naive inequality
+    join here planks to BroadcastNestedLoopJoin (O(n·m) + whole-side
+    broadcast); :mod:`..operators.rangejoin` bands time into 300 s buckets
+    so the overlap becomes an equi-join on the bucket id with the exact
+    range predicate as a post-filter — same answer (the DuckDB oracle IS
+    the naive theta join), shuffled-join plan (pinned in
+    tests/test_plans.py: no nested loop, no cartesian)."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") + F.expr("INTERVAL '5' MINUTE")).alias("p_end"),
+    )
+    e = ev.select(
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("e_value"),
+    )
+    joined = point_in_interval_join(
+        p, e, start_col="p_ts", end_col="p_end", point_col="e_ts",
+        bucket_seconds=300, how="left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("e_id").alias("n_any_user"),
+        F.coalesce(F.round(F.sum("e_value"), 2), F.lit(0.0)).alias(
+            "value_any_user"
+        ),
+    )
+
+
+@query(
     "asof_join_events",
     oracle="""
     SELECT c.event_id,

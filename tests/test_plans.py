@@ -429,3 +429,19 @@ def test_interval_ym_span_no_shuffle_beyond_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "PythonUDF" not in plan
+
+
+def test_banded_range_join_never_nested_loop(spark):
+    """The no-equi-key interval join must plan as a HASH join on the band
+    bucket — a naive inequality join degrades to BroadcastNestedLoopJoin
+    (O(n·m) + whole-side broadcast), which may never appear."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["range_join_banded"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
