@@ -76,3 +76,50 @@ def point_in_interval_join(
         & (F.col(point_col) <= F.col(end_col))
     )
     return iv.join(pt, cond, how).drop("__b")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Inner join every pair of OVERLAPPING intervals (closed overlap:
+    ``l_start <= r_end AND r_start <= l_end``) — the interval×interval
+    generalization of :func:`point_in_interval_join`, again without an
+    equi-key and never a nested-loop plan.
+
+    Both sides explode onto their covered buckets and equi-join on the
+    bucket id. Unlike the point case, an overlapping pair shares EVERY
+    bucket its overlap region spans, so the join would duplicate pairs;
+    the standard anchor trick makes each pair match exactly once WITHOUT a
+    distinct: the overlap region starts at ``m = greatest(l_start,
+    r_start)``, both sides' explosions necessarily cover ``bucket(m)``
+    (``m`` lies inside both intervals), and the join additionally requires
+    the met bucket to BE ``bucket(m)`` — true in exactly one bucket per
+    pair. A post-``distinct`` would instead shuffle the full match
+    multiset; the anchor predicate is free.
+
+    Column names must be disjoint across the two sides (alias upstream).
+    Same sizing guidance as the point join: ``bucket_seconds`` on the
+    order of typical interval length.
+    """
+    lo_l = _bucket(F.col(l_start), bucket_seconds)
+    hi_l = _bucket(F.col(l_end), bucket_seconds)
+    lo_r = _bucket(F.col(r_start), bucket_seconds)
+    hi_r = _bucket(F.col(r_end), bucket_seconds)
+    lhs = left.withColumn("__bl", F.explode(F.sequence(lo_l, hi_l)))
+    rhs = right.withColumn("__br", F.explode(F.sequence(lo_r, hi_r)))
+    anchor = _bucket(
+        F.greatest(F.col(l_start), F.col(r_start)), bucket_seconds
+    )
+    cond = (
+        (lhs["__bl"] == rhs["__br"])
+        & (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (lhs["__bl"] == anchor)
+    )
+    return lhs.join(rhs, cond, "inner").drop("__bl", "__br")

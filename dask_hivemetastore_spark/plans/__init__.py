@@ -65,7 +65,6 @@ _CERTIFICATION_PRIORITY = [
     "persist_cache_agg",
     "observed_write_metrics",
     "parquet_schema_evolution",
-    "crosstab_status_segment",
     # --- window-function kinds beyond the certified rank/cumsum set ---
     "window_rank_kinds",
     "compact_small_files",  # NEW r5 — lands in-window (policy #2)
@@ -73,6 +72,7 @@ _CERTIFICATION_PRIORITY = [
     # --- event-time surfaces (r4 additions + never-certified siblings) ---
     "events_date_parts",
     "range_join_banded",  # NEW r5 — lands in-window (policy #2)
+    "interval_overlap_pairs",  # NEW r5 — lands in-window (policy #2)
     "asof_join_tolerance",
     "events_hourly_gapfill",
     "funnel_signup_purchase",
@@ -102,9 +102,10 @@ _CERTIFICATION_PRIORITY = [
     "stream_foreach_batch_snapshot",
     "stream_observe_metrics",  # NEW r5 — lands in-window (policy #2)
 ]
-# Still never-certified after this round (round-6 window candidates, 34):
-# sample_k_per_group, window_value_funcs, window_price_band,
-# q11/q12/q16/q20, agg_misc, array_set_ops, union_mismatched_schemas,
+# Still never-certified after this round (round-6 window candidates, 35):
+# crosstab_status_segment, sample_k_per_group, window_value_funcs,
+# window_price_band, q11/q12/q16/q20, agg_misc, array_set_ops,
+# union_mismatched_schemas,
 # posexplode_words, timestamp_parse_roundtrip, row_ids_unique,
 # price_histogram, regression_price_qty, nations_per_region_csv,
 # rollup_grouping_id, fuzzy_match_nations, null_safe_join,

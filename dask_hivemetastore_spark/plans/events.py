@@ -268,6 +268,52 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_overlap_pairs",
+    oracle="""
+    WITH p AS (SELECT event_id AS id, ts AS s,
+                      ts + INTERVAL '5 minutes' AS e
+               FROM events WHERE event_type = 'purchase')
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(floor(epoch(least(a.e, b.e) - greatest(a.s, b.s)))
+                AS BIGINT) AS overlap_sec
+    FROM p a JOIN p b
+      ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 interval×interval overlap, no equi-key: pairs of purchases (any
+    users) whose 5-minute windows overlap, with the floored overlap
+    seconds. Uses :func:`..operators.rangejoin.interval_overlap_join` —
+    both windows band onto 300 s buckets, the pair matches ONLY in the
+    bucket of ``greatest(starts)`` (each pair exactly once, no distinct),
+    and the oracle is the naive theta self-join, so the hash match
+    certifies the banded rewrite emits precisely the overlap set."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase")
+    a = p.select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_s"),
+        (F.col("ts") + F.expr("INTERVAL '5' MINUTE")).alias("a_e"),
+    )
+    b = p.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_s"),
+        (F.col("ts") + F.expr("INTERVAL '5' MINUTE")).alias("b_e"),
+    )
+    joined = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=300
+    )
+    # DayTimeInterval → long = floored seconds, the exact-µs path certified
+    # by interval_user_span (double-epoch subtraction can floor-flip)
+    overlap = F.least("a_e", "b_e") - F.greatest("a_s", "b_s")
+    return joined.where(F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id", overlap.cast("long").alias("overlap_sec")
+    )
+
+
+@query(
     "asof_join_events",
     oracle="""
     SELECT c.event_id,

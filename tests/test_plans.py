@@ -437,11 +437,12 @@ def test_banded_range_join_never_nested_loop(spark):
     (O(n·m) + whole-side broadcast), which may never appear."""
     from dask_hivemetastore_spark import plans
 
-    df = plans.QUERIES["range_join_banded"](spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert any(
-        j in plan
-        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-    ), plan
+    for key in ("range_join_banded", "interval_overlap_pairs"):
+        df = plans.QUERIES[key](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, (key, plan)
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert any(
+            j in plan
+            for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        ), (key, plan)

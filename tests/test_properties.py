@@ -244,3 +244,94 @@ def test_rebalance_temperature_bounds(spark, rows):
             assert kept_by_src[src] == n  # smallest source kept whole
     assert half <= full
     assert len(full) == len(rows)  # alpha=1 is the natural mixture
+
+
+import datetime as _dt
+
+
+def F_ts(seconds: int) -> "_dt.datetime":
+    """Deterministic timestamp from integer seconds (epoch-based)."""
+    return _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=seconds)
+
+
+intervals_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2000),  # start (seconds)
+        st.integers(min_value=0, max_value=700),   # length (seconds)
+    ),
+    min_size=1,
+    max_size=15,
+)
+points_st = st.lists(
+    st.integers(min_value=-100, max_value=2900), min_size=0, max_size=25
+)
+
+
+@SETTINGS
+@given(iv=intervals_st, pts=points_st,
+       bucket=st.sampled_from([60, 300, 1000]))
+def test_banded_range_join_equals_naive(spark, iv, pts, bucket):
+    """For ANY intervals/points/bucket size, the banded equi-join rewrite
+    produces exactly the naive theta join's (interval, point) pairs — the
+    banding is a plan transformation, never a semantics change."""
+    from dask_hivemetastore_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    ivdf = spark.createDataFrame(
+        [(i, F_ts(s), F_ts(s + ln)) for i, (s, ln) in enumerate(iv)],
+        "iid long, start timestamp, end timestamp",
+    )
+    ptdf = spark.createDataFrame(
+        [(j, F_ts(p)) for j, p in enumerate(pts)], "pid long, pt timestamp"
+    )
+    naive = {
+        (r.iid, r.pid)
+        for r in ivdf.join(
+            ptdf,
+            (F.col("pt") > F.col("start")) & (F.col("pt") <= F.col("end")),
+            "inner",
+        ).collect()
+    }
+    banded = {
+        (r.iid, r.pid)
+        for r in point_in_interval_join(
+            ivdf, ptdf, "start", "end", "pt", bucket_seconds=bucket, how="inner"
+        ).collect()
+    }
+    assert banded == naive
+
+
+@SETTINGS
+@given(left=intervals_st, right=intervals_st,
+       bucket=st.sampled_from([60, 300, 1000]))
+def test_interval_overlap_join_equals_naive(spark, left, right, bucket):
+    """For ANY interval sets and bucket size, the anchored banded overlap
+    join emits exactly the naive theta join's pairs, each exactly once."""
+    from dask_hivemetastore_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(i, F_ts(s), F_ts(s + ln)) for i, (s, ln) in enumerate(left)],
+        "a_id long, a_s timestamp, a_e timestamp",
+    )
+    b = spark.createDataFrame(
+        [(j, F_ts(s), F_ts(s + ln)) for j, (s, ln) in enumerate(right)],
+        "b_id long, b_s timestamp, b_e timestamp",
+    )
+    naive = sorted(
+        (r.a_id, r.b_id)
+        for r in a.join(
+            b,
+            (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")),
+            "inner",
+        ).collect()
+    )
+    banded = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=bucket
+        ).collect()
+    )
+    assert banded == naive  # sorted lists: catches duplicates, not just sets
