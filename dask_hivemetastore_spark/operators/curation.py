@@ -304,6 +304,41 @@ def train_test_split(df: DataFrame, key_col: str, test_frac: float = 0.1,
     )
 
 
+def weighted_sample_topk(df: DataFrame, key_col: str, weight_col: str,
+                         k: int, salt: str = "wsample:") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme with the engine-portable md5 uniform
+    draw this module uses everywhere. Each row gets ``u ∈ (0,1)`` from
+    ``md5(salt || key)`` and rank key ``u^(1/w)``; the k largest rank keys
+    ARE a weighted sample without replacement (inclusion probability
+    proportional to weight at each draw — the A-ES theorem).
+
+    Quality- or length-weighted corpus subsampling is the standard use:
+    "sample 1 M documents ∝ quality score". Because the draw is a pure
+    function of (salt, key), the same corpus yields the same sample on any
+    engine or re-run, and the oracle can re-derive every selection.
+
+    Scale: the rank key is a map-side expression; global top-k lowers to
+    ``TakeOrderedAndProject`` (per-partition heaps + k-row driver merge) —
+    no global sort, no shuffle of the corpus. Rows with weight ≤ 0 are
+    excluded (their rank key is undefined).
+    """
+    raw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (raw.cast("double") + 0.5) / F.lit(float(2 ** 32))
+    rank_key = F.pow(u, 1.0 / F.col(weight_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .orderBy(rank_key.desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def split_leakage_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", test_frac: float = 0.1,
                         n: int = 3, threshold: float = 0.9) -> DataFrame:

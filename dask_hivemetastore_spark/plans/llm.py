@@ -894,6 +894,32 @@ def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars,
+        (CAST(CONCAT('0x', substr(md5(CONCAT('wsample:',
+              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+          / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars
+    FROM d ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 deterministic weighted sampling: 50 docs drawn without
+    replacement with inclusion probability ∝ n_chars (Efraimidis–Spirakis
+    rank keys over the md5 uniform draw). The oracle re-derives every
+    draw and the full selection, so the hash match certifies the exact
+    sample — the property `df.sample()`/`rand()` can never give. Plan:
+    map-side rank key + TakeOrderedAndProject (no corpus shuffle).
+    See :func:`..operators.curation.weighted_sample_topk`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.weighted_sample_topk(
+        docs, "doc_id", "n_chars", k=50
+    ).select("doc_id", "n_chars")
+
+
+@query(
     "split_leakage_audit",
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -222,3 +222,34 @@ def test_split_leakage_pairs_subset_and_labels(spark, sf_dir):
     for r in leaks:
         assert r.split_a == split[r.doc_a] and r.split_b == split[r.doc_b]
         assert r.split_a != r.split_b
+
+
+def test_weighted_sample_deterministic_and_scale_invariant(spark, sf_dir):
+    """A-ES properties that hold exactly: the sample has exactly k rows,
+    reruns are identical, and scaling ALL weights by a constant leaves the
+    selection unchanged (u^(1/(cw)) is a monotone transform of u^(1/w))."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        r.doc_id
+        for r in curation.weighted_sample_topk(docs, "doc_id", "n_chars", k=50).collect()
+    )
+    assert len(a) == 50
+    b = sorted(
+        r.doc_id
+        for r in curation.weighted_sample_topk(docs, "doc_id", "n_chars", k=50).collect()
+    )
+    assert a == b
+    scaled = docs.withColumn("w2", F.col("n_chars") * 7)
+    c = sorted(
+        r.doc_id
+        for r in curation.weighted_sample_topk(scaled, "doc_id", "w2", k=50).collect()
+    )
+    assert a == c
+    # the sample is length-biased: mean weight above the corpus mean
+    chosen = docs.join(
+        spark.createDataFrame([(i,) for i in a], "doc_id long"), "doc_id"
+    )
+    assert (
+        chosen.agg(F.avg("n_chars")).first()[0]
+        > docs.agg(F.avg("n_chars")).first()[0]
+    )
