@@ -175,6 +175,60 @@ def decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
     return train.join(bad, id_col, "left_anti")
 
 
+def contaminated_ids_digest(train: DataFrame, bench: DataFrame, id_col: str,
+                            text_col: str = "text", n: int = 5) -> DataFrame:
+    """Scale path for decontamination when the benchmark gram TABLE
+    outgrows the broadcast threshold: broadcast the benchmark grams'
+    64-bit ``xxhash64`` DIGESTS instead of the strings (8 bytes per gram
+    vs ~40 for a 5-gram — a ~5× smaller broadcast, fixed-width so the
+    hash relation is dense), prefilter the corpus grams map-side on the
+    digest, and send only the survivors into the EXACT string semi-join.
+    A digest collision passes the prefilter and is removed by the exact
+    join, so the result is identical to :func:`contaminated_ids` — the
+    prefilter only bounds what shuffles (collision rate ~n²/2⁶⁴, i.e.
+    essentially only the truly-contaminated gram volume moves).
+
+    This is the explicit, operator-controlled version of what Spark's
+    runtime bloom-filter injection does for shuffle joins (a bloom bit
+    array would shrink the broadcast another ~5×, but ``bloom_filter_agg``
+    is internal-only — not SQL-callable — in this Spark build; the digest
+    relation already makes the broadcast side O(|bench grams|) small
+    constants). The exact join stays mandatory either way — that is what
+    keeps the operator exact.
+    """
+    from .dedup import with_word_ngrams
+
+    bench_grams = (
+        with_word_ngrams(bench, n=n, text_col=text_col)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train_grams = with_word_ngrams(train, n=n, text_col=text_col).select(
+        id_col, F.explode("grams").alias("gram")
+    )
+    bench_digests = bench_grams.select(
+        F.xxhash64("gram").alias("__gh")
+    ).distinct()
+    prefiltered = train_grams.join(
+        F.broadcast(bench_digests),
+        F.xxhash64("gram") == F.col("__gh"),
+        "left_semi",
+    )
+    return (
+        prefiltered.join(bench_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate_digest(train: DataFrame, bench: DataFrame, id_col: str,
+                         text_col: str = "text", n: int = 5) -> DataFrame:
+    """Digest-prefiltered twin of :func:`decontaminate` — identical output
+    (the exact semi-join removes digest collisions), bounded shuffle."""
+    bad = contaminated_ids_digest(train, bench, id_col, text_col=text_col, n=n)
+    return train.join(bad, id_col, "left_anti")
+
+
 # ---------------------------------------------------- percentile gating
 
 def percentile_keep(df: DataFrame, score_col: str, by: str,

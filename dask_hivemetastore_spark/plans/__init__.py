@@ -60,7 +60,6 @@ _CERTIFICATION_PRIORITY = [
     "paginate_orders",
     "median_mode_agg",
     "table_diff_snapshots",
-    "mad_robust_outliers",
     "persist_cache_agg",
     "observed_write_metrics",
     "parquet_schema_evolution",
@@ -87,6 +86,7 @@ _CERTIFICATION_PRIORITY = [
     # --- K-operators: the r4 additions + never-certified family members ---
     "span_dedup_docs",
     "weighted_sample_docs",  # NEW r5 — lands in-window (policy #2)
+    "decontaminate_digest_docs",  # NEW r5 — lands in-window (policy #2)
     "corpus_shuffle_shards",
     "domain_cap_docs",
     "domain_cap_prefiltered",  # NEW r5 — lands in-window (policy #2)
@@ -102,9 +102,9 @@ _CERTIFICATION_PRIORITY = [
     "stream_foreach_batch_snapshot",
     "stream_observe_metrics",  # NEW r5 — lands in-window (policy #2)
 ]
-# Still never-certified after this round (round-6 window candidates, 36):
-# cohort_retention_weekly, crosstab_status_segment, sample_k_per_group,
-# window_value_funcs,
+# Still never-certified after this round (round-6 window candidates, 37):
+# mad_robust_outliers, cohort_retention_weekly, crosstab_status_segment,
+# sample_k_per_group, window_value_funcs,
 # window_price_band, q11/q12/q16/q20, agg_misc, array_set_ops,
 # union_mismatched_schemas,
 # posexplode_words, timestamp_parse_roundtrip, row_ids_unique,

@@ -834,6 +834,38 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_digest_docs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws) - 3),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gs
+          FROM w WHERE len(ws) >= 5),
+    bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
+    tg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0),
+    bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram))
+    SELECT doc_id FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontaminate_digest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 decontamination, DIGEST scale path: identical semantics and
+    oracle as ``decontaminate_docs`` (the exact semi-join removes digest
+    collisions), but the broadcast side is the benchmark grams' 8-byte
+    xxhash64 digests rather than the gram strings — the route for when
+    the eval set's gram table strains the broadcast threshold. Plan test
+    pins both semi-joins (digest prefilter + exact). See
+    :func:`..operators.curation.contaminated_ids_digest`."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return curation.decontaminate_digest(train, bench, "doc_id", n=5).select(
+        "doc_id"
+    )
+
+
+@query(
     "quality_percentile_gate",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents

@@ -446,3 +446,16 @@ def test_banded_range_join_never_nested_loop(spark):
             j in plan
             for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         ), (key, plan)
+
+
+def test_decontaminate_digest_prefilter_shape(spark):
+    """The digest scale path must show TWO LeftSemi joins — the broadcast
+    8-byte-digest prefilter and the exact string join that removes
+    collisions — and produce exactly the broadcast path's answer."""
+    a = plans.QUERIES["decontaminate_docs"](spark, SF_SMOKE)
+    b = plans.QUERIES["decontaminate_digest_docs"](spark, SF_SMOKE)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") == 2, plan
+    assert "xxhash64" in plan, plan
