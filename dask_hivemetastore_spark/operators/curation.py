@@ -103,6 +103,16 @@ def cap_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
     the filter keeps all rows ≤ the cutoff VALUE) and the window then cuts
     exactly. A hot group's sort shrinks from n rows to ≈ n·k/T.
 
+    NULL semantics match the plain-window path exactly: the stats join is
+    null-safe on ``group_col`` (the plain ``Window.partitionBy`` treats
+    NULL as one ordinary partition), NULL ``order_col`` rows always pass
+    the prefilter (``asc`` is nulls-first, so the window ranks them ahead
+    of every value the cutoff could drop), and ``__n`` counts only
+    non-NULL order values — ``percentile_approx`` ignores NULLs, so its
+    rank guarantee holds over that same non-NULL population; a group that
+    is hot purely on NULLs (non-NULL count ≤ T) is left to the exact
+    window untouched.
+
     The per-group stats table (one row per group) is broadcast back onto
     the scan — per-domain capping has at most ~millions of groups; use the
     plain join if yours would not fit in the driver.
@@ -115,15 +125,20 @@ def cap_per_group(df: DataFrame, group_col: str, order_col: str, k: int,
             )
         p = min(1.0, k / t + 2.0 / accuracy)
         stats = df.groupBy(group_col).agg(
-            F.count("*").alias("__n"),
+            F.count(order_col).alias("__n"),
             F.percentile_approx(
                 F.col(order_col), F.lit(p), F.lit(accuracy)
             ).alias("__cut"),
         )
+        d, s = df.alias("__capd"), F.broadcast(stats).alias("__caps")
         df = (
-            df.join(F.broadcast(stats), group_col)
-            .where((F.col("__n") <= t) | (F.col(order_col) <= F.col("__cut")))
-            .select(*df.columns)  # the join moved group_col first; restore
+            d.join(s, d[group_col].eqNullSafe(s[group_col]))
+            .where(
+                (s["__n"] <= t)
+                | d[order_col].isNull()
+                | (d[order_col] <= s["__cut"])
+            )
+            .select(*[d[c] for c in df.columns])
         )
     w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
     return (
@@ -363,9 +378,15 @@ def weighted_sample_topk(df: DataFrame, key_col: str, weight_col: str,
     """Weighted sampling WITHOUT replacement, deterministic: the
     Efraimidis–Spirakis A-ES scheme with the engine-portable md5 uniform
     draw this module uses everywhere. Each row gets ``u ∈ (0,1)`` from
-    ``md5(salt || key)`` and rank key ``u^(1/w)``; the k largest rank keys
-    ARE a weighted sample without replacement (inclusion probability
-    proportional to weight at each draw — the A-ES theorem).
+    ``md5(salt || key)`` and rank key ``ln(u)/w`` — the monotone-equivalent
+    log form of A-ES's ``u^(1/w)`` (log is increasing, so the k largest
+    agree); the k largest rank keys ARE a weighted sample without
+    replacement (inclusion probability proportional to weight at each
+    draw — the A-ES theorem). The log form costs one transcendental
+    instead of ``pow``'s two, and the key is rounded to 12 decimals on
+    both the Spark and oracle side so a 1-ULP libm divergence between
+    engines cannot flip the ordering at the k-boundary (ties introduced
+    by the rounding are broken by ``key_col``, deterministically).
 
     Quality- or length-weighted corpus subsampling is the standard use:
     "sample 1 M documents ∝ quality score". Because the draw is a pure
@@ -385,7 +406,7 @@ def weighted_sample_topk(df: DataFrame, key_col: str, weight_col: str,
         10,
     ).cast("bigint")
     u = (raw.cast("double") + 0.5) / F.lit(float(2 ** 32))
-    rank_key = F.pow(u, 1.0 / F.col(weight_col))
+    rank_key = F.round(F.log(u) / F.col(weight_col), 12)
     return (
         df.where(F.col(weight_col) > 0)
         .orderBy(rank_key.desc(), F.col(key_col))

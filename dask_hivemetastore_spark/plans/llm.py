@@ -934,7 +934,7 @@ def train_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
           / 4294967296.0 AS u
       FROM documents WHERE n_chars > 0)
     SELECT doc_id, n_chars
-    FROM d ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 50
+    FROM d ORDER BY round(ln(u) / n_chars, 12) DESC, doc_id LIMIT 50
     """,
 )
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2216,6 +2216,38 @@ def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_SCRATCH: dict = {}
+
+
+def _compact_scratch_dir(sf_dir: str) -> str:
+    """One scratch directory per (process, sf_dir) for the compaction demo.
+
+    ``SPARK_GRAFT_SCRATCH`` overrides the base with any Hadoop-readable URI
+    (HDFS/s3a) so the query also runs on a real cluster where driver-local
+    ``tempfile`` paths are not visible to executors; without it, a single
+    local tempdir is created once, reused across repetitions (both writes
+    are ``mode("overwrite")``), and removed at interpreter exit — the perf
+    sweep's repeated runs no longer leak a lineitem copy per rep.
+    """
+    base = _COMPACT_SCRATCH.get(sf_dir)
+    if base is None:
+        import atexit
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        root = os.environ.get("SPARK_GRAFT_SCRATCH")
+        if root:
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            base = f"{root.rstrip('/')}/compact_{tag}"
+        else:
+            base = tempfile.mkdtemp(prefix="compact_")
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _COMPACT_SCRATCH[sf_dir] = base
+    return base
+
+
 @query(
     "compact_small_files",
     oracle="""
@@ -2235,12 +2267,10 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original table, so the hash match certifies the rewrite
     lost/duplicated nothing; tests/test_sources.py pins the file-count
     contract (64 → ceil) and the size balance."""
-    import tempfile
-
     from ..operators.layout import compact_rewrite
 
     li = load_table(spark, sf_dir, "lineitem")
-    base = tempfile.mkdtemp(prefix="compact_")
+    base = _compact_scratch_dir(sf_dir)
     li.repartition(64).write.mode("overwrite").parquet(f"{base}/small")
     compact_rewrite(
         spark, f"{base}/small", f"{base}/packed", target_bytes=8 * 1024 * 1024

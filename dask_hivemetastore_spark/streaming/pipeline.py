@@ -32,6 +32,7 @@ Streaming-specific constraints honored here (vs the batch twins):
 from __future__ import annotations
 
 import tempfile
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -723,7 +724,42 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksums flow to the metrics bus via a StreamingQueryListener with no
     second scan and no state; the oracle recomputing the same aggregates
     from the source certifies the accumulated manifest is exact.
+
+    Accumulation is via a ``StreamingQueryListener`` (not
+    ``q.recentProgress``, which is a ring buffer capped at
+    ``spark.sql.streaming.numRecentProgressUpdates`` = 100 — a source
+    producing more micro-batches than the cap would silently undercount).
+    The listener bus delivers events in order per query, so once the
+    terminated event for this run arrives every progress event has been
+    accumulated; batches are deduped by (runId, batchId) in case a
+    progress update is reported twice for one batch.
     """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _QCAccumulator(StreamingQueryListener):
+        def __init__(self) -> None:
+            self.batches: dict[tuple[str, int], dict] = {}
+            self.terminated_runs: set[str] = set()
+
+        def onQueryStarted(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event) -> None:  # noqa: N802
+            p = event.progress
+            qc = (p.observedMetrics or {}).get("qc")
+            if qc is not None:  # no-data ticks carry no metric row
+                self.batches[(str(p.runId), p.batchId)] = {
+                    "n_rows": int(qc["n_rows"]),
+                    "n_clicks": int(qc["n_clicks"]),
+                    "user_id_checksum": int(qc["user_id_checksum"]),
+                }
+
+        def onQueryIdle(self, event) -> None:  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event) -> None:  # noqa: N802
+            self.terminated_runs.add(str(event.runId))
+
     ev = read_events_stream(spark, sf_dir)
     observed = ev.observe(
         "qc",
@@ -731,22 +767,38 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
         F.sum("user_id").alias("user_id_checksum"),
     )
-    q = (
-        observed.writeStream.format("noop")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_obs_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    listener = _QCAccumulator()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_obs_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        run_id = str(q.runId)
+        # Listener delivery is async relative to awaitTermination(); the
+        # terminated event is ordered AFTER every progress event, so wait
+        # for it before reading the accumulator.
+        deadline = time.monotonic() + 60.0
+        while (run_id not in listener.terminated_runs
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        if run_id not in listener.terminated_runs:
+            raise TimeoutError(
+                "StreamingQueryListener terminated event not delivered"
+            )
+    finally:
+        spark.streams.removeListener(listener)
     n_rows = n_clicks = checksum = 0
-    for progress in q.recentProgress:
-        qc = (progress.observedMetrics or {}).get("qc")
-        if qc is None:  # no-data ticks carry no metric row
+    for (rid, _batch), m in sorted(listener.batches.items()):
+        if rid != run_id:
             continue
-        n_rows += int(qc["n_rows"])
-        n_clicks += int(qc["n_clicks"])
-        checksum += int(qc["user_id_checksum"])
+        n_rows += m["n_rows"]
+        n_clicks += m["n_clicks"]
+        checksum += m["user_id_checksum"]
     return spark.createDataFrame(
         [(n_rows, n_clicks, checksum)],
         "n_rows bigint, n_clicks bigint, user_id_checksum bigint",

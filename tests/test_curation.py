@@ -120,6 +120,45 @@ def test_cap_per_group_prefilter_identical(spark, sf_dir):
         curation.cap_per_group(df, "grp", "val", k=3, hot_group_threshold=2)
 
 
+def test_cap_per_group_prefilter_null_semantics(spark):
+    """The hot-group pre-filter must reproduce the plain window exactly
+    when NULLs appear anywhere (ADVICE r5): a NULL group key (the plain
+    Window.partitionBy treats NULL as one ordinary partition — the stats
+    join must be null-safe), NULL order values inside a hot group (asc is
+    nulls-first, so they rank AHEAD of any cutoff value), and a hot group
+    whose order values are ALL NULL (percentile_approx returns NULL — no
+    row may be dropped)."""
+    rows = (
+        # hot NULL-keyed group: 500 distinct values
+        [(i, None, i) for i in range(500)]
+        # hot group with NULL order rows sprinkled in
+        + [(1_000 + i, "mix", None if i % 50 == 0 else i) for i in range(500)]
+        # hot group, ALL order values NULL
+        + [(2_000 + i, "allnull", None) for i in range(300)]
+        # cold control group
+        + [(3_000 + i, "cold", i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string, val long")
+    nullsafe_key = lambda t: (  # noqa: E731
+        t[0] is not None, t[0] or "", t[1] is not None, t[1] or 0
+    )
+    plain = sorted(
+        [(r.grp, r.val)
+         for r in curation.cap_per_group(df, "grp", "val", k=4).collect()],
+        key=nullsafe_key,
+    )
+    pre = sorted(
+        [(r.grp, r.val)
+         for r in curation.cap_per_group(
+             df, "grp", "val", k=4, hot_group_threshold=100
+         ).collect()],
+        key=nullsafe_key,
+    )
+    assert plain == pre
+    # every group (incl. the NULL key) is capped at k and none vanished
+    assert len(plain) == 4 * 4
+
+
 def test_repetition_score_bounds(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     scored = curation.with_repetition_score(docs, n=2)
