@@ -206,31 +206,24 @@ def _gram_hashes(grams: list[str]) -> np.ndarray:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
+def minhash_band_buckets(
+    grams: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.9,
     num_perm: int = 128,
     bands: int = 32,
 ) -> DataFrame:
-    """K2 (scalable): MinHash signatures → LSH banding → candidate pairs →
-    exact Jaccard verification on the candidates.
+    """The MinHash signature + LSH banding stage of
+    :func:`minhash_lsh_pairs`, exposed separately so scale harnesses can
+    measure the candidate bound (``Σ C(bucket_size, 2)`` over
+    (band, band_hash) groups) without duplicating the algorithm.
 
-    The signature stage is a vectorized pandas UDF (Arrow-batched numpy);
-    banding and verification are JVM joins. Output is identical to
-    :func:`ngram_jaccard_pairs` up to the (≈1e-15 per pair) LSH miss rate,
-    so it shares the exact oracle.
+    Input is a ``with_word_ngrams`` frame; output one (id, band,
+    band_hash) row per band per doc, computed in one Arrow-batched
+    ``mapInPandas`` pass (numpy broadcasting over all permutations at
+    once — no per-gram Python loop beyond the blake2b hashing).
     """
     rows = num_perm // bands
     a_par, b_par = _minhash_params(num_perm)
-
-    # referenced by both the signature stage and the verify joins —
-    # materialize once (see ngram_jaccard_pairs)
-    grams = with_word_ngrams(df.select(id_col, text_col), text_col, n).localCheckpoint(
-        eager=False
-    )
 
     def sig_batches(batches):
         for pdf in batches:
@@ -248,7 +241,36 @@ def minhash_lsh_pairs(
                     out_rows.append((did, band, bh))
             yield pd.DataFrame(out_rows, columns=[id_col, "band", "band_hash"])
 
-    buckets = grams.mapInPandas(sig_batches, f"{id_col} long, band int, band_hash long")
+    return grams.mapInPandas(
+        sig_batches, f"{id_col} long, band int, band_hash long"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """K2 (scalable): MinHash signatures → LSH banding → candidate pairs →
+    exact Jaccard verification on the candidates.
+
+    The signature stage is a vectorized pandas UDF (Arrow-batched numpy);
+    banding and verification are JVM joins. Output is identical to
+    :func:`ngram_jaccard_pairs` up to the (≈1e-15 per pair) LSH miss rate,
+    so it shares the exact oracle.
+    """
+    # referenced by both the signature stage and the verify joins —
+    # materialize once (see ngram_jaccard_pairs)
+    grams = with_word_ngrams(df.select(id_col, text_col), text_col, n).localCheckpoint(
+        eager=False
+    )
+    buckets = minhash_band_buckets(
+        grams, id_col, num_perm=num_perm, bands=bands
+    )
     l, r = buckets.alias("l"), buckets.alias("r")
     candidates = (
         l.join(

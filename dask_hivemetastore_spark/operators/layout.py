@@ -152,3 +152,77 @@ def compact_rewrite(
         "bytes_in": bytes_in,
         "n_files_out": len(list_data_files(spark, out_path)),
     }
+
+
+def compact_partitions(
+    spark,
+    table_path: str,
+    partition_filter: dict,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Partition-scoped compaction — ``OPTIMIZE ... WHERE key=value``
+    (VERDICT r5 #4): list and rewrite ONLY the partition directory named
+    by ``partition_filter`` (``{"k": v}`` → ``<table>/k=v``, nested dicts
+    in key order for multi-level layouts), leaving every other
+    partition's files untouched — at 100 TB a whole-table listing is
+    itself a scan, so maintenance must address partitions directly.
+
+    In-place rewrite with a staged swap (the lakehouse commit shape):
+    the compacted files are written to a sibling staging directory,
+    the partition's old data files are deleted, the new files are
+    renamed in, and the staging directory is removed. Hadoop FS renames
+    are metadata-only within a filesystem. NOT transactional on a plain
+    parquet directory (a concurrent reader between delete and rename
+    sees partial data) — a real table format makes the swap a log commit;
+    the file choreography here is exactly what its OPTIMIZE executes.
+
+    Returns ``{"partition", "n_files_in", "bytes_in", "n_files_out",
+    "untouched_files"}`` — the last is the count of data files OUTSIDE
+    the target partition, so callers can assert the scoping contract.
+    """
+    sub = "/".join(f"{k}={v}" for k, v in partition_filter.items())
+    root = table_path.rstrip("/")
+    part_path = f"{root}/{sub}"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(part_path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath):
+        raise ValueError(f"no such partition directory: {part_path}")
+
+    files = list_data_files(spark, part_path)
+    bytes_in = sum(sz for _, sz in files)
+    n_out = max(1, -(-bytes_in // target_bytes))  # ceil
+    df = spark.read.parquet(part_path)
+    if sort_cols:
+        writer = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        writer = df.repartition(n_out)
+    staging = f"{root}/__compact_staging"
+    writer.write.mode("overwrite").parquet(staging)
+
+    for path, _sz in files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+    for path, _sz in list_data_files(spark, staging):
+        src = jvm.org.apache.hadoop.fs.Path(path)
+        fs.rename(
+            src, jvm.org.apache.hadoop.fs.Path(f"{part_path}/{src.getName()}")
+        )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+    n_out_actual = len(list_data_files(spark, part_path))
+    # listings come back as full URIs (file:/..., hdfs://...); membership in
+    # the target partition is decided by the partition path segment
+    untouched = len(
+        [p for p, _ in list_data_files(spark, root) if f"/{sub}/" not in p]
+    )
+    return {
+        "partition": sub,
+        "n_files_in": len(files),
+        "bytes_in": bytes_in,
+        "n_files_out": n_out_actual,
+        "untouched_files": untouched,
+    }

@@ -80,7 +80,34 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     aggd = df.agg(
         *[expr.cast("long").alias(f"__r{i}") for i, (_, expr) in enumerate(rules)]
     )
-    reports = F.array(
+    return aggd.select(F.explode(_report_array(rules)).alias("r")).select(
+        "r.rule", "r.violations", "r.passed"
+    )
+
+
+def check_grouped(df: DataFrame, by: str, rules: list[Rule]) -> DataFrame:
+    """Per-partition constraint report (the Deequ ``where``/grouped-analyzer
+    analogy): every rule evaluates PER GROUP of ``by``, still in one
+    aggregation pass — one shuffle on the group key, partial aggregation
+    map-side, then the same array-unpivot as :func:`check`. ``min_rows``
+    becomes a per-group minimum (per-partition freshness/completeness
+    checks); uniqueness is per-group uniqueness.
+
+    Returns (by, rule, violations, passed), one row per (group, rule) —
+    deterministic and oracle-checkable like the global report. At 100 TB
+    this is how validation tracks a partitioned table: one report row per
+    (partition, rule) with no extra scans.
+    """
+    aggd = df.groupBy(by).agg(
+        *[expr.cast("long").alias(f"__r{i}") for i, (_, expr) in enumerate(rules)]
+    )
+    return aggd.select(
+        F.col(by), F.explode(_report_array(rules)).alias("r")
+    ).select(by, "r.rule", "r.violations", "r.passed")
+
+
+def _report_array(rules: list[Rule]) -> Column:
+    return F.array(
         *[
             F.struct(
                 F.lit(name).alias("rule"),
@@ -89,7 +116,4 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
             )
             for i, (name, _) in enumerate(rules)
         ]
-    )
-    return aggd.select(F.explode(reports).alias("r")).select(
-        "r.rule", "r.violations", "r.passed"
     )

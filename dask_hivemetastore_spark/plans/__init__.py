@@ -40,82 +40,78 @@ from .. import streaming  # noqa: F401,E402
 #
 # History: r1 certified keys 1–50 of module order (TPC-H + relational);
 # r2–r4 certified the 50 family representatives listed in git history of
-# this file. Union after r4: 100 of 184 keys (see VERDICT.md r4). This
-# round rotates ALL 50 slots to never-certified keys → union 150.
+# this file. Union after r4: 100 of 184 keys (see VERDICT.md r4); r5
+# rotated all 50 slots to never-certified keys → union 150 of 185.
+# Round 6 (this window) holds the FINAL 38 never-certified full-oracle
+# keys + the 4 queries new in r6 (policy #2) + re-certifications of the
+# 7 keys whose implementation changed this round (NULL-safe hot-group
+# capping, ln(u)/w sampling rank, listener-accumulated observe metrics,
+# scratch-dir compaction, rangejoin refactor) + the flagship — after this
+# window the r1–r6 union covers every full-oracle key in the registry and
+# the rotation program is COMPLETE: future rounds only need to window
+# new/changed keys.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- TPC-H shapes never driver-certified (q1/3/5/6 etc. have rows) ---
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q21_suppliers_waiting",
-    # --- relational / state-mutating / layout surfaces ---
-    "incremental_agg_merge",
-    "cdc_apply_changes",
-    "recursive_month_spine",
-    "pandas_api_groupby",
-    "try_arithmetic_safety",
-    "parameterized_sql_orders",
-    "paginate_orders",
-    "median_mode_agg",
-    "table_diff_snapshots",
-    "persist_cache_agg",
-    "observed_write_metrics",
-    "parquet_schema_evolution",
-    # --- window-function kinds beyond the certified rank/cumsum set ---
-    "window_rank_kinds",
-    "compact_small_files",  # NEW r5 — lands in-window (policy #2)
-    "data_quality_report",  # NEW r5 — lands in-window (policy #2)
-    # --- event-time surfaces (r4 additions + never-certified siblings) ---
-    "events_date_parts",
-    "range_join_banded",  # NEW r5 — lands in-window (policy #2)
-    "interval_overlap_pairs",  # NEW r5 — lands in-window (policy #2)
-    "asof_join_tolerance",
-    "events_hourly_gapfill",
-    "funnel_signup_purchase",
-    "scd2_user_event_intervals",
-    "sessionize_dynamic_gap",
-    "interpolate_hourly_events",
-    "interval_user_span",
-    "interval_order_span_ym",  # NEW r5 — lands in-window (policy #2)
-    # --- Arrow/UDF surfaces beyond the certified J1–J6 representatives ---
-    "map_arrow_net_price",
-    "grouped_arrow_minmax",
-    "udtf_polymorphic_firstwords",
-    # --- K-operators: the r4 additions + never-certified family members ---
-    "span_dedup_docs",
-    "weighted_sample_docs",  # NEW r5 — lands in-window (policy #2)
-    "decontaminate_digest_docs",  # NEW r5 — lands in-window (policy #2)
-    "corpus_shuffle_shards",
+    # --- the final 38 never-certified full-oracle keys (r6 completes the
+    # --- registry sweep) ---
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q16_supplier_count",
+    "q20_volume_suppliers",
+    "agg_misc",
+    "array_set_ops",
+    "union_mismatched_schemas",
+    "posexplode_words",
+    "timestamp_parse_roundtrip",
+    "crosstab_status_segment",
+    "row_ids_unique",
+    "price_histogram",
+    "regression_price_qty",
+    "nations_per_region_csv",
+    "rollup_grouping_id",
+    "fuzzy_match_nations",
+    "null_safe_join",
+    "sample_k_per_group",
+    "sorted_layout_roundtrip",
+    "zorder_layout_roundtrip",
+    "mad_robust_outliers",
+    "cohort_retention_weekly",
+    "window_value_funcs",
+    "window_price_band",
+    "explode_words_top",
+    "dedup_exact_selfunion",
+    "quality_score_docs",
+    "token_count_docs",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "ngram_freq_top",
+    "doc_chunk_windows",
+    "multimodal_frame_sample",
+    "embedding_group_centroid",
+    "repetition_score_docs",
+    "corpus_rebalance_sources",
+    "corpus_rebalance_temperature",
+    "interleave_sources_rr",
+    # --- NEW r6 queries — land in-window (policy #2) ---
+    "interval_overlap_longtail",
+    "compact_partition_scoped",
+    "quality_report_by_status",
+    "statestore_event_counts",
+    # --- re-certification of keys whose implementation changed in r6 ---
+    "weighted_sample_docs",
     "domain_cap_docs",
-    "domain_cap_prefiltered",  # NEW r5 — lands in-window (policy #2)
-    "bm25_rank_docs",
-    "token_pack_docs",
-    "dedup_embedding_components",
-    "lang_id_docs",
-    "split_leakage_audit",  # NEW r5 — lands in-window (policy #2)
-    # --- streaming variants beyond the certified I4–I7 set ---
-    "stream_sessionize",
-    "stream_static_enrich",
-    "stream_sliding_30m",
-    "stream_foreach_batch_snapshot",
-    "stream_observe_metrics",  # NEW r5 — lands in-window (policy #2)
+    "domain_cap_prefiltered",
+    "compact_small_files",
+    "stream_observe_metrics",
+    "range_join_banded",
+    "interval_overlap_pairs",
+    # --- flagship re-check ---
+    "q1_pricing_summary",
 ]
-# Still never-certified after this round (round-6 window candidates, 37):
-# mad_robust_outliers, cohort_retention_weekly, crosstab_status_segment,
-# sample_k_per_group, window_value_funcs,
-# window_price_band, q11/q12/q16/q20, agg_misc, array_set_ops,
-# union_mismatched_schemas,
-# posexplode_words, timestamp_parse_roundtrip, row_ids_unique,
-# price_histogram, regression_price_qty, nations_per_region_csv,
-# rollup_grouping_id, fuzzy_match_nations, null_safe_join,
-# sorted_layout_roundtrip, zorder_layout_roundtrip, explode_words_top,
-# dedup_exact_selfunion, quality_score_docs, token_count_docs,
-# doc_fingerprint, tfidf_top_terms, ngram_freq_top, doc_chunk_windows,
-# multimodal_frame_sample, embedding_group_centroid, repetition_score_docs,
-# corpus_rebalance_sources, corpus_rebalance_temperature,
-# interleave_sources_rr — plus the rows-only keys (policy #4).
+
+# The r5 window (see git history of this file) was fully certified in
+# CORRECTNESS_r05.json. After the r6 window runs, NO full-oracle key
+# remains never-certified (the rows-only keys stay outside by policy #4).
 
 
 def _reorder_for_certification() -> None:

@@ -2283,6 +2283,49 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "compact_partition_scoped",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def compact_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE (VERDICT r5 #4): orders is laid out
+    partitioned by ``o_orderstatus`` with 16 undersized files per
+    partition, then ONLY the ``o_orderstatus=F`` partition is compacted
+    via :func:`..operators.layout.compact_partitions` — direct partition
+    addressing (no whole-table listing) plus a staged delete-rename swap,
+    the maintenance shape that still works when the table is 100 TB and
+    the hot partition is the only one needing attention. The aggregate
+    reads the WHOLE table back (compacted partition + untouched ones) and
+    the oracle aggregates the original orders, so the hash match certifies
+    the scoped rewrite lost/duplicated nothing anywhere;
+    tests/test_layouts.py pins the scoping contract itself (untouched
+    partitions keep byte-identical file lists, target partition reaches
+    its bin-packed file count)."""
+    from ..operators.layout import compact_partitions
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = _compact_scratch_dir(sf_dir)
+    ptable = f"{base}/ptable"
+    (
+        orders.repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(ptable)
+    )
+    compact_partitions(
+        spark, ptable, {"o_orderstatus": "F"}, target_bytes=8 * 1024 * 1024
+    )
+    back = spark.read.parquet(ptable)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
     "data_quality_report",
     oracle="""
     WITH s AS (SELECT
@@ -2335,6 +2378,49 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.in_range("l_quantity", 1, 25),
             Q.accepted_values("l_returnflag", ["A", "N", "R"]),
             Q.min_rows(1000),
+        ],
+    )
+
+
+@query(
+    "quality_report_by_status",
+    oracle="""
+    WITH s AS (SELECT l_returnflag,
+        COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS r0,
+        COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 25 THEN 1 END) AS r1,
+        GREATEST(0, 10000 - COUNT(*)) AS r2
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, rule, violations,
+           CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM (
+      SELECT l_returnflag, 'unique(l_orderkey, l_linenumber)' AS rule,
+             CAST(r0 AS BIGINT) AS violations FROM s
+      UNION ALL SELECT l_returnflag, 'in_range(l_quantity, 1, 25)',
+             CAST(r1 AS BIGINT) FROM s
+      UNION ALL SELECT l_returnflag, 'min_rows(10000)',
+             CAST(r2 AS BIGINT) FROM s
+    )
+    """,
+)
+def quality_report_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PARTITION data-quality report (VERDICT r5 #8's grouped Deequ
+    analogy): the same declared rules as ``data_quality_report`` but
+    evaluated per ``l_returnflag`` group in one grouped aggregation pass
+    (``operators/quality.check_grouped``) — per-group uniqueness, a
+    per-group value range whose violation counts differ by group, and a
+    per-group minimum row count that some groups fail. One shuffle on the
+    group key, report unpivoted to (group, rule, violations, passed); the
+    oracle recomputes every (group, rule) cell in SQL."""
+    from ..operators import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return Q.check_grouped(
+        li,
+        "l_returnflag",
+        [
+            Q.unique("l_orderkey", "l_linenumber"),
+            Q.in_range("l_quantity", 1, 25),
+            Q.min_rows(10000),
         ],
     )
 

@@ -384,3 +384,71 @@ def test_compact_rewrite_sorted_layout_prunable(spark, tmp_path):
     assert len(boxes) > 1
     for (lo1, hi1), (lo2, hi2) in zip(boxes, boxes[1:]):
         assert hi1 <= lo2  # disjoint ranges -> any key predicate prunes
+
+
+def test_compact_partitions_scoped_untouched_byte_identical(spark, tmp_path):
+    """Partition-scoped compaction contract (VERDICT r5 #4): only the
+    filtered partition is rewritten — every OTHER partition keeps a
+    byte-identical (path, size) file list — the target partition reaches
+    its bin-packed file count, and no rows are lost or duplicated
+    anywhere (including the partition column restored from dir names)."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.layout import (
+        compact_partitions,
+        list_data_files,
+    )
+    from .conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    ptable = str(tmp_path / "ptable")
+    (
+        orders.repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(ptable)
+    )
+
+    def listing(exclude_sub=None):
+        return sorted(
+            (p, sz)
+            for p, sz in list_data_files(spark, ptable)
+            if exclude_sub is None or exclude_sub not in p
+        )
+
+    before_others = listing("/o_orderstatus=F/")
+    n_f_before = len(list_data_files(spark, f"{ptable}/o_orderstatus=F"))
+    assert n_f_before == 8
+
+    target = 256 * 1024
+    stats = compact_partitions(
+        spark, ptable, {"o_orderstatus": "F"}, target_bytes=target
+    )
+    expect = max(1, -(-stats["bytes_in"] // target))
+    assert stats["n_files_in"] == 8
+    assert stats["n_files_out"] == expect
+    assert len(list_data_files(spark, f"{ptable}/o_orderstatus=F")) == expect
+    # staging directory fully cleaned up
+    import os
+
+    assert not [d for d in os.listdir(ptable) if d.startswith("__compact")]
+
+    # untouched partitions: byte-identical file lists
+    assert listing("/o_orderstatus=F/") == before_others
+    assert stats["untouched_files"] == len(before_others)
+
+    # content-preserving across the whole table, partition column included
+    back = spark.read.parquet(ptable)
+    assert back.count() == orders.count()
+    cols = sorted(orders.columns)
+    key = F.sum(F.hash(*cols).cast("long"))
+    assert (
+        back.select(*cols).agg(key).first()[0]
+        == orders.select(*cols).agg(key).first()[0]
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_partitions(spark, ptable, {"o_orderstatus": "NOPE"})
