@@ -43,12 +43,12 @@ from .. import streaming  # noqa: F401,E402
 # this file. Union after r4: 100 of 184 keys (see VERDICT.md r4); r5
 # rotated all 50 slots to never-certified keys → union 150 of 185.
 # Round 6 (this window) holds the FINAL 38 never-certified full-oracle
-# keys + the 4 queries new in r6 (policy #2) + re-certifications of the
+# keys + the 5 queries new in r6 (policy #2) + re-certifications of the
 # 7 keys whose implementation changed this round (NULL-safe hot-group
 # capping, ln(u)/w sampling rank, listener-accumulated observe metrics,
-# scratch-dir compaction, rangejoin refactor) + the flagship — after this
-# window the r1–r6 union covers every full-oracle key in the registry and
-# the rotation program is COMPLETE: future rounds only need to window
+# scratch-dir compaction, rangejoin refactor) — after this window the
+# r1–r6 union covers every full-oracle key in the registry and the
+# rotation program is COMPLETE: future rounds only need to window
 # new/changed keys.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
@@ -94,6 +94,7 @@ _CERTIFICATION_PRIORITY = [
     "interleave_sources_rr",
     # --- NEW r6 queries — land in-window (policy #2) ---
     "interval_overlap_longtail",
+    "range_join_longtail_points",
     "compact_partition_scoped",
     "quality_report_by_status",
     "statestore_event_counts",
@@ -105,8 +106,6 @@ _CERTIFICATION_PRIORITY = [
     "stream_observe_metrics",
     "range_join_banded",
     "interval_overlap_pairs",
-    # --- flagship re-check ---
-    "q1_pricing_summary",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -376,6 +376,70 @@ def interval_overlap_longtail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_longtail_points",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id AS iv_user, CAST(ts AS DATE) AS d,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2
+    ), p AS (
+      SELECT ts AS pt, value AS pv
+      FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0
+    )
+    SELECT iv_user AS user_id, strftime(d, '%Y-%m-%d') AS day,
+           CAST(COUNT(pt) AS BIGINT) AS n_purchases,
+           ROUND(COALESCE(SUM(pv), 0), 2) AS purchase_value
+    FROM iv LEFT JOIN p ON pt > s AND pt <= e
+    GROUP BY 1, 2
+    """,
+)
+def range_join_longtail_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 hierarchical banded POINT-in-interval join (the other half of
+    VERDICT r5 #3's fallback, driver-certified alongside
+    ``interval_overlap_longtail``): per-user daily activity spans (0 s to
+    ~24 h — long-tailed vs the 300 s buckets) LEFT-joined with purchase
+    events from an overlapping-but-different user slice. Each span picks
+    its own coarsest-necessary banding level (≤ 17 bucket rows instead of
+    up to 288); each point probes all 3 static levels (3 rows). LEFT
+    semantics survive the banding — uncovered spans emit NULL-point rows
+    which ``count(pt)`` ignores — and the oracle is the naive theta join,
+    so the hash match certifies both the candidate generation and the
+    left-join NULL accounting."""
+    from ..operators.rangejoin import point_in_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.where(F.col("user_id") % 10 == 0)
+        .groupBy(
+            F.col("user_id").alias("iv_user"), F.to_date("ts").alias("d")
+        )
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    p = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0)
+    ).select(F.col("ts").alias("pt"), F.col("value").alias("pv"))
+    joined = point_in_interval_join(
+        iv, p, "s", "e", "pt", bucket_seconds=300, how="left",
+        max_buckets_per_interval=16, n_levels=3,
+    )
+    return (
+        joined.groupBy("iv_user", "d")
+        .agg(
+            F.count("pt").alias("n_purchases"),
+            F.round(F.coalesce(F.sum("pv"), F.lit(0.0)), 2).alias(
+                "purchase_value"
+            ),
+        )
+        .select(
+            F.col("iv_user").alias("user_id"),
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_purchases",
+            "purchase_value",
+        )
+    )
+
+
+@query(
     "asof_join_events",
     oracle="""
     SELECT c.event_id,

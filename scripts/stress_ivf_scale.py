@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""IVF index vs brute-force scan at 100x corpus scale.
+
+Companion to scripts/ivf_recall_curve.py (which measures QUALITY): this
+measures the COST side of the trade at a corpus size where the index should
+win. The sf0.1 embeddings (2 000 x 64-dim) replicate 100x to 200 000
+vectors, written to parquet so both paths pay real scan I/O:
+
+- brute: `knn_topk` over the flat table — every query reads every row;
+- indexed: `ivf_build_index` once (corpus written hive-partitioned by
+  cell), then `ivf_probe_indexed` at several nprobe — the `cell IN (...)`
+  filter is a partition-key predicate, so the scan LISTS only the probed
+  directories (plan-asserted in tests/test_plans.py); scan fraction
+  reported from the actual per-cell row counts.
+
+Query latencies are warm best-of-3 (the index-build cost is reported
+separately — it is a once-per-corpus maintenance pass, like compaction).
+
+Usage: python scripts/stress_ivf_scale.py [--reps 100] [--n-cells 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _best(n: int, fn) -> float:
+    fn()  # warm rep
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return round(min(times), 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=100)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--n-cells", type=int, default=64)
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_indexed,
+        knn_topk,
+    )
+    from dask_hivemetastore_spark.session import ensure_runtime_confs
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    ensure_runtime_confs(spark)
+
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    big = (
+        emb.withColumn(
+            "__rep", F.explode(F.sequence(F.lit(0), F.lit(args.reps - 1)))
+        )
+        .select(
+            (F.col("vec_id") + F.col("__rep") * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="ivf_scale_")
+    flat_path, index_path = f"{base}/flat", f"{base}/ivf"
+    big.write.mode("overwrite").parquet(flat_path)
+    flat = spark.read.parquet(flat_path)
+    n = flat.count()
+    qv = np.asarray(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+
+    results: dict = {"n_vectors": n, "n_cells": args.n_cells}
+
+    results["brute_sec"] = _best(
+        3, lambda: knn_topk(flat, 0, k=10).collect()
+    )
+
+    t0 = time.time()
+    C = ivf_build_index(
+        flat, index_path, n_cells=args.n_cells, cache_key=index_path
+    )
+    results["index_build_sec"] = round(time.time() - t0, 2)
+
+    cell_rows = {
+        r.cell: r.n
+        for r in spark.read.parquet(index_path)
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    for nprobe in (4, 8, 16):
+        sec = _best(
+            3,
+            lambda: ivf_probe_indexed(
+                spark, index_path, C, qv, k=10, nprobe=nprobe, exclude_id=0
+            ).collect(),
+        )
+        probes = [int(c) for c in (C @ qv).argsort()[::-1][:nprobe]]
+        frac = sum(cell_rows.get(c, 0) for c in probes) / n
+        results[f"ivf_nprobe{nprobe}"] = {
+            "sec": sec,
+            "scan_frac": round(frac, 3),
+            "speedup_vs_brute": round(results["brute_sec"] / sec, 1),
+        }
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
