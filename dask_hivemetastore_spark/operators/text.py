@@ -226,3 +226,49 @@ def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
         .groupBy(id_col)
         .agg(F.round(F.sum(score), 6).alias(out_col))
     )
+
+
+def cms_word_sketch(df: DataFrame, text_col: str = "text",
+                    eps: float = 0.0001, confidence: float = 0.99,
+                    seed: int = 42):
+    """One Count-Min sketch over every word of ``text_col`` — the
+    mergeable approximate-frequency state (heavy hitters / frequency
+    estimation without a per-key groupBy).
+
+    ``F.count_min_sketch`` is an AGGREGATE: each partition builds its own
+    fixed-size (w×d counters) sketch map-side and the buffers merge
+    cell-wise — bytes shuffle, never word rows. At 100 TB that's the whole
+    point: the exact word count would shuffle the full exploded word
+    multiset; the sketch ships ~KBs per partition regardless of corpus
+    size, and stored sketches re-merge across days/shards like the HLL
+    twin (``hll_sketch_merge``). Deterministic for a fixed seed.
+
+    Returns the serialized sketch as driver-side ``bytes``.
+    """
+    row = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("__w"))
+        .agg(
+            F.count_min_sketch(
+                "__w", F.lit(float(eps)), F.lit(float(confidence)),
+                F.lit(int(seed)),
+            ).alias("__sk")
+        )
+        .first()
+    )
+    return bytes(row["__sk"])
+
+
+def cms_estimate_counts(spark, sketch: bytes, items: list[str]) -> dict:
+    """Point-query a serialized Count-Min sketch for ``items`` via the
+    JVM ``org.apache.spark.util.sketch.CountMinSketch`` reader (Spark
+    exposes the build aggregate in SQL but no estimate function — the
+    sketch is meant to be read back where it's consumed).
+
+    CMS guarantees: estimate >= true count always (hash collisions only
+    ADD), and estimate <= true + eps·N with probability >= confidence —
+    both asserted in tests/test_operators.py against exact counts.
+    """
+    jvm = spark._jvm
+    bis = jvm.java.io.ByteArrayInputStream(sketch)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    return {it: int(cms.estimateCount(it)) for it in items}

@@ -186,6 +186,44 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- K4: text analysis
 
 
+@query("cms_heavy_hitters", oracle=None)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-sketch sibling of ``hll_sketch_merge``: Count-Min-sketch word
+    frequencies (heavy hitters without a per-key shuffle). One
+    ``count_min_sketch`` AGGREGATE builds fixed-size (w×d) counter grids
+    map-side and merges them cell-wise — bytes shuffle, never the exploded
+    word multiset — then the exact top-10 words (computed by groupBy for
+    ground truth) are point-queried against the sketch. Output is
+    (word, n_exact, n_cms, overestimate), deterministic for the fixed
+    seed; rows-only by design (DuckDB has no CMS twin) — the CMS
+    guarantees (est ≥ exact always; est ≤ exact + eps·N w.p. ≥ confidence)
+    are asserted in tests/test_operators.py.
+
+    At 100 TB: per-shard sketches persist like the HLL sketches and any
+    rollup is a cell-wise merge with no rescan; eps sizes the memory
+    (w = ⌈e/eps⌉ counters/row) independent of corpus size."""
+    from ..operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("word"))
+        .limit(10)
+    )
+    top_rows = top.collect()  # 10 rows — bounded driver work
+    sketch = T.cms_word_sketch(docs, eps=0.0001, confidence=0.99)
+    est = T.cms_estimate_counts(spark, sketch, [r.word for r in top_rows])
+    return spark.createDataFrame(
+        [
+            (r.word, r.n_exact, est[r.word], est[r.word] - r.n_exact)
+            for r in top_rows
+        ],
+        "word string, n_exact bigint, n_cms bigint, overestimate bigint",
+    )
+
+
 @query(
     "text_stats_docs",
     oracle="""

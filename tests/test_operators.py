@@ -395,3 +395,32 @@ def test_quality_check_single_pass_and_rules(spark, sf_dir):
     }
     assert got["not_null(v)"] == 1
     assert got["unique(k, v)"] == 1
+
+
+def test_cms_bounds_and_determinism(spark, sf_dir):
+    """Count-Min guarantees against exact counts: estimate >= true count
+    for EVERY queried word (collisions only add), estimate <= true +
+    eps*N for the top words (w.p. >= confidence; deterministic here for
+    the fixed seed, so a violation is a real bug not bad luck), and the
+    sketch is bit-identical across rebuilds (mergeable state must be
+    reproducible)."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    eps = 0.0001
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    n_total = words.count()
+    exact = dict(
+        words.groupBy("w").count()
+        .orderBy(F.desc("count"), F.asc("w")).limit(20).collect()
+    )
+    sk = T.cms_word_sketch(docs, eps=eps, confidence=0.99)
+    assert sk == T.cms_word_sketch(docs, eps=eps, confidence=0.99)
+    est = T.cms_estimate_counts(spark, sk, list(exact) + ["__absent_word__"])
+    for w, n in exact.items():
+        assert est[w] >= n, (w, est[w], n)
+        assert est[w] <= n + eps * n_total, (w, est[w], n, n_total)
+    assert est["__absent_word__"] <= eps * n_total
