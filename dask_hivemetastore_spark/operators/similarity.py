@@ -376,3 +376,41 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------- int8 storage quantization
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization of a float embedding column:
+    ``scale = max(|x|)/127``, ``q[i] = round(x[i]/scale)`` ∈ [-127, 127],
+    stored as ``array<tinyint>`` + one double scale — a 4× narrower
+    embedding column (1 byte/dim vs float32's 4) with reconstruction
+    error ≤ scale/2 per dimension.
+
+    This is the storage half of the FAISS SQ8 idea expressed as pure JVM
+    expressions (``transform``/``array_max`` — no UDF, stays in
+    whole-stage codegen): at 100 TB the embedding column dominates table
+    bytes, and a 4× cut is 4× less scan I/O for every ANN probe and
+    brute-force sweep downstream. Dequantization is ``q[i]·scale``
+    (:func:`dequantize_expr`); all arithmetic is IEEE double ops +
+    half-away-from-zero rounding, identical in Spark and DuckDB, so the
+    full quantized state is hash-certifiable by an oracle.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),  # all-zero vector guard
+    )
+    return emb.withColumn("scale", scale).withColumn(
+        "qvec",
+        F.transform(v, lambda x: F.round(x / scale, 0).cast("tinyint")),
+    )
+
+
+def dequantize_expr(qvec_col: str = "qvec",
+                    scale_col: str = "scale") -> Column:
+    """``array<tinyint>`` + scale → reconstructed ``array<double>``."""
+    return F.transform(
+        F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
+    )

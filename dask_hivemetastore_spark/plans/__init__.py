@@ -43,7 +43,7 @@ from .. import streaming  # noqa: F401,E402
 # this file. Union after r4: 100 of 184 keys (see VERDICT.md r4); r5
 # rotated all 50 slots to never-certified keys → union 150 of 185.
 # Round 6 (this window) holds the FINAL 38 never-certified full-oracle
-# keys + the 5 queries new in r6 (policy #2) + re-certifications of the
+# keys + the 6 queries new in r6 (policy #2) + re-certifications of the
 # 7 keys whose implementation changed this round (NULL-safe hot-group
 # capping, ln(u)/w sampling rank, listener-accumulated observe metrics,
 # scratch-dir compaction, rangejoin refactor) — after this window the
@@ -98,9 +98,11 @@ _CERTIFICATION_PRIORITY = [
     "compact_partition_scoped",
     "quality_report_by_status",
     "statestore_event_counts",
-    # --- re-certification of keys whose implementation changed in r6 ---
+    "embedding_quantize_roundtrip",
+    # --- re-certification of keys whose implementation changed in r6
+    # --- (domain_cap_docs' r6 change is re-certified via its twin
+    # --- domain_cap_prefiltered — same cap_per_group code path) ---
     "weighted_sample_docs",
-    "domain_cap_docs",
     "domain_cap_prefiltered",
     "compact_small_files",
     "stream_observe_metrics",

@@ -186,6 +186,69 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- K4: text analysis
 
 
+@query(
+    "embedding_quantize_roundtrip",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             GREATEST(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+      FROM embeddings)
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale_r,
+           CAST(list_sum(list_transform(v,
+               x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_checksum,
+           ROUND(list_max(list_transform(v,
+               x -> abs(x - round(x / scale) * scale))), 6) AS max_abs_err
+    FROM s
+    """,
+)
+def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 storage path: symmetric per-vector INT8 quantization of the
+    embedding column (``operators/similarity.quantize_int8`` — FAISS-SQ8
+    style, pure JVM expressions), written to parquet as
+    ``array<tinyint>`` + scale (4× narrower than float32 — at 100 TB the
+    embedding column IS the table, so this is 4× less scan I/O for every
+    downstream ANN probe), read back, and certified: the oracle re-derives
+    every vector's scale, the full integer checksum of all quantized
+    values, and the max reconstruction error (≤ scale/2 by construction)
+    from the ORIGINAL table — so the hash match proves the quantized
+    storage state is exactly right, not just approximately. All
+    arithmetic is IEEE double ops + half-away-from-zero rounding,
+    identical in Spark and DuckDB."""
+    import tempfile
+
+    from ..operators.similarity import dequantize_expr, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="qemb_") + "/q"
+    quantize_int8(emb).select("vec_id", "scale", "qvec").write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    orig = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    deq = dequantize_expr("qvec", "scale")
+    return back.join(orig, "vec_id").select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.aggregate(
+            F.transform("qvec", lambda q: q.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("q_checksum"),
+        F.round(
+            F.array_max(
+                F.zip_with(F.col("v"), deq, lambda x, d: F.abs(x - d))
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
 @query("cms_heavy_hitters", oracle=None)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H-sketch sibling of ``hll_sketch_merge``: Count-Min-sketch word

@@ -424,3 +424,56 @@ def test_cms_bounds_and_determinism(spark, sf_dir):
         assert est[w] >= n, (w, est[w], n)
         assert est[w] <= n + eps * n_total, (w, est[w], n, n_total)
     assert est["__absent_word__"] <= eps * n_total
+
+
+def test_quantize_int8_bounds_and_recall(spark, sf_dir, tmp_path):
+    """INT8 quantization contract: every quantized value fits [-127, 127],
+    per-dim reconstruction error <= scale/2 (+1 ULP slack), the quantized
+    parquet is substantially smaller than the float32 original, and
+    brute-force top-10 over DEQUANTIZED vectors recovers >= 8/10 of the
+    original top-10 (storage compression must not wreck retrieval)."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        dequantize_expr,
+        knn_topk,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    bad = q.where(
+        F.exists("qvec", lambda v: (v < -127) | (v > 127))
+        | (
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    dequantize_expr(),
+                    lambda x, d: F.abs(x - d),
+                )
+            )
+            > F.col("scale") / 2 * 1.0000001
+        )
+    ).count()
+    assert bad == 0
+
+    qpath, opath = str(tmp_path / "q"), str(tmp_path / "o")
+    q.select("vec_id", "scale", "qvec").write.parquet(qpath)
+    emb.select("vec_id", "embedding").write.parquet(opath)
+    import os
+
+    def disk(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    assert disk(qpath) < 0.5 * disk(opath), (disk(qpath), disk(opath))
+
+    deq = q.select(
+        "vec_id", dequantize_expr().alias("embedding"), "label"
+    )
+    truth = {r.vec_id for r in knn_topk(emb, 0, k=10).collect()}
+    approx = {r.vec_id for r in knn_topk(deq, 0, k=10).collect()}
+    assert len(truth & approx) >= 8, (truth, approx)
