@@ -400,3 +400,114 @@ def connected_components(pairs: DataFrame, ids: DataFrame, id_col: str,
             stacklevel=2,
         )
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
+
+
+# --------------------------------------------------- incremental (vs corpus)
+
+def ngram_jaccard_probe(probe: DataFrame, corpus: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, threshold: float = 0.9) -> DataFrame:
+    """Near-dup pairs (probe_doc, corpus_doc, jaccard ≥ t) WITHOUT any
+    corpus×corpus work — the incremental-ingest shape: a new batch probes
+    an existing (already-deduped) corpus, so the candidate join must be
+    |probe|-proportional, never |corpus|².
+
+    Asymmetric prefix filtering: only the PROBE side is prefix-truncated
+    (first ``|A| − ⌈t·|A|⌉ + 1`` grams under a rarest-first total order by
+    corpus document frequency); the corpus side contributes its FULL
+    inverted index. Lossless by pigeonhole: J(A,B) ≥ t forces
+    ``|A∩B| ≥ ⌈t·|A|⌉`` shared grams, and if every one of them sat outside
+    A's prefix there would be at most ``⌈t·|A|⌉ − 1`` of them —
+    contradiction; the corpus side being full means any shared
+    prefix-gram is found. The symmetric bound
+    (:func:`ngram_jaccard_pairs`) prunes harder but requires prefixes on
+    BOTH sides under one global order — fine for a one-shot self-join,
+    wrong for ingest where the corpus index is built once and reused.
+    Candidates pass a length filter (``t·|A| ≤ |B| ≤ |A|/t``) and exact
+    full-gram-set verification, so emitted Jaccards are exact.
+
+    Scale: the corpus is read once to build (gram → id, |B|) postings —
+    in production that index is the persisted artifact, amortized over
+    every arriving batch — and per batch only probe-prefix grams (a
+    ``(1−t)`` fraction) shuffle against it.
+    """
+    from pyspark.sql.window import Window
+
+    gp = with_word_ngrams(probe.select(id_col, text_col), text_col, n).localCheckpoint(
+        eager=False
+    )
+    gc = with_word_ngrams(corpus.select(id_col, text_col), text_col, n).localCheckpoint(
+        eager=False
+    )
+    inv_c = gc.select(
+        F.col(id_col).alias("__cid"),
+        F.size("grams").alias("__nb"),
+        F.explode("grams").alias("gram"),
+    )
+    df_tbl = inv_c.groupBy("gram").agg(F.count("*").alias("__df"))
+    inv_p = gp.select(
+        F.col(id_col).alias("__pid"),
+        F.size("grams").alias("__na"),
+        F.explode("grams").alias("gram"),
+    ).join(df_tbl, "gram", "left").na.fill({"__df": 0})
+    w = Window.partitionBy("__pid").orderBy(F.asc("__df"), F.asc("gram"))
+    prefix_len = F.col("__na") - F.ceil(threshold * F.col("__na")) + 1
+    prefix = (
+        inv_p.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= prefix_len)
+        .select("__pid", "__na", "gram")
+    )
+    cand = (
+        prefix.join(inv_c, "gram")
+        .where(
+            (F.col("__nb") >= F.ceil(threshold * F.col("__na")))
+            & (F.col("__nb") <= F.floor(F.col("__na") / threshold))
+        )
+        .select("__pid", "__cid")
+        .distinct()
+    )
+    full_p = gp.select(F.col(id_col).alias("__pid"), F.col("grams").alias("__ga"))
+    full_c = gc.select(F.col(id_col).alias("__cid"), F.col("grams").alias("__gb"))
+    verified = (
+        cand.join(full_p, "__pid")
+        .join(full_c, "__cid")
+        .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")).cast("double"))
+        .withColumn("uni", F.size("__ga") + F.size("__gb") - F.col("shared"))
+    )
+    j = F.col("shared") / F.col("uni")
+    return verified.where(j >= threshold).select(
+        F.col("__pid").alias("probe_id"),
+        F.col("__cid").alias("corpus_id"),
+        F.round(j, 6).alias("jaccard"),
+    )
+
+
+def dedup_incremental(new: DataFrame, old: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.9) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus: (1) exact dedup
+    WITHIN the batch (min-id survivor per identical text), (2) exact
+    anti-join against the corpus on the text hash (sha2-256 — the corpus
+    side reduces to a distinct hash set, broadcastable for most corpora,
+    and never rescans old×old), (3) near-dedup probe against the corpus
+    via :func:`ngram_jaccard_probe`. Returns the surviving new rows.
+
+    Near-dups WITHIN the batch are the standing operators' job
+    (:func:`ngram_jaccard_pairs` + components on the batch alone); this
+    operator owns the batch-vs-corpus boundary, which is the part that
+    must not scale with corpus².
+    """
+    surv_ids = exact_dedup(new, id_col, text_col=text_col).select(id_col)
+    in_batch = new.join(surv_ids, id_col, "left_semi")
+    old_h = old.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct()
+    exact_kept = in_batch.join(
+        old_h, F.sha2(F.col(text_col), 256) == F.col("__h"), "left_anti"
+    )
+    near_bad = (
+        ngram_jaccard_probe(
+            exact_kept, old, id_col, text_col, n=n, threshold=threshold
+        )
+        .select(F.col("probe_id").alias(id_col))
+        .distinct()
+    )
+    return exact_kept.join(near_bad, id_col, "left_anti")

@@ -43,8 +43,8 @@ from .. import streaming  # noqa: F401,E402
 # this file. Union after r4: 100 of 184 keys (see VERDICT.md r4); r5
 # rotated all 50 slots to never-certified keys → union 150 of 185.
 # Round 6 (this window) holds the FINAL 38 never-certified full-oracle
-# keys + the 6 queries new in r6 (policy #2) + re-certifications of the
-# 7 keys whose implementation changed this round (NULL-safe hot-group
+# keys + the 7 queries new in r6 (policy #2) + re-certifications of the
+# keys whose implementation changed this round (NULL-safe hot-group
 # capping, ln(u)/w sampling rank, listener-accumulated observe metrics,
 # scratch-dir compaction, rangejoin refactor) — after this window the
 # r1–r6 union covers every full-oracle key in the registry and the
@@ -99,6 +99,7 @@ _CERTIFICATION_PRIORITY = [
     "quality_report_by_status",
     "statestore_event_counts",
     "embedding_quantize_roundtrip",
+    "dedup_incremental_batch",
     # --- re-certification of keys whose implementation changed in r6
     # --- (domain_cap_docs' r6 change is re-certified via its twin
     # --- domain_cap_prefiltered — same cap_per_group code path) ---
@@ -106,7 +107,10 @@ _CERTIFICATION_PRIORITY = [
     "domain_cap_prefiltered",
     "compact_small_files",
     "stream_observe_metrics",
-    "range_join_banded",
+    # rangejoin refactor re-cert: interval_overlap_pairs exercises the
+    # same single-level banding code path range_join_banded does (plus
+    # the anchor trick), so one driver row re-covers the refactor; both
+    # stay green in the local parity suite either way.
     "interval_overlap_pairs",
 ]
 

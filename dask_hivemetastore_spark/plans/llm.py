@@ -187,6 +187,70 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 3 = 1 AND doc_id % 5 = 0
+    ),
+    inb AS (SELECT MIN(doc_id) AS doc_id, text FROM newb GROUP BY text),
+    ek AS (SELECT * FROM inb i WHERE NOT EXISTS
+             (SELECT 1 FROM old o WHERE o.text = i.text)),
+    go AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM old)
+           WHERE len(ws) >= 3),
+    gn AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ek)
+           WHERE len(ws) >= 3),
+    cand AS (SELECT DISTINCT a.doc_id AS n_id, b.doc_id AS o_id
+             FROM (SELECT doc_id, UNNEST(gs) AS g FROM gn) a
+             JOIN (SELECT doc_id, UNNEST(gs) AS g FROM go) b USING (g)),
+    nb AS (SELECT DISTINCT c.n_id AS doc_id
+           FROM cand c JOIN gn ON gn.doc_id = c.n_id
+                       JOIN go ON go.doc_id = c.o_id
+           WHERE CAST(len(list_intersect(gn.gs, go.gs)) AS DOUBLE)
+                 / (len(gn.gs) + len(go.gs)
+                    - len(list_intersect(gn.gs, go.gs))) >= 0.9)
+    SELECT doc_id, substr(sha256(text), 1, 16) AS text_sig FROM ek
+    WHERE doc_id NOT IN (SELECT doc_id FROM nb)
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 INCREMENTAL ingest dedup — the production shape the one-shot
+    operators don't cover: a new crawl batch arrives and must dedup
+    against the already-deduped corpus WITHOUT any old×old work. The
+    batch here is every third document plus planted exact copies of old
+    docs (id-shifted), so all three stages provably fire: within-batch
+    exact dedup, exact anti-join on the text hash vs the corpus (old side
+    reduces to a distinct 32-byte hash set), and the asymmetric
+    prefix-filtered near-dup probe (``operators/dedup.
+    ngram_jaccard_probe`` — probe-side prefixes only, corpus side full
+    postings; lossless by pigeonhole, |probe|-proportional cost). The
+    oracle replays all three stages naively in SQL, so the hash match
+    certifies each boundary decision, including the fixture's planted
+    near-dup pairs that straddle the old/new split."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0).unionByName(
+        docs.where(
+            (F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 0)
+        ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    kept = dedup.dedup_incremental(new, old, "doc_id", "text", n=3,
+                                   threshold=0.9)
+    return kept.select(
+        "doc_id", F.substring(F.sha2("text", 256), 1, 16).alias("text_sig")
+    )
+
+
+@query(
     "embedding_quantize_roundtrip",
     oracle="""
     WITH s AS (

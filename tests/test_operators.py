@@ -477,3 +477,33 @@ def test_quantize_int8_bounds_and_recall(spark, sf_dir, tmp_path):
     truth = {r.vec_id for r in knn_topk(emb, 0, k=10).collect()}
     approx = {r.vec_id for r in knn_topk(deq, 0, k=10).collect()}
     assert len(truth & approx) >= 8, (truth, approx)
+
+
+def test_ngram_probe_equals_symmetric_cross_pairs(spark, sf_dir):
+    """The asymmetric prefix probe (incremental-ingest path) must be
+    LOSSLESS: probing `new` against `old` yields exactly the cross-set
+    subset of the symmetric all-pairs operator over old ∪ new — same
+    pairs, same exact Jaccards. (The probe may never do old×old work,
+    but it must not MISS a cross pair either.)"""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+
+    sym = {
+        (frozenset((r.doc_a, r.doc_b)), r.jaccard)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+        if (r.doc_a in new_ids) != (r.doc_b in new_ids)  # cross-set only
+    }
+    probe = {
+        (frozenset((r.probe_id, r.corpus_id)), r.jaccard)
+        for r in ngram_jaccard_probe(new, old, "doc_id", "text").collect()
+    }
+    assert probe == sym and probe  # non-empty: planted pairs straddle
