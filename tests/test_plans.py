@@ -9,6 +9,8 @@ scale that sf0.01 correctness checks would never catch.
 
 from __future__ import annotations
 
+import pytest
+
 from dask_hivemetastore_spark import plans
 
 from .conftest import SF_SMOKE
@@ -459,3 +461,26 @@ def test_decontaminate_digest_prefilter_shape(spark):
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LeftSemi") == 2, plan
     assert "xxhash64" in plan, plan
+
+
+@pytest.mark.slow
+def test_registry_plan_audit():
+    """Registry-wide scale-killer audit (scripts/plan_audit.py): every
+    batch query's executed plan is grepped for BroadcastNestedLoopJoin /
+    CartesianProduct; any hit must carry an explicit bounded-build-side
+    exemption, and stale exemptions fail the audit too (unused entries)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "plan_audit.py")],
+        capture_output=True, text=True, timeout=540,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    report = json.loads(proc.stdout)
+    assert report["flagged"] == {}
+    assert report["unused_allow_entries"] == []
+    assert report["checked"] > 180
