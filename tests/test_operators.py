@@ -507,3 +507,42 @@ def test_ngram_probe_equals_symmetric_cross_pairs(spark, sf_dir):
         for r in ngram_jaccard_probe(new, old, "doc_id", "text").collect()
     }
     assert probe == sym and probe  # non-empty: planted pairs straddle
+
+
+def test_dedup_incremental_short_doc_edges(spark):
+    """Boundary semantics of the incremental dedup: a batch doc too short
+    to form an n-gram can still be an EXACT duplicate of a corpus doc
+    (hash stage must drop it) but can never be a NEAR duplicate (no gram
+    rows — it must survive the probe); within-batch exact dups keep the
+    min id; an untouched unique doc passes all three stages."""
+    from dask_hivemetastore_spark.operators.dedup import dedup_incremental
+
+    old = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "a longer corpus document with many words here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "tiny doc"),          # exact dup of old 1 (sub-n-gram) -> drop
+            (11, "other tiny"),         # unique sub-n-gram -> keep
+            (12, "other tiny"),         # within-batch exact dup -> drop (11 kept)
+            (13, "a longer corpus document with many words here padded"),
+            # ^ near-dup of old 2 at J = 7/9 < 0.9 -> keep
+            (14, "a longer corpus document with many words here"),  # exact dup
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_incremental(new, old, "doc_id", "text", n=3,
+                                   threshold=0.9).collect()
+    )
+    assert kept == [11, 13]
+
+    # lower the threshold so 13 becomes a near-dup and is dropped too
+    kept2 = sorted(
+        r.doc_id
+        for r in dedup_incremental(new, old, "doc_id", "text", n=3,
+                                   threshold=0.7).collect()
+    )
+    assert kept2 == [11]
