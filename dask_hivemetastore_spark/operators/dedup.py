@@ -451,17 +451,23 @@ def ngram_jaccard_probe(probe: DataFrame, corpus: DataFrame,
         F.explode("grams").alias("gram"),
     ).join(df_tbl, "gram", "left").na.fill({"__df": 0})
     w = Window.partitionBy("__pid").orderBy(F.asc("__df"), F.asc("gram"))
-    prefix_len = F.col("__na") - F.ceil(threshold * F.col("__na")) + 1
+    # the 1e-9 epsilons mirror ngram_jaccard_pairs' alpha guard: FP error in
+    # threshold·|A| (0.9·10 evaluates to 9.000000000000002) must never
+    # SHORTEN the prefix or TIGHTEN the length filter — either would drop
+    # exact-boundary pairs (J == t); erring the other way only adds
+    # candidates, which exact verification removes
+    alpha = F.ceil(threshold * F.col("__na") - F.lit(1e-9))
     prefix = (
         inv_p.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= prefix_len)
+        .where(F.col("__rn") <= F.col("__na") - alpha + 1)
         .select("__pid", "__na", "gram")
     )
     cand = (
         prefix.join(inv_c, "gram")
         .where(
-            (F.col("__nb") >= F.ceil(threshold * F.col("__na")))
-            & (F.col("__nb") <= F.floor(F.col("__na") / threshold))
+            (F.col("__nb") >= F.ceil(threshold * F.col("__na") - F.lit(1e-9)))
+            & (F.col("__nb")
+               <= F.floor(F.col("__na") / threshold + F.lit(1e-9)))
         )
         .select("__pid", "__cid")
         .distinct()

@@ -546,3 +546,22 @@ def test_dedup_incremental_short_doc_edges(spark):
                                    threshold=0.7).collect()
     )
     assert kept2 == [11]
+
+
+def test_ngram_probe_exact_boundary_pair(spark):
+    """Regression for the FP-ceil hazard: with |A|=10 grams, |B|=9 grams,
+    9 shared → J = 9/10 exactly at threshold 0.9. Double arithmetic makes
+    0.9·10 = 9.000000000000002, and an unguarded ceil() turns the length
+    bound into |B| >= 10 (dropping the pair) and the prefix length into 1
+    (missing candidates). The epsilon-guarded operator must find it."""
+    from dask_hivemetastore_spark.operators.dedup import ngram_jaccard_probe
+
+    words = [f"w{i}" for i in range(12)]          # 12 words → 10 3-grams
+    a_text = " ".join(words)
+    b_text = " ".join(words[:11])                  # 11 words → 9 3-grams
+    corpus = spark.createDataFrame([(1, a_text)], "doc_id long, text string")
+    probe = spark.createDataFrame([(2, b_text)], "doc_id long, text string")
+    got = ngram_jaccard_probe(
+        probe, corpus, "doc_id", "text", n=3, threshold=0.9
+    ).collect()
+    assert [(r.probe_id, r.corpus_id, r.jaccard) for r in got] == [(2, 1, 0.9)]

@@ -505,3 +505,78 @@ def test_hierarchical_join_never_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in p2 and "Join" in p2
+
+
+docs_corpus_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),           # id (unique-ified)
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=8),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SETTINGS
+@given(old_rows=docs_corpus_st, new_rows=docs_corpus_st,
+       threshold=st.sampled_from([0.5, 0.8, 1.0]))
+def test_dedup_incremental_equals_naive(spark, old_rows, new_rows, threshold):
+    """For ANY corpora and threshold, dedup_incremental == the naive
+    definition: within-batch exact survivors, minus exact text matches vs
+    old, minus docs with word-3-gram Jaccard >= t against ANY old doc
+    (docs with <3 words have no grams → near-exempt)."""
+    from dask_hivemetastore_spark.operators.dedup import dedup_incremental
+
+    def mk(rows, base):
+        out, seen = [], set()
+        for i, (rid, words) in enumerate(rows):
+            rid = base + rid * 31 + i  # unique ids per side
+            if rid in seen:
+                continue
+            seen.add(rid)
+            out.append((rid, " ".join(words)))
+        return out
+
+    old = mk(old_rows, 10_000)
+    new = mk(new_rows, 50_000)
+    old_df = spark.createDataFrame(old, "doc_id long, text string")
+    new_df = spark.createDataFrame(new, "doc_id long, text string")
+
+    def grams(text):
+        ws = text.split(" ")
+        return {
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+
+    # naive reference, driver-side
+    by_text: dict = {}
+    for rid, text in new:
+        by_text.setdefault(text, []).append(rid)
+    in_batch = {min(ids): text for text, ids in
+                ((t, ids) for t, ids in by_text.items())}
+    old_texts = {t for _, t in old}
+    expect = set()
+    for rid, text in in_batch.items():
+        if text in old_texts:
+            continue
+        g = grams(text)
+        near = False
+        for _, otext in old:
+            og = grams(otext)
+            inter = len(g & og)
+            union = len(g) + len(og) - inter
+            # no epsilon: inter/union and the threshold literal are the
+            # same IEEE doubles Spark compares, so >= agrees exactly
+            if union and inter / union >= threshold:
+                near = True
+                break
+        if not near:
+            expect.add(rid)
+
+    got = {
+        r.doc_id
+        for r in dedup_incremental(
+            new_df, old_df, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+    assert got == expect
