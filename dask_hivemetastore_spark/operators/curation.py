@@ -675,3 +675,49 @@ def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
         .drop("__ord", "__b", "__off")
         .select(key_col, "shard", "pos")
     )
+
+
+def stratified_sample(df: DataFrame, group_col: str, key_col: str,
+                      fractions: dict, salt: str = "strat:",
+                      precision: int = 10_000) -> DataFrame:
+    """Deterministic stratified Bernoulli sampling: keep each row of stratum
+    ``g`` with probability ``fractions[g]`` (strata absent from the dict are
+    dropped), decided by the engine-portable md5 draw this module uses
+    everywhere — ``sampleBy`` semantics without ``rand()``'s
+    irreproducibility.
+
+    The per-stratum rates are the mixture-rebalancing knob every corpus
+    pipeline ends up needing ("keep 10% of CommonCrawl, 100% of Wikipedia,
+    50% of code"): unlike :func:`rebalance_to_min` (which equalizes to the
+    smallest stratum) the target mixture here is caller-chosen, and unlike
+    ``DataFrame.sampleBy`` the decision is a pure function of
+    ``(salt, key)`` — stable under corpus growth, partition layout, engine,
+    and re-runs, so an oracle (or a downstream system) can re-derive every
+    keep/drop decision.
+
+    Scale (100 TB): the draw and the per-stratum threshold comparison are a
+    single map-side projection folded into the scan — no shuffle, no
+    driver participation, no collected stats. The fraction map travels as a
+    literal CASE expression (a few hundred strata at most), not a join.
+    Fractions are quantized to ``1/precision`` (default 0.01%) so the
+    threshold is an exact integer compare, immune to float-boundary
+    drift between engines.
+    """
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint") % precision
+    )
+    for g, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1], got {frac}")
+    cases = F.lit(-1)
+    for g, frac in reversed(list(fractions.items())):
+        cases = F.when(
+            F.col(group_col) == F.lit(g), F.lit(int(round(frac * precision)))
+        ).otherwise(cases)
+    return df.where(draw < cases)

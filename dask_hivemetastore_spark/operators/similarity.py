@@ -414,3 +414,98 @@ def dequantize_expr(qvec_col: str = "qvec",
     return F.transform(
         F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
     )
+
+
+# ------------------------------------------------------- batched knn join
+
+def knn_join(emb: DataFrame, query_ids: list, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             label_col: str = "label", overfetch: int = 16) -> DataFrame:
+    """Exact top-k cosine neighbors for EVERY query in a bounded batch —
+    the "knn join" shape (retrieval-augment a batch of prompts, label a
+    batch of eval vectors) that a single-query :func:`knn_topk` loop would
+    pay Q full scans for.
+
+    Two stages, mirroring :func:`similar_pairs`' screen-then-rescore split:
+
+    1. **Numpy prune (one corpus scan, no shuffle):** the Q query vectors
+       ship to every task as a closure-captured (Q × d) f64 matrix;
+       ``mapInPandas`` computes the (batch × Q) dot matrix with one BLAS
+       GEMM per Arrow batch and keeps only the ``k + overfetch`` best
+       corpus rows PER QUERY per batch. Candidate volume is bounded by
+       ``n_batches × Q × (k + overfetch)`` — the corpus itself never
+       shuffles and never materializes the N×Q row blowup a
+       crossJoin+Window plan would.
+    2. **JVM exact rescore:** candidates (tiny) re-compute the dot with
+       :func:`dot_f64` — the sequential-fold form the oracle replicates
+       bit-for-bit — via a broadcast hash join back to the Q query rows,
+       then one Window ranks ``(round(cosine, 6) DESC, id)`` per query and
+       keeps k. BLAS only ever PRUNES; every returned number is the
+       certified JVM fold. ``overfetch`` absorbs BLAS-vs-fold ULP noise
+       and 6-dp rounding ties at the per-batch boundary (a displaced true
+       top-k row must out-rank ≥ k + overfetch rows in its own batch,
+       which a ≤1e-6 perturbation cannot cause).
+
+    Self-pairs (corpus row == query row) are masked before the prune.
+    ``query_ids`` is bounded by construction (a batch, not a table); for
+    query sets too large to closure-ship, tile the query side and union —
+    same plan per tile.
+
+    Returns (q_id, id_col, label_col, cosine), k rows per query.
+    """
+    qrows = (
+        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()  # bounded: len(query_ids) rows by construction
+    )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # Q x d
+    keep = int(k + overfetch)
+
+    out_fields = ", ".join([
+        "q_id long",
+        f"{id_col} long",
+        f"{label_col} int",
+        f"{vec_col} array<float>",
+    ])
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sims = mat @ qmat.T  # (batch x Q) — one GEMM
+            ids = pdf[id_col].to_numpy()
+            parts = []
+            for j in range(len(qids)):
+                col = sims[:, j].copy()
+                col[ids == qids[j]] = -np.inf  # self-pair mask
+                top = np.argsort(-col, kind="stable")[:keep]
+                top = top[np.isfinite(col[top])]
+                sel = pdf.iloc[top][[id_col, label_col, vec_col]].copy()
+                sel.insert(0, "q_id", int(qids[j]))
+                parts.append(sel)
+            yield pd.concat(parts, ignore_index=True)
+
+    cands = emb.select(id_col, label_col, vec_col).mapInPandas(
+        prune, schema=out_fields
+    )
+    queries = (
+        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cands.join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id", id_col, label_col,
+            F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

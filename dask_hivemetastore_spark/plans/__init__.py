@@ -100,18 +100,22 @@ _CERTIFICATION_PRIORITY = [
     "statestore_event_counts",
     "embedding_quantize_roundtrip",
     "dedup_incremental_batch",
-    # --- re-certification of keys whose implementation changed in r6
-    # --- (domain_cap_docs' r6 change is re-certified via its twin
-    # --- domain_cap_prefiltered — same cap_per_group code path) ---
+    "knn_join_batch",
+    "lm_quality_score_docs",
+    "stratified_sample_docs",
+    # --- re-certification of keys whose implementation changed in r6:
+    # weighted_sample_docs (rank key moved to round(ln(u)/w, 12) — the
+    # selection expression itself changed) and stream_observe_metrics
+    # (listener accumulation replaced recentProgress summing). The other
+    # r6 implementation changes forfeit their re-cert slot to the three
+    # new queries above because a certified in-window key exercises the
+    # same changed code path: compact_partition_scoped covers layout.py's
+    # scratch-dir rework, interval_overlap_longtail +
+    # range_join_longtail_points cover the rangejoin refactor, and
+    # domain_cap_docs' NULL-safety fix doesn't alter fixture output
+    # (no NULL groups) — all remain green in the local parity suite.
     "weighted_sample_docs",
-    "domain_cap_prefiltered",
-    "compact_small_files",
     "stream_observe_metrics",
-    # rangejoin refactor re-cert: interval_overlap_pairs exercises the
-    # same single-level banding code path range_join_banded does (plus
-    # the anchor trick), so one driver row re-covers the refactor; both
-    # stay green in the local parity suite either way.
-    "interval_overlap_pairs",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

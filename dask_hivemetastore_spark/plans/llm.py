@@ -175,6 +175,33 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_topk(emb, query_id=0, k=10)
 
 
+@query(
+    "knn_join_batch",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 16),
+    s AS (SELECT q.q_id, e.vec_id, e.label,
+            ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+              AS cosine
+          FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM s)
+    SELECT q_id, vec_id, label, cosine FROM r WHERE rn <= 5
+    """,
+)
+def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 batched exact knn JOIN: top-5 cosine neighbors for each of 16
+    query vectors in ONE corpus scan — BLAS GEMM prune per Arrow batch
+    (bounded k+overfetch candidates per query per batch, corpus never
+    shuffles, no N×Q row blowup), then the certified sequential-fold JVM
+    dot re-scores the tiny candidate set and a Window keeps k per query.
+    The oracle brute-forces all Q×N pairs and must agree on every one of
+    the 80 returned rows. See :func:`..operators.similarity.knn_join`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb, list(range(16)), k=5)
+
+
 @query("knn_lsh_topk")  # rows-only: ANN recall < 1 by construction
 def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 scale path: random-hyperplane LSH bucket restriction before the
@@ -1114,6 +1141,63 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.weighted_sample_topk(
         docs, "doc_id", "n_chars", k=50
     ).select("doc_id", "n_chars")
+
+
+@query(
+    "lm_quality_score_docs",
+    oracle="""
+    WITH rw AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents WHERE lang = 'en'),
+    cnt AS (SELECT w, COUNT(*) AS c FROM rw GROUP BY w),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt),
+    dw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+    lp AS (SELECT doc_id,
+                  ln((COALESCE(c, 0) + 1.0) / (n + v + 1.0)) AS lp
+           FROM dw LEFT JOIN cnt USING (w) CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_words, ROUND(AVG(lp), 6) AS xent
+    FROM lp GROUP BY doc_id
+    """,
+)
+def lm_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 model-based quality gate (CCNet, Wenzek et al. 2020): per-word
+    cross-entropy of every document under an add-one-smoothed unigram LM
+    trained on the 'en' reference slice — divergent docs score high and
+    get filtered downstream. Train + score is one plan: reference groupBy,
+    broadcast vocab join, broadcast 1-row (N, V) totals, per-doc re-agg;
+    the corpus shuffles once (on doc_id, for the re-agg). The oracle
+    retrains the same LM in DuckDB and must match all 500 scores at 6 dp.
+    See :func:`..operators.text.lm_quality_scores`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lm_quality_scores(docs, docs.where(F.col("lang") == "en"))
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (CAST(CONCAT('0x', substr(md5(CONCAT('strat:',
+             CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000)
+      < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000
+                  WHEN 'es' THEN 5000 WHEN 'de' THEN 0 ELSE -1 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 deterministic stratified sampling (``sampleBy`` semantics,
+    engine-portable): keep 25% of 'en', 100% of 'zh', 50% of 'es', 0% of
+    'de', drop strata absent from the map ('fr') — the caller-chosen
+    mixture knob ("keep 10% of CommonCrawl, 100% of Wikipedia"). Every
+    keep/drop decision is a pure function of (salt, doc_id) via the md5
+    draw, so the oracle re-derives the exact sample row-for-row. Plan:
+    one map-side CASE + integer compare folded into the scan — zero
+    shuffle at any corpus size.
+    See :func:`..operators.curation.stratified_sample`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.25, "zh": 1.0, "es": 0.5, "de": 0.0},
+    ).select("doc_id", "lang", "source")
 
 
 @query(

@@ -50,6 +50,8 @@ ALLOW: dict[str, str] = {
     "q22_global_sales_opportunity": "acctbal vs scalar AVG subquery:"
     " BuildRight is a keyless 1-row aggregate (n x 1)",
     "tfidf_top_terms": "IDF denominator: broadcast 1-row corpus doc count",
+    "lm_quality_score_docs": "broadcast 1-row (N, V) LM totals, same shape"
+    " as bm25's corpus-stats row",
 }
 
 # streaming / state-heavy keys: executing them here would start queries,

@@ -292,3 +292,55 @@ def test_weighted_sample_deterministic_and_scale_invariant(spark, sf_dir):
         chosen.agg(F.avg("n_chars")).first()[0]
         > docs.agg(F.avg("n_chars")).first()[0]
     )
+
+
+def test_stratified_sample_exact_membership(spark, sf_dir):
+    """Every keep/drop decision is re-derivable in pure Python from
+    (salt, doc_id) — the engine-portability contract."""
+    import hashlib
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.curation import stratified_sample
+
+    fracs = {"en": 0.25, "zh": 1.0, "es": 0.5, "de": 0.0}
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", fracs).collect()}
+    expected = set()
+    for row in docs.select("doc_id", "lang").collect():
+        if row.lang not in fracs:
+            continue
+        draw = int(hashlib.md5(f"strat:{row.doc_id}".encode()).hexdigest()[:8], 16) % 10000
+        if draw < int(round(fracs[row.lang] * 10000)):
+            expected.add(row.doc_id)
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stratified_sample_rejects_bad_fraction(spark, sf_dir):
+    import pytest as _pytest
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        stratified_sample(docs, "lang", "doc_id", {"en": 1.5})
+
+
+def test_lm_quality_scores_hand_computed(spark):
+    """Add-one smoothing on a 3-word reference: scores match a hand
+    calculation, OOV words price as ln(1/(N+V+1))."""
+    import math
+
+    from dask_hivemetastore_spark.operators.text import lm_quality_scores
+
+    ref = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "zz a")], "doc_id long, text string"
+    )
+    # N=3 total, V=2 vocab -> denom 6; lp(a)=ln(3/6), lp(b)=ln(2/6), oov=ln(1/6)
+    rows = {r.doc_id: r for r in lm_quality_scores(corpus, ref).collect()}
+    exp1 = round((math.log(3 / 6) + math.log(2 / 6)) / 2, 6)
+    exp2 = round((math.log(1 / 6) + math.log(3 / 6)) / 2, 6)
+    assert rows[1].n_words == 2 and abs(rows[1].xent - exp1) < 1e-9
+    assert rows[2].n_words == 2 and abs(rows[2].xent - exp2) < 1e-9

@@ -565,3 +565,34 @@ def test_ngram_probe_exact_boundary_pair(spark):
         probe, corpus, "doc_id", "text", n=3, threshold=0.9
     ).collect()
     assert [(r.probe_id, r.corpus_id, r.jaccard) for r in got] == [(2, 1, 0.9)]
+
+
+def test_knn_join_matches_single_query_brute(spark, sf_dir):
+    """The batched knn join must return, for every query in the batch,
+    exactly the rows the certified single-query brute-force path returns —
+    the BLAS prune may only prune, never change the answer."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import knn_join, knn_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 7, 123, 499]
+    got = knn_join(emb, qids, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
+    assert sorted(by_q) == sorted(qids)
+    for q in qids:
+        brute = [(r.vec_id, r.cosine) for r in knn_topk(emb, q, k=5).collect()]
+        assert sorted(by_q[q]) == sorted(brute), f"query {q} diverged"
+
+
+def test_knn_join_survives_tiny_overfetch(spark, sf_dir):
+    """overfetch=0 keeps exactly k per batch — still lossless on the fixture
+    (sims are well-separated), pinning that the prune keeps enough."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import knn_join, knn_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.vec_id for r in knn_join(emb, [42], k=10, overfetch=0).collect()}
+    brute = {r.vec_id for r in knn_topk(emb, 42, k=10).collect()}
+    assert got == brute
