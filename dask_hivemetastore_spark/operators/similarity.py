@@ -509,3 +509,151 @@ def knn_join(emb: DataFrame, query_ids: list, k: int = 5,
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# --------------------------------------------- product quantization (PQ/ADC)
+
+def pq_train_codebooks(emb: DataFrame, m: int = 16, ksub: int = 32,
+                       sample_n: int = 2048, iters: int = 25, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011): split the
+    d-dim space into ``m`` contiguous subspaces of d/m dims and run a
+    deterministic seeded Lloyd k-means (``ksub`` centroids, fixed ``iters``,
+    empty-cluster reseed) PER SUBSPACE on a bounded corpus sample.
+
+    Training is driver-side numpy on ≤ ``sample_n`` vectors fetched in
+    ``id_col`` order — bounded by construction, same contract as
+    :func:`ivf_train_centroids` (codebooks are a model artifact, not data;
+    at 100 TB you still train them on a few-thousand-row sample).
+
+    Returns a ``(m, ksub, d//m)`` f64 array.
+    """
+    rows = (
+        emb.orderBy(id_col).limit(int(sample_n)).select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                pts = sub[assign == c]
+                cent[c] = (
+                    pts.mean(axis=0) if len(pts)
+                    else sub[rng.integers(len(sub))]
+                )
+        books[j] = cent
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              label_col: str = "label") -> DataFrame:
+    """Encode each vector to ``m`` one-byte centroid ids — the PQ code
+    column. 64-dim float32 (256 B) → 16 B/vector: at 100 TB of embeddings
+    the code table is the thing that fits in cluster memory and the thing
+    every ADC scan reads instead of the raw vectors.
+
+    One vectorized ``mapInPandas`` pass (argmin over ksub per subspace,
+    BLAS-friendly); no shuffle — codes append to the row.
+    """
+    m, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(x), m), dtype=np.int8)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.int8)
+            out = pdf[[id_col, label_col]].copy()
+            out["pq_code"] = [c.tolist() for c in codes]
+            yield out
+
+    return emb.select(id_col, label_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, {label_col} int, pq_code array<tinyint>"
+    )
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray, query_vec,
+                k: int = 10, id_col: str = "vec_id",
+                label_col: str = "label") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: precompute the (m × ksub)
+    lookup table of ``query_sub · centroid`` dots driver-side, ship it as a
+    LITERAL nested array, and score every code row with a pure JVM
+    ``aggregate(sequence(1, m), ...)`` over ``element_at`` — approximate
+    inner product = sum of m table lookups. No Python, no join, no raw
+    vectors read: the scan touches only the 1-byte-per-subspace code column,
+    then ``TakeOrderedAndProject`` keeps k. This is the memory-bound ANN
+    path brute force can't match once the float column stops fitting in
+    page cache.
+
+    Returns (id_col, label_col, adc_score) — scores rounded to 6 dp.
+    """
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.einsum(
+        "mkd,md->mk", codebooks, q.reshape(m, dsub)
+    )  # (m, ksub) dots
+    lut_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in lut
+    ) + ")"
+    score = F.expr(
+        f"aggregate(sequence(1, {m}), 0D, (acc, i) -> acc + "
+        f"element_at(element_at({lut_sql}, i), CAST(pq_code[i-1] AS INT) + 1))"
+    )
+    return (
+        codes.select(id_col, label_col, F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
+                     shortlist: int = 50, m: int = 16, ksub: int = 32,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """The standard PQ serving shape: ADC over the code table shortlists
+    ``shortlist`` candidates, then the exact JVM-fold dot re-scores only
+    those against the raw vectors (a broadcast semi-join back — the float
+    column is read for 50 rows, not the corpus). Recall loss is confined
+    to true neighbors the ADC screen misses; the recall test pins the
+    floor on the fixtures.
+    """
+    books = pq_train_codebooks(emb, m=m, ksub=ksub, id_col=id_col,
+                               vec_col=vec_col)
+    qrow = emb.where(F.col(id_col) == query_id).select(vec_col).collect()
+    qv = np.asarray(qrow[0][0], dtype=np.float64)
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col,
+                      label_col=label_col)
+    short = pq_adc_topk(
+        codes, books, qv, k=shortlist, id_col=id_col, label_col=label_col
+    ).where(F.col(id_col) != query_id).select(id_col)
+    q = emb.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    return (
+        emb.join(F.broadcast(short), id_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col, label_col,
+            F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -202,6 +202,20 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join(emb, list(range(16)), k=5)
 
 
+@query("knn_pq_topk")  # rows-only: ANN recall < 1 by construction
+def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 memory-bound ANN path: product quantization (Jégou et al. 2011).
+    16 subspaces × 32 centroids compress each 256-byte vector to a 16-byte
+    code; the ADC scan reads ONLY the code column (pure JVM literal-LUT
+    aggregate, no Python, no join) to shortlist 50, then the certified
+    exact dot re-ranks just those rows. Recall@10 = 1.0 on the fixtures
+    (pytest pins ≥ 0.9); the code table is 16× smaller than the float
+    column — the scan that still fits in memory at 100 TB.
+    See :func:`..operators.similarity.pq_topk_reranked`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk_reranked(emb, query_id=0, k=10, shortlist=50)
+
+
 @query("knn_lsh_topk")  # rows-only: ANN recall < 1 by construction
 def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 scale path: random-hyperplane LSH bucket restriction before the

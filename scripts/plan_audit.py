@@ -52,6 +52,8 @@ ALLOW: dict[str, str] = {
     "tfidf_top_terms": "IDF denominator: broadcast 1-row corpus doc count",
     "lm_quality_score_docs": "broadcast 1-row (N, V) LM totals, same shape"
     " as bm25's corpus-stats row",
+    "knn_pq_topk": "crossJoin of a broadcast 1-row query vector over the"
+    " 50-row reranked shortlist",
 }
 
 # streaming / state-heavy keys: executing them here would start queries,
