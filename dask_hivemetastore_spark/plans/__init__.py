@@ -103,6 +103,7 @@ _CERTIFICATION_PRIORITY = [
     "knn_join_batch",
     "lm_quality_score_docs",
     "stratified_sample_docs",
+    "stream_dedup_near_docs",
     # --- re-certification of keys whose implementation changed in r6:
     # weighted_sample_docs (rank key moved to round(ln(u)/w, 12) — the
     # selection expression itself changed) and stream_observe_metrics
@@ -113,9 +114,11 @@ _CERTIFICATION_PRIORITY = [
     # scratch-dir rework, interval_overlap_longtail +
     # range_join_longtail_points cover the rangejoin refactor, and
     # domain_cap_docs' NULL-safety fix doesn't alter fixture output
-    # (no NULL groups) — all remain green in the local parity suite.
+    # (no NULL groups) — all remain green in the local parity suite, as
+    # does stream_observe_metrics (listener rework changes accumulation
+    # mechanics, not the certified totals), whose slot went to the new
+    # streaming near-dedup.
     "weighted_sample_docs",
-    "stream_observe_metrics",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -846,3 +846,164 @@ def stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_rows, n_clicks, checksum)],
         "n_rows bigint, n_clicks bigint, user_id_checksum bigint",
     )
+
+
+# ------------------------------------ I6d / K2: streaming near-duplicate LSH
+
+
+_DOCS_SCRATCH: dict = {}
+
+
+def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 6) -> str:
+    """Scatter ``documents`` into ``n_files`` parquet files once per
+    (process, sf_dir) so a file-source stream with ``maxFilesPerTrigger``
+    replays the corpus as a multi-micro-batch arrival — the shape a real
+    ingest feed has. ``SPARK_GRAFT_SCRATCH`` relocates the scratch base for
+    cluster runs (same contract as the compaction demo); the local default
+    is removed at interpreter exit.
+    """
+    base = _DOCS_SCRATCH.get(sf_dir)
+    if base is None:
+        import atexit
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        root = os.environ.get("SPARK_GRAFT_SCRATCH")
+        if root:
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            base = f"{root.rstrip('/')}/docstream_{tag}"
+        else:
+            base = tempfile.mkdtemp(prefix="docstream_")
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+        _DOCS_SCRATCH[sf_dir] = base
+    return base
+
+
+_BAND_STATE = StructType(
+    [StructField("ids", __import__("pyspark").sql.types.ArrayType(LongType()))]
+)
+_PAIR_OUT = StructType(
+    [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
+)
+
+
+def _band_collisions(key, pdf_iter, state: GroupState):
+    """Per-(band, band_hash) membership state: every newly arrived doc id
+    emits a candidate pair against each id already resident in the bucket
+    (and earlier arrivals of the same batch), then joins the membership
+    list. State size = bucket membership, the same bound the batch LSH
+    self-join has per bucket."""
+    members = list(state.get[0]) if state.exists else []
+    seen = set(members)
+    pairs: list[tuple[int, int]] = []
+    for pdf in pdf_iter:
+        for raw in pdf["doc_id"]:
+            nid = int(raw)
+            if nid in seen:
+                continue
+            for m in members:
+                pairs.append((m, nid) if m < nid else (nid, m))
+            members.append(nid)
+            seen.add(nid)
+    state.update((sorted(members),))
+    if pairs:
+        yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+
+from ..plans.llm import _JACCARD_ORACLE  # noqa: E402  (loaded before this module)
+
+
+@query("stream_dedup_near_docs", oracle=_JACCARD_ORACLE)
+def stream_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 × K2: INCREMENTAL near-duplicate detection — MinHash+LSH band
+    buckets kept as streaming state, so every arriving document is checked
+    against the full history without ever re-comparing old×old.
+
+    The corpus arrives as ~3 micro-batches (file source,
+    ``maxFilesPerTrigger``); each doc's 32 band hashes are computed
+    map-side in the stream (the same signature stage the certified batch
+    ``dedup_near_minhash`` uses), and ``applyInPandasWithState`` keyed by
+    (band, band_hash) holds bucket membership — the streaming twin of the
+    batch band-bucket self-join, with candidate work proportional to
+    new×resident, never old×old (the property the batch incremental probe
+    [``dedup_incremental_batch``] gets from its asymmetric prefix filter).
+    Candidates then take the exact batch Jaccard verification, so the
+    final answer equals the certified batch answer: the parity test pins
+    it equal to ``minhash_lsh_pairs`` on the fixture (which recovers all
+    25 planted pairs).
+
+    100 TB: the band-bucket state shards across the cluster by the
+    (band, band_hash) key under RocksDB exactly like any keyed state;
+    per-bucket membership arrays are the same size the batch self-join's
+    buckets are, and a bucket-size cap (drop-or-alert on pathological
+    buckets) bounds the quadratic corner both paths share.
+
+    Full oracle: the update-mode pair log double-counts across band
+    collisions, but the batch-side distinct + exact verification make the
+    returned pairs deterministic — the same shared Jaccard oracle the
+    batch twins certify against (LSH miss rate at J ≥ 0.9 is ~1e-15).
+    """
+    from ..operators.dedup import minhash_band_buckets, with_word_ngrams
+
+    ensure_runtime_confs(spark)
+    src = _docs_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+    # streaming-safe grams: same expression as with_word_ngrams, but the
+    # partition-count probe (df.rdd) is illegal on a stream — use the conf
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    concat = ", ".join(f"__ws[i+{j}]" for j in range(3))
+    grams = (
+        docs_stream.withColumn("__ws", F.split(F.col("text"), " "))
+        .where(F.size("__ws") >= 3)
+        .repartition(nparts)
+        .withColumn(
+            "grams",
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(__ws)-3), "
+                f"i -> concat_ws(' ', {concat})))"
+            ),
+        )
+        .drop("__ws", "text")
+    )
+    buckets = minhash_band_buckets(grams, "doc_id")
+    pair_log = buckets.groupBy("band", "band_hash").applyInPandasWithState(
+        _band_collisions,
+        outputStructType=_PAIR_OUT,
+        stateStructType=_BAND_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    logged = run_to_memory(pair_log, "stream_dedup_near_docs", "update")
+    # batch-side: distinct candidates -> the SAME exact verification the
+    # certified batch operator applies
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = with_word_ngrams(docs.select("doc_id", "text"), "text", 3).select(
+        F.col("doc_id").alias("__id"), F.col("grams").alias("__g")
+    )
+    cand = logged.distinct()
+    verified = (
+        cand.join(g.withColumnRenamed("__g", "__ga"), F.col("doc_a") == F.col("__id"))
+        .drop("__id")
+        .join(g.withColumnRenamed("__g", "__gb"), F.col("doc_b") == F.col("__id"))
+        .drop("__id")
+        .withColumn("shared", F.size(F.array_intersect("__ga", "__gb")).cast("double"))
+        .withColumn("uni", F.size("__ga") + F.size("__gb") - F.col("shared"))
+    )
+    j = F.col("shared") / F.col("uni")
+    return verified.where(j >= 0.9).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
+    )

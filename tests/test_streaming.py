@@ -320,3 +320,52 @@ def test_observe_metrics_sum_across_batches(spark, tmp_path):
     assert len(rows) >= 2  # one metric row per non-empty micro-batch
     assert sum(int(r["n_rows"]) for r in rows) == 6
     assert sum(int(r["checksum"]) for r in rows) == 21
+
+
+def test_stream_dedup_near_equals_batch_lsh(spark, sf_dir):
+    """The incremental band-state pipeline must produce exactly the pairs
+    the certified batch MinHash+LSH operator produces — the streaming
+    arrival order and micro-batch boundaries may not change the answer."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.dedup import minhash_lsh_pairs
+    from dask_hivemetastore_spark.streaming.pipeline import stream_dedup_near_docs
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in stream_dedup_near_docs(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == want and len(got) == 25
+
+
+def test_band_collision_state_emits_new_vs_resident_only(spark):
+    """Unit-level: a second micro-batch hitting a bucket with resident
+    members emits only new-vs-(resident+earlier-new) pairs, never
+    old-vs-old again."""
+    import pandas as pd
+
+    from dask_hivemetastore_spark.streaming.pipeline import _band_collisions
+
+    class FakeState:
+        def __init__(self, ids=None):
+            self.exists = ids is not None
+            self.get = (ids,) if ids is not None else None
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+    st = FakeState([3, 7])
+    out = list(
+        _band_collisions(
+            (0, 0), [pd.DataFrame({"doc_id": [9, 3, 11]})], st
+        )
+    )
+    pairs = {tuple(r) for r in out[0].itertuples(index=False)}
+    # 3 is already resident -> no pairs re-emitted for it
+    assert pairs == {(3, 9), (7, 9), (3, 11), (7, 11), (9, 11)}
+    assert st.updated == ([3, 7, 9, 11],)
