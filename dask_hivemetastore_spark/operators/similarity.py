@@ -634,6 +634,13 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
     column is read for 50 rows, not the corpus). Recall loss is confined
     to true neighbors the ADC screen misses; the recall test pins the
     floor on the fixtures.
+
+    ``shortlist`` must SCALE WITH THE CORPUS (≈1% of N), not stay a
+    constant: measured on 50 k isotropic random vectors (the adversarial
+    near-equidistant case for any ANN), recall@10 is 0.46 at shortlist 50
+    but 0.94 at 500 (1%) and 1.00 at 2000 — the curve is in
+    ``scripts/stress_knn.py`` / PERF.md. Real embedding corpora cluster,
+    which only helps.
     """
     books = pq_train_codebooks(emb, m=m, ksub=ksub, id_col=id_col,
                                vec_col=vec_col)
