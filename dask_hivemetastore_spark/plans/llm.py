@@ -907,40 +907,44 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_group_centroid",
     oracle="""
-    WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+    WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim_i,
                       unnest(embedding) AS v
                FROM embeddings),
-    m AS (SELECT label, i, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mv
+    m AS (SELECT label, dim_i, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_v
           FROM e GROUP BY 1, 2),
-    c AS (SELECT label, list(mv ORDER BY i) AS centroid FROM m GROUP BY 1),
     n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1)
-    SELECT c.label, n.n_vecs, c.centroid FROM c JOIN n USING (label)
+    SELECT m.label, n.n_vecs, CAST(m.dim_i AS INTEGER) AS dim_i, m.mean_v
+    FROM m JOIN n USING (label)
     """,
 )
 def embedding_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding centroid (class prototypes / cluster means):
-    dimension-wise mean over an array column per group.
+    dimension-wise mean over an array column per group, emitted as one
+    row per (label, dimension) — scalar columns only.
 
-    The scalable shape is posexplode → groupBy(label, dim) → avg →
-    re-assemble sorted: the shuffle carries scalars (label, dim, value),
-    never whole vectors, and the per-dimension aggregate is partial+final
-    like any hash agg. The alternative — collect_list of vectors then a
-    driver/UDF fold — shuffles full vectors to one place per group and
-    caps at executor memory. Means are ROUNDed on both sides
-    (accumulation-order drift)."""
+    The scalable shape is posexplode → groupBy(label, dim) → avg: the
+    shuffle carries scalars (label, dim, value), never whole vectors, and
+    the per-dimension aggregate is partial+final like any hash agg. The
+    alternative — collect_list of vectors then a driver/UDF fold —
+    shuffles full vectors to one place per group and caps at executor
+    memory. Means are ROUNDed on both sides (accumulation-order drift).
+
+    Output discipline (r7): NO top-level array column. The driver's
+    canonicalizer sorts raw result columns and cannot sort list cells
+    (r6's only red row); exploded scalar rows certify cleanly and the
+    caller can pivot back to a vector with collect_list if needed."""
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim_i", "v"
+        ),
     )
-    m = ex.groupBy("label", "i").agg(F.round(F.avg("v"), 6).alias("mv"))
-    c = (
-        m.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mv"))).alias("s"))
-        .select("label", F.expr("transform(s, x -> x.mv)").alias("centroid"))
+    m = ex.groupBy("label", "dim_i").agg(
+        F.round(F.avg("v"), 6).alias("mean_v")
     )
     n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
-    return c.join(n, "label").select("label", "n_vecs", "centroid")
+    return m.join(n, "label").select("label", "n_vecs", "dim_i", "mean_v")
 
 
 # ------------------------------------------------- K7: corpus curation ops

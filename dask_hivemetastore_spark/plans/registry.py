@@ -14,6 +14,13 @@ Contract (driver's ``__spark_entry__`` protocol):
 Queries whose results are non-deterministic across engines by construction
 (approx sketches, LSH candidates) register with ``oracle=None`` → the driver
 records a weaker rows-only check.
+
+Output-shape discipline (r7, learned from ``embedding_group_centroid``):
+NO top-level array/map/struct column in a registered query's result. The
+driver's canonicalizer ``sort_values`` the raw result columns before
+hashing and cannot sort list cells (``TypeError: unhashable type: 'list'``
+— the only red driver row across r1–r6). Explode to one scalar row per
+element, or serialize with ``concat_ws`` on BOTH sides, before returning.
 """
 
 from __future__ import annotations

@@ -888,34 +888,67 @@ def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 6) -> str:
 
 
 _BAND_STATE = StructType(
-    [StructField("ids", __import__("pyspark").sql.types.ArrayType(LongType()))]
+    [
+        StructField("ids", __import__("pyspark").sql.types.ArrayType(LongType())),
+        StructField("overflow", LongType()),
+    ]
 )
 _PAIR_OUT = StructType(
     [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
 )
 
+#: Default per-(band, band_hash) membership cap. A bucket this large means
+#: >512 documents share one LSH band hash — a boilerplate/degenerate-text
+#: cluster whose pairwise expansion is the quadratic corner both the batch
+#: self-join and this streaming twin share. Past the cap we stop enrolling
+#: (bounding BOTH state size and emitted-pair count at C(cap, 2)) and count
+#: the dropped enrollments in the state's ``overflow`` field, which the
+#: state-store reader (I10) exposes for alerting. 512 is far above any
+#: fixture bucket (max ≈ planted-dup cluster size, single digits) so the
+#: certified answer is unaffected.
+BAND_BUCKET_CAP = 512
 
-def _band_collisions(key, pdf_iter, state: GroupState):
-    """Per-(band, band_hash) membership state: every newly arrived doc id
+
+def make_band_collisions(max_bucket_size: int = BAND_BUCKET_CAP):
+    """Build the keyed-state update function with a membership cap.
+
+    Per-(band, band_hash) membership state: every newly arrived doc id
     emits a candidate pair against each id already resident in the bucket
     (and earlier arrivals of the same batch), then joins the membership
     list. State size = bucket membership, the same bound the batch LSH
-    self-join has per bucket."""
-    members = list(state.get[0]) if state.exists else []
-    seen = set(members)
-    pairs: list[tuple[int, int]] = []
-    for pdf in pdf_iter:
-        for raw in pdf["doc_id"]:
-            nid = int(raw)
-            if nid in seen:
-                continue
-            for m in members:
-                pairs.append((m, nid) if m < nid else (nid, m))
-            members.append(nid)
-            seen.add(nid)
-    state.update((sorted(members),))
-    if pairs:
-        yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    self-join has per bucket — now hard-capped at ``max_bucket_size``:
+    arrivals past the cap are dropped (not enrolled, no pairs emitted)
+    and counted in the state's ``overflow`` field."""
+
+    def _update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            st = state.get
+            members = list(st[0])
+            overflow = int(st[1] or 0)
+        else:
+            members, overflow = [], 0
+        seen = set(members)
+        pairs: list[tuple[int, int]] = []
+        for pdf in pdf_iter:
+            for raw in pdf["doc_id"]:
+                nid = int(raw)
+                if nid in seen:
+                    continue
+                if len(members) >= max_bucket_size:
+                    overflow += 1
+                    continue
+                for m in members:
+                    pairs.append((m, nid) if m < nid else (nid, m))
+                members.append(nid)
+                seen.add(nid)
+        state.update((sorted(members), overflow))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    return _update
+
+
+_band_collisions = make_band_collisions()
 
 
 from ..plans.llm import _JACCARD_ORACLE  # noqa: E402  (loaded before this module)
@@ -943,8 +976,11 @@ def stream_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the band-bucket state shards across the cluster by the
     (band, band_hash) key under RocksDB exactly like any keyed state;
     per-bucket membership arrays are the same size the batch self-join's
-    buckets are, and a bucket-size cap (drop-or-alert on pathological
-    buckets) bounds the quadratic corner both paths share.
+    buckets are, and the ``BAND_BUCKET_CAP`` membership cap (drop + count
+    in the state's ``overflow`` field, readable via the I10 state-store
+    reader) bounds the quadratic corner both paths share — a pathological
+    boilerplate bucket emits at most C(cap, 2) pairs and holds at most
+    ``cap`` ids, ever.
 
     Full oracle: the update-mode pair log double-counts across band
     collisions, but the batch-side distinct + exact verification make the

@@ -351,9 +351,9 @@ def test_band_collision_state_emits_new_vs_resident_only(spark):
     from dask_hivemetastore_spark.streaming.pipeline import _band_collisions
 
     class FakeState:
-        def __init__(self, ids=None):
+        def __init__(self, ids=None, overflow=0):
             self.exists = ids is not None
-            self.get = (ids,) if ids is not None else None
+            self.get = (ids, overflow) if ids is not None else None
             self.updated = None
 
         def update(self, v):
@@ -368,4 +368,39 @@ def test_band_collision_state_emits_new_vs_resident_only(spark):
     pairs = {tuple(r) for r in out[0].itertuples(index=False)}
     # 3 is already resident -> no pairs re-emitted for it
     assert pairs == {(3, 9), (7, 9), (3, 11), (7, 11), (9, 11)}
-    assert st.updated == ([3, 7, 9, 11],)
+    assert st.updated == ([3, 7, 9, 11], 0)
+
+
+def test_band_bucket_cap_bounds_state_and_pairs(spark):
+    """Pathological hot bucket (every doc hashes to the same band bucket):
+    with a cap of 4, state membership never exceeds 4 ids, emitted pairs
+    never exceed C(4, 2) = 6 total, and every dropped enrollment is counted
+    in the state's overflow field — including drops spread across multiple
+    micro-batch arrivals."""
+    import pandas as pd
+
+    from dask_hivemetastore_spark.streaming.pipeline import make_band_collisions
+
+    fn = make_band_collisions(max_bucket_size=4)
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    st = FakeState()
+    # batch 1: 10 docs into one bucket — only the first 4 enroll
+    out1 = list(fn((0, 0), [pd.DataFrame({"doc_id": list(range(10))})], st))
+    pairs1 = {tuple(r) for r in out1[0].itertuples(index=False)}
+    assert st.get == ([0, 1, 2, 3], 6)
+    assert len(pairs1) == 6  # C(4,2): pairs among the enrolled only
+    assert all(a < 4 and b < 4 for a, b in pairs1)
+    # batch 2: 5 more arrivals, incl. a resident (no overflow for it) —
+    # bucket stays full, nothing new emits, overflow accumulates
+    out2 = list(fn((0, 0), [pd.DataFrame({"doc_id": [2, 20, 21, 22, 23]})], st))
+    assert out2 == []
+    assert st.get == ([0, 1, 2, 3], 10)
