@@ -111,6 +111,57 @@ def list_data_files(spark, path: str, suffix: str = ".parquet") -> list[tuple[st
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    path: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Persist ``df`` as a bucketed + per-bucket-sorted catalog table
+    (SURVEY §2-C C3's persisted half — the Spark twin of Dask's sorted
+    ``divisions`` / a Hive ``CLUSTERED BY ... SORTED BY ... INTO n
+    BUCKETS`` table).
+
+    Why this is the single biggest repeated-join lever at 100 TB: a fact
+    table joined on the same key every day pays a full shuffle of ALL its
+    bytes per run. Bucketing pays that shuffle ONCE at write time — each
+    file is pinned to ``murmur3(key) % buckets`` — and every subsequent
+    equi-join or aggregation on ``key`` against a co-bucketed table reads
+    matching buckets side by side with NO Exchange on either side (plan-
+    asserted in tests/test_plans.py). ``sortBy`` clusters each bucket on
+    the key — row-group min/max stats prune key predicates, and engines
+    honoring sorted-bucket metadata skip the merge sort entirely (Spark
+    itself gates that ordering behind the off-by-default legacy flag
+    ``spark.sql.legacy.bucketedTableScanOutputOrdering`` since 3.1, so
+    its SMJ keeps a cheap shuffle-free in-partition sort over the
+    already-clustered rows).
+
+    The ``repartition(buckets, key)`` before the write is load-bearing:
+    it uses the same murmur3 hash-partitioning as the bucket spec, so
+    each task holds exactly one bucket's rows → ONE file per bucket.
+    Without it every write task emits a sliver of every bucket
+    (tasks × buckets small files — the scan cost problem compaction
+    exists to fix, and the one-file-per-bucket shape sorted-scan-aware
+    readers require).
+
+    The table is registered with an explicit ``path`` (external), so the
+    data lands under the caller's scratch/lake directory rather than the
+    session warehouse; re-running overwrites both metadata and files.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.repartition(buckets, F.col(key))
+        .write.bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return spark.table(table)
+
+
 def compact_rewrite(
     spark,
     in_path: str,

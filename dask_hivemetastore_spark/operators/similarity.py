@@ -63,7 +63,8 @@ def knn_topk(emb: DataFrame, query_id: int, k: int = 10,
 
 def similar_pairs(emb: DataFrame, threshold: float,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  n_blocks: int = 8) -> DataFrame:
+                  n_blocks: int | None = None,
+                  target_block_bytes: int = 64 << 20) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup, K2-cosine).
 
     Fully distributed block×block tiling — NO driver-side materialization
@@ -89,17 +90,49 @@ def similar_pairs(emb: DataFrame, threshold: float,
        side broadcasts (small); the corpus is only ever scanned.
 
     Scale: work is O(B²) tiles of O((n/B)²) BLAS each; bytes shuffled are
-    O(n·B) (each block replicated once per partner tile). Choose
-    ``n_blocks`` so a block (~n/B vectors × dim × 8 bytes) fits a task —
-    e.g. 100k × 64-d ≈ 50 MB; at 10⁹ vectors, B ≈ 10⁴ tiles of tractable
-    BLAS. The screen is embarrassingly parallel across tiles.
+    O(n·B) (each block replicated once per partner tile). A block must fit
+    a task (~n/B vectors × dim × 8 bytes); with ``n_blocks=None``
+    (default) B is DERIVED from a one-pass count so each packed block row
+    targets ≤ ``target_block_bytes`` (64 MB — e.g. 10⁹ 64-d vectors →
+    B ≈ 8 000, tiles of ~125 k×125 k BLAS). A second cheap aggregate
+    checks the REALIZED block sizes — ``id % B`` skews when ids aren't
+    uniform (all-even ids halve the occupied blocks) — and raises a
+    ``RuntimeWarning`` when the largest block exceeds 2× the target
+    instead of letting a task silently OOM. (On a real lakehouse both
+    numbers would come from table stats rather than a scan.)
     """
+    import math
+    import warnings
+
     src = emb.select(id_col, vec_col)
     margin = 1e-9
+
+    if n_blocks is None:
+        stats = src.agg(
+            F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
+        ).first()
+        n_vec, dim = stats["n"] or 0, stats["d"] or 0
+        n_blocks = max(
+            1, math.ceil(n_vec * max(1, dim * 8) / target_block_bytes)
+        )
 
     blk = src.withColumn(
         "__blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
     )
+    sizes = blk.groupBy("__blk").agg(
+        F.count("*").alias("c"), F.max(F.size(vec_col)).alias("d")
+    ).agg(
+        F.max(F.col("c") * F.col("d") * 8).alias("max_bytes")
+    ).first()
+    max_bytes = sizes["max_bytes"] or 0
+    if max_bytes > 2 * target_block_bytes:
+        warnings.warn(
+            f"similar_pairs: largest packed block ≈ {max_bytes / 2**20:.0f}"
+            f" MB (> 2× the {target_block_bytes >> 20} MB target) — "
+            f"`{id_col} % {n_blocks}` is skewed for this id distribution; "
+            "raise n_blocks or remap ids to a uniform key",
+            RuntimeWarning,
+        )
     packed = blk.groupBy("__blk").agg(
         F.collect_list(
             F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))

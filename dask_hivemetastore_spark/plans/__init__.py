@@ -42,83 +42,88 @@ from .. import streaming  # noqa: F401,E402
 # r2–r4 certified the 50 family representatives listed in git history of
 # this file. Union after r4: 100 of 184 keys (see VERDICT.md r4); r5
 # rotated all 50 slots to never-certified keys → union 150 of 185.
-# Round 6 (this window) holds the FINAL 38 never-certified full-oracle
-# keys + the 7 queries new in r6 (policy #2) + re-certifications of the
-# keys whose implementation changed this round (NULL-safe hot-group
-# capping, ln(u)/w sampling rank, listener-accumulated observe metrics,
-# scratch-dir compaction, rangejoin refactor) — after this window the
-# r1–r6 union covers every full-oracle key in the registry and the
-# rotation program is COMPLETE: future rounds only need to window
-# new/changed keys.
+# Round 6 held the FINAL 38 never-certified full-oracle keys + the 7
+# queries new in r6 (policy #2) + re-certifications of keys whose
+# implementation changed that round — after r6 the r1–r6 union covers
+# every full-oracle key (195/196 green; embedding_group_centroid was
+# the one red row, a driver-canonicalizer array-column failure).
+# Round 7 (this window): the 8 new/changed keys below, then drift
+# re-certification of the oldest (r1) certifications per VERDICT r6 #7.
+# STANDING OUTPUT DISCIPLINE: no registered query may return a
+# top-level array/map/struct column — the driver's canonicalizer
+# sort_values over raw columns and cannot sort list cells (r6's only
+# red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- the final 38 never-certified full-oracle keys (r6 completes the
-    # --- registry sweep) ---
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q16_supplier_count",
-    "q20_volume_suppliers",
-    "agg_misc",
-    "array_set_ops",
-    "union_mismatched_schemas",
-    "posexplode_words",
-    "timestamp_parse_roundtrip",
-    "crosstab_status_segment",
-    "row_ids_unique",
-    "price_histogram",
-    "regression_price_qty",
-    "nations_per_region_csv",
-    "rollup_grouping_id",
-    "fuzzy_match_nations",
-    "null_safe_join",
-    "sample_k_per_group",
-    "sorted_layout_roundtrip",
-    "zorder_layout_roundtrip",
-    "mad_robust_outliers",
-    "cohort_retention_weekly",
-    "window_value_funcs",
-    "window_price_band",
-    "explode_words_top",
-    "dedup_exact_selfunion",
-    "quality_score_docs",
-    "token_count_docs",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "ngram_freq_top",
-    "doc_chunk_windows",
-    "multimodal_frame_sample",
+    # --- r7: new + changed-implementation keys (policy #2 and the
+    # --- re-cert rule). bucketed_join_agg is NEW (C3's persisted
+    # --- bucketBy half). embedding_group_centroid was r6's single red
+    # --- driver row — output re-shaped to exploded scalar rows (no
+    # --- top-level array column; the driver canonicalizer cannot sort
+    # --- list cells). stream_dedup_near_docs gained the band-bucket
+    # --- state cap. dedup_near_minhash / dedup_near_survivors /
+    # --- training_corpus_pipeline / stream_dedup_near_docs share the
+    # --- r7 JVM-xxhash64 MinHash signature stage (band hashes changed,
+    # --- so their LSH candidate sets must re-certify against the exact
+    # --- oracles). embedding_near_pairs / dedup_embedding_components
+    # --- run similar_pairs, which now auto-sizes n_blocks from a
+    # --- corpus scan. ---
+    "bucketed_join_agg",
     "embedding_group_centroid",
-    "repetition_score_docs",
-    "corpus_rebalance_sources",
-    "corpus_rebalance_temperature",
-    "interleave_sources_rr",
-    # --- NEW r6 queries — land in-window (policy #2) ---
-    "interval_overlap_longtail",
-    "range_join_longtail_points",
-    "compact_partition_scoped",
-    "quality_report_by_status",
-    "statestore_event_counts",
-    "embedding_quantize_roundtrip",
-    "dedup_incremental_batch",
-    "knn_join_batch",
-    "lm_quality_score_docs",
-    "stratified_sample_docs",
     "stream_dedup_near_docs",
-    # --- re-certification of keys whose implementation changed in r6:
-    # weighted_sample_docs (rank key moved to round(ln(u)/w, 12) — the
-    # selection expression itself changed) and stream_observe_metrics
-    # (listener accumulation replaced recentProgress summing). The other
-    # r6 implementation changes forfeit their re-cert slot to the three
-    # new queries above because a certified in-window key exercises the
-    # same changed code path: compact_partition_scoped covers layout.py's
-    # scratch-dir rework, interval_overlap_longtail +
-    # range_join_longtail_points cover the rangejoin refactor, and
-    # domain_cap_docs' NULL-safety fix doesn't alter fixture output
-    # (no NULL groups) — all remain green in the local parity suite, as
-    # does stream_observe_metrics (listener rework changes accumulation
-    # mechanics, not the certified totals), whose slot went to the new
-    # streaming near-dedup.
-    "weighted_sample_docs",
+    "dedup_near_minhash",
+    "dedup_near_survivors",
+    "training_corpus_pipeline",
+    "embedding_near_pairs",
+    "dedup_embedding_components",
+    # --- drift re-certification (VERDICT r6 #7): the rotation program
+    # --- completed in r6 — every full-oracle key is certified in the
+    # --- r1-r6 union — so remaining slots re-certify the OLDEST
+    # --- certifications: the r1 window's full-oracle keys, last
+    # --- driver-checked six rounds ago (its 3 rows-only keys stay
+    # --- outside per policy #4). ---
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_supplier",
+    "q6_revenue_delta",
+    "scan_project_filter",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q7_volume_shipping",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_global_sales_opportunity",
+    "case_when_bucketing",
+    "null_handling",
+    "filter_in_list",
+    "join_orders_customer",
+    "left_join_customer_orders",
+    "full_outer_nation_presence",
+    "semi_join_customers",
+    "anti_join_customers",
+    "cross_join_region_status",
+    "distinct_users",
+    "agg_var_std",
+    "quantile_value",
+    "agg_collect",
+    "value_counts_events",
+    "rollup_nation_region",
+    "cube_segment_status",
+    "corr_price_qty",
+    "union_all_events_split",
+    "union_distinct",
+    "except_returned_items",
+    "intersect_nations",
+    "string_funcs_docs",
+    "argmin_argmax_orders",
+    "join_indicator",
+    "csv_roundtrip_agg",
+    "salted_join_revenue",
+    "parquet_partitioned_roundtrip",
+    "pivot_status_by_segment",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

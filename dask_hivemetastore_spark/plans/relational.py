@@ -1822,6 +1822,58 @@ def sorted_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3's persisted half (SURVEY §2-C): orders and lineitem rewritten as
+    co-bucketed catalog tables (``bucketBy(8, key).sortBy(key)``), then
+    sort-merge-joined WITHOUT an Exchange on either side — the Spark twin
+    of Dask's persisted sorted ``divisions``.
+
+    At 100 TB this converts the daily fact-join's full-table shuffle into
+    a one-time write cost: each side's files are pinned to
+    ``murmur3(key) % 8``, so the join reads matching buckets directly
+    (``tests/test_plans.py::test_bucketed_join_no_exchange`` asserts
+    zero Exchange vs two Exchanges for the identical unbucketed join;
+    the residual per-bucket sort is shuffle-free and linear over
+    ``sortBy``-clustered rows). The ``merge`` hint pins SMJ so the demo exercises
+    the bucketed path even at sf0.01 where AQE would otherwise broadcast.
+    The oracle answers from the raw tables — the hash match certifies the
+    bucketed rewrite lost/duplicated nothing."""
+    import tempfile
+
+    from ..operators.layout import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    bo = write_bucketed(o, "bkt_orders", "o_orderkey", base + "/orders")
+    bl = write_bucketed(li, "bkt_lineitem", "l_orderkey", base + "/lineitem")
+    joined = bo.hint("merge").join(
+        bl, bo["o_orderkey"] == bl["l_orderkey"]
+    )
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@query(
     "xml_parse_orders",
     oracle="""
     SELECT o_orderpriority      AS priority,

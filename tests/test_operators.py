@@ -277,6 +277,36 @@ def test_similar_pairs_tiling_invariant(spark, sf_dir):
         assert tiled == base, f"n_blocks={nb} changed the result set"
 
 
+def test_similar_pairs_autosize_and_skew_warning(spark, sf_dir):
+    """n_blocks=None derives the block count from a corpus scan (tiny
+    corpus → 1 block, same pair set), and a lopsided id distribution —
+    every id ≡ 0 (mod n_blocks), so one block swallows the whole corpus —
+    raises the oversize RuntimeWarning instead of silently packing a
+    task-OOM-sized row."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import similar_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {(r.id_a, r.id_b) for r in similar_pairs(emb, 0.45, n_blocks=1).collect()}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        auto = {(r.id_a, r.id_b) for r in similar_pairs(emb, 0.45).collect()}
+    assert auto == base
+    assert not [w for w in caught if "skewed" in str(w.message)]
+
+    lopsided = emb.select(
+        (F.col("vec_id") * 4).alias("vec_id"), "embedding"
+    )
+    with pytest.warns(RuntimeWarning, match="skewed"):
+        # 4 blocks, ids all ≡ 0 (mod 4) → one block holds everything;
+        # tiny target makes the 2× oversize cut trip at fixture scale
+        similar_pairs(lopsided, 0.45, n_blocks=4, target_block_bytes=256)
+
+
 def test_resize_stub_raises():
     """resize_image is an environment-gated stub with a clear contract."""
     from dask_hivemetastore_spark.operators.multimodal import resize_image

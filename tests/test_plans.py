@@ -484,3 +484,36 @@ def test_registry_plan_audit():
     assert report["flagged"] == {}
     assert report["unused_allow_entries"] == []
     assert report["checked"] > 180
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Persisted co-bucketed tables (bucketBy 8 + sortBy on the join key)
+    sort-merge-join with ZERO Exchange on either side — the bucket layout
+    satisfies SMJ's partitioning requirement — while the identical
+    unbucketed join pays two shuffles. This is C3's persisted-divisions
+    half: the one-time bucketed write amortizes every future join on the
+    key at 100 TB. (A per-bucket in-partition Sort remains: since Spark
+    3.1 the scan only exposes sortBy ordering under the legacy flag
+    ``spark.sql.legacy.bucketedTableScanOutputOrdering``; that sort is
+    linear, shuffle-free, and cheap over already-clustered data — the
+    Exchange is the cost that matters at scale.)"""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.layout import write_bucketed
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="bkt_plan_")
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_extendedprice")
+    bo = write_bucketed(o, "bkt_plan_orders", "o_orderkey", base + "/o")
+    bl = write_bucketed(li, "bkt_plan_lineitem", "l_orderkey", base + "/l")
+
+    bucketed = bo.hint("merge").join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+    plan = _explain(bucketed, "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+
+    unbucketed = o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+    control = _explain(unbucketed, "simple")
+    assert control.count("Exchange") >= 2, control
