@@ -101,7 +101,7 @@ def ngram_jaccard_pairs(
     frequency-ordered PREFIX FILTERING (the AllPairs/PPJoin bound).
 
     Any pair with J(A,B) >= t shares at least ``α = ⌈t·|A|⌉`` grams, so
-    under one global total order (df ascending, gram as tiebreak) the
+    under one global total order (df ascending, gram hash as tiebreak) the
     smallest shared gram must sit inside each side's first
     ``|A| − α + 1`` grams — joining only those prefix postings is LOSSLESS
     for the threshold query while shrinking the inverted index ~(1−t)×
@@ -136,22 +136,33 @@ def ngram_jaccard_pairs(
         F.col("grams").alias("__g"),
         F.size("grams").alias("__n"),
     )
+    # The inverted index, df counts, prefix windows, and candidate
+    # self-join all key on the gram — carry it as an 8-byte xxhash64 int
+    # instead of the ~3-word string (r7): every shuffle in the candidate
+    # path shrinks ~3-4×, and int grouping/joining beats string. LOSSLESS
+    # for the threshold query: a hash collision can only MERGE postings,
+    # which adds candidate pairs; verification runs on the FULL STRING
+    # gram sets below, so a false candidate (P ≈ pairs/2⁶⁴) is rejected
+    # exactly and a real pair can never be lost (its shared gram's hash
+    # is still shared). The frequency ordering heuristic is equally
+    # unaffected: prefix LENGTH never depends on frequencies.
     inv = grams.select(
-        F.col(id_col), F.size("grams").alias("__n"), F.explode("grams").alias("gram")
+        F.col(id_col), F.size("grams").alias("__n"),
+        F.explode(F.expr("transform(grams, g -> xxhash64(g))")).alias("gh"),
     )
     if prune_df is not None:
-        hot = inv.groupBy("gram").count().where(F.col("count") > prune_df).select("gram")
-        inv = inv.join(hot, "gram", "left_anti")
-    gram_freq = inv.groupBy("gram").agg(F.count("*").alias("__df"))
+        hot = inv.groupBy("gh").count().where(F.col("count") > prune_df).select("gh")
+        inv = inv.join(hot, "gh", "left_anti")
+    gram_freq = inv.groupBy("gh").agg(F.count("*").alias("__df"))
     # α underestimated by an epsilon so FP error can never SHORTEN the
     # prefix (losing recall); a one-longer prefix only adds candidates.
     alpha = F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
-    order = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("gram"))
+    order = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("gh"))
     prefix = (
-        inv.join(gram_freq, "gram")
+        inv.join(gram_freq, "gh")
         .withColumn("__rn", F.row_number().over(order))
         .where(F.col("__rn") <= F.col("__n") - alpha + 1)
-        .select(id_col, "__n", "gram")
+        .select(id_col, "__n", "gh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     length_ok = F.least(F.col("a.__n"), F.col("b.__n")) >= (
@@ -160,7 +171,7 @@ def ngram_jaccard_pairs(
     cands = (
         a.join(
             b,
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.gh") == F.col("b.gh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & length_ok,
         )
@@ -193,17 +204,6 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     a = rng.integers(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
     return a, b
-
-
-def _gram_hashes(grams: list[str]) -> np.ndarray:
-    import hashlib
-
-    return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-         for g in grams),
-        dtype=np.uint64,
-        count=len(grams),
-    )
 
 
 def minhash_band_buckets(
@@ -336,23 +336,52 @@ def simhash_pairs(
 
     Registered rows-only — simhash similarity is not SQL-expressible for the
     oracle. At scale the band trick bounds the self-join exactly like LSH.
+
+    Word hashing happens in the JVM (``xxhash64`` in a ``transform``
+    lambda) like the MinHash path (r7); the Python stage is pure numpy —
+    one ``add.reduceat`` of the ±1 bit matrix per 16-bit chunk across all
+    docs in the Arrow batch, no per-doc Python loop. The signed-long
+    storage convention (``uint64 sign-bit flip``) matches the banding and
+    hamming expressions, which shift/XOR consistently either way.
     """
+    hashed = df.select(
+        id_col,
+        F.expr(
+            f"transform(split({text_col}, ' '), w -> xxhash64(w))"
+        ).alias("__wh"),
+    )
 
     def sim_batches(batches):
         shifts = np.arange(bits, dtype=np.uint64)
         powers = np.uint64(1) << shifts
         for pdf in batches:
-            out = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                h = _gram_hashes(str(text).split(" "))
-                # (n_words, bits) ±1 matrix summed per bit position
-                bm = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-                acc = (2 * bm - 1).sum(axis=0)
-                sh = int(powers[acc > 0].sum())
-                out.append((did, sh - (1 << 63)))  # store as signed long
-            yield pd.DataFrame(out, columns=[id_col, "simhash"])
+            ndocs = len(pdf)
+            if ndocs == 0:
+                continue
+            lists = [np.asarray(g, dtype=np.int64) for g in pdf["__wh"]]
+            lens = np.fromiter((len(g) for g in lists), dtype=np.int64,
+                               count=ndocs)
+            flat = np.concatenate(lists).view(np.uint64)
+            offsets = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # per-doc ±1 sums per bit position, 16 bit-columns at a time
+            # to bound the (total_words × chunk) int64 intermediate
+            acc = np.empty((ndocs, bits), dtype=np.int64)
+            for b0 in range(0, bits, 16):
+                b1 = min(b0 + 16, bits)
+                bm = ((flat[:, None] >> shifts[None, b0:b1])
+                      & np.uint64(1)).astype(np.int64)
+                acc[:, b0:b1] = np.add.reduceat(2 * bm - 1, offsets, axis=0)
+            sh = ((acc > 0).astype(np.uint64) * powers[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                # flip the sign bit == subtract 2^63: store as signed long
+                "simhash": (sh ^ np.uint64(1 << 63)).view(np.int64),
+            })
 
-    sigs = df.select(id_col, text_col).mapInPandas(sim_batches, f"{id_col} long, simhash long")
+    sigs = hashed.mapInPandas(sim_batches, f"{id_col} long, simhash long")
     banded = sigs.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -466,18 +495,23 @@ def ngram_jaccard_probe(probe: DataFrame, corpus: DataFrame,
     gc = with_word_ngrams(corpus.select(id_col, text_col), text_col, n).localCheckpoint(
         eager=False
     )
+    # Postings carry xxhash64(gram) ints, not gram strings — same
+    # lossless-superset argument as ngram_jaccard_pairs (collisions only
+    # add candidates; exact verification below runs on string gram sets).
+    # For the persisted-index production shape this also makes the
+    # artifact ~3-4× smaller on disk and in every probe shuffle.
     inv_c = gc.select(
         F.col(id_col).alias("__cid"),
         F.size("grams").alias("__nb"),
-        F.explode("grams").alias("gram"),
+        F.explode(F.expr("transform(grams, g -> xxhash64(g))")).alias("gh"),
     )
-    df_tbl = inv_c.groupBy("gram").agg(F.count("*").alias("__df"))
+    df_tbl = inv_c.groupBy("gh").agg(F.count("*").alias("__df"))
     inv_p = gp.select(
         F.col(id_col).alias("__pid"),
         F.size("grams").alias("__na"),
-        F.explode("grams").alias("gram"),
-    ).join(df_tbl, "gram", "left").na.fill({"__df": 0})
-    w = Window.partitionBy("__pid").orderBy(F.asc("__df"), F.asc("gram"))
+        F.explode(F.expr("transform(grams, g -> xxhash64(g))")).alias("gh"),
+    ).join(df_tbl, "gh", "left").na.fill({"__df": 0})
+    w = Window.partitionBy("__pid").orderBy(F.asc("__df"), F.asc("gh"))
     # the 1e-9 epsilons mirror ngram_jaccard_pairs' alpha guard: FP error in
     # threshold·|A| (0.9·10 evaluates to 9.000000000000002) must never
     # SHORTEN the prefix or TIGHTEN the length filter — either would drop
@@ -487,10 +521,10 @@ def ngram_jaccard_probe(probe: DataFrame, corpus: DataFrame,
     prefix = (
         inv_p.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= F.col("__na") - alpha + 1)
-        .select("__pid", "__na", "gram")
+        .select("__pid", "__na", "gh")
     )
     cand = (
-        prefix.join(inv_c, "gram")
+        prefix.join(inv_c, "gh")
         .where(
             (F.col("__nb") >= F.ceil(threshold * F.col("__na") - F.lit(1e-9)))
             & (F.col("__nb")

@@ -76,6 +76,13 @@ _CERTIFICATION_PRIORITY = [
     "training_corpus_pipeline",
     "embedding_near_pairs",
     "dedup_embedding_components",
+    # --- r7 (late additions): the exact prefix-filter path now carries
+    # --- xxhash64(gram) ints through its inverted-index/candidate
+    # --- shuffles (strings only in the verify stage) — re-certify its
+    # --- three full-oracle consumers. ---
+    "dedup_near",
+    "dedup_incremental_batch",
+    "split_leakage_audit",
     # --- drift re-certification (VERDICT r6 #7): the rotation program
     # --- completed in r6 — every full-oracle key is certified in the
     # --- r1-r6 union — so remaining slots re-certify the OLDEST
@@ -122,8 +129,6 @@ _CERTIFICATION_PRIORITY = [
     "join_indicator",
     "csv_roundtrip_agg",
     "salted_join_revenue",
-    "parquet_partitioned_roundtrip",
-    "pivot_status_by_segment",
 ]
 
 # The r5 window (see git history of this file) was fully certified in
