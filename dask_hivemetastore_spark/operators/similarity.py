@@ -107,24 +107,30 @@ def similar_pairs(emb: DataFrame, threshold: float,
     src = emb.select(id_col, vec_col)
     margin = 1e-9
 
+    total_bytes = None
     if n_blocks is None:
         stats = src.agg(
             F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
         ).first()
         n_vec, dim = stats["n"] or 0, stats["d"] or 0
-        n_blocks = max(
-            1, math.ceil(n_vec * max(1, dim * 8) / target_block_bytes)
-        )
+        total_bytes = n_vec * max(1, dim * 8)
+        n_blocks = max(1, math.ceil(total_bytes / target_block_bytes))
 
     blk = src.withColumn(
         "__blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
     )
-    sizes = blk.groupBy("__blk").agg(
-        F.count("*").alias("c"), F.max(F.size(vec_col)).alias("d")
-    ).agg(
-        F.max(F.col("c") * F.col("d") * 8).alias("max_bytes")
-    ).first()
-    max_bytes = sizes["max_bytes"] or 0
+    if total_bytes is not None and total_bytes <= 2 * target_block_bytes:
+        # the WHOLE corpus fits the 2× oversize cut, so no single block
+        # can trip it — skip the realized-size check's extra aggregate
+        # (the common small-corpus auto path stays at one metadata job)
+        max_bytes = 0
+    else:
+        sizes = blk.groupBy("__blk").agg(
+            F.count("*").alias("c"), F.max(F.size(vec_col)).alias("d")
+        ).agg(
+            F.max(F.col("c") * F.col("d") * 8).alias("max_bytes")
+        ).first()
+        max_bytes = sizes["max_bytes"] or 0
     if max_bytes > 2 * target_block_bytes:
         warnings.warn(
             f"similar_pairs: largest packed block ≈ {max_bytes / 2**20:.0f}"

@@ -55,6 +55,14 @@ def main() -> None:
     with open(os.path.join(ROOT, "PERF.md")) as f:
         lines = f.readlines()
     head_idx = next(i for i, l in enumerate(lines) if l.startswith("| query |"))
+    # preserve any prose AFTER the table too (r7: the regeneration used to
+    # truncate at the header and silently dropped trailing spot-check
+    # sections) — the table ends at the first non-`|` line after it
+    tail_idx = head_idx
+    while tail_idx < len(lines) and (
+        lines[tail_idx].startswith("|") or not lines[tail_idx].strip()
+    ):
+        tail_idx += 1
     out = lines[:head_idx]
     out.append(f"| query | {cur_label} s | {prev_label} s | Δ |\n")
     out.append("|---|---:|---:|---:|\n")
@@ -66,6 +74,9 @@ def main() -> None:
             )
         else:
             out.append(f"| {k} | {cur[k]:.2f} | — | new |\n")
+    if tail_idx < len(lines):
+        out.append("\n")
+        out.extend(lines[tail_idx:])
     with open(os.path.join(ROOT, "PERF.md"), "w") as f:
         f.writelines(out)
     print(f"wrote {len(cur)} rows vs {os.path.basename(prev_path)} "
