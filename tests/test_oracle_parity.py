@@ -33,3 +33,26 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert len(df.columns) == 10
+
+
+def test_certification_window_integrity():
+    """The driver certifies the FIRST 50 registry keys; a typo'd key name
+    in _CERTIFICATION_PRIORITY would silently waste a certification slot
+    (the reorder skips unknown names), and a rows-only key in the window
+    wastes one on a weaker check (policy #4). Pin both, plus the
+    array-free output discipline the r6 red row established: no
+    top-level array/map/struct columns in any registered query's schema
+    can be checked only at runtime, but the priority list itself must be
+    real keys, all full-oracle, no duplicates."""
+    from dask_hivemetastore_spark.plans import (
+        ORACLES,
+        QUERIES,
+        _CERTIFICATION_PRIORITY,
+    )
+
+    unknown = [k for k in _CERTIFICATION_PRIORITY if k not in QUERIES]
+    assert not unknown, f"priority list names unregistered keys: {unknown}"
+    assert len(set(_CERTIFICATION_PRIORITY)) == len(_CERTIFICATION_PRIORITY)
+    window = list(QUERIES)[:50]
+    rows_only = [k for k in window if k not in ORACLES]
+    assert not rows_only, f"rows-only keys waste driver slots: {rows_only}"
