@@ -683,3 +683,37 @@ def test_pq_encoding_is_deterministic_and_bounded(spark, sf_dir):
     again = pq_encode(emb, b2).orderBy("vec_id").limit(20).collect()
     assert [r.pq_code for r in rows] == [r.pq_code for r in again]
     assert all(0 <= c < 16 for r in rows for c in r.pq_code)
+
+
+def test_signature_stages_partitioning_invariant(spark, sf_dir):
+    """The r7 vectorized signature stages (minimum/add.reduceat over
+    whole Arrow batches with per-doc offsets) must produce per-doc
+    results that do not depend on how docs are batched into partitions —
+    an offsets bug would corrupt exactly the docs at batch boundaries.
+    Pin band buckets and simhash values identical across two very
+    different partitionings."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.dedup import (
+        minhash_band_buckets,
+        simhash_pairs,
+        with_word_ngrams,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def bucket_set(df):
+        grams = with_word_ngrams(df, "text", 3)
+        return {
+            (r.doc_id, r.band, r.band_hash)
+            for r in minhash_band_buckets(grams, "doc_id").collect()
+        }
+
+    assert bucket_set(docs.repartition(1)) == bucket_set(docs.repartition(13))
+
+    def pair_set(df):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in simhash_pairs(df, "doc_id", "text").collect()
+        }
+
+    assert pair_set(docs.repartition(1)) == pair_set(docs.repartition(13))
