@@ -232,9 +232,15 @@ def minhash_band_buckets(
     rows = num_perm // bands
     a_par, b_par = _minhash_params(num_perm)
     mix = np.uint64(0x9E3779B97F4A7C15)
+    # NULL/empty gram arrays are excluded here, not just assumed away:
+    # ``with_word_ngrams`` never emits them, but this is a documented
+    # public entry point, and an empty segment would make the reduceat
+    # below silently adopt the NEXT doc's first hash (or raise at
+    # batch end) — a signature that LOOKS valid. No signature is the
+    # only correct answer for a gram-less doc.
     hashed = grams.select(
         id_col, F.expr("transform(grams, g -> xxhash64(g))").alias("__gh")
-    )
+    ).where(F.size("__gh") > 0)
 
     def sig_batches(batches):
         for pdf in batches:
@@ -344,10 +350,14 @@ def simhash_pairs(
     storage convention (``uint64 sign-bit flip``) matches the banding and
     hamming expressions, which shift/XOR consistently either way.
     """
+    # coalesce(NULL text → '') keeps the pre-r7 tolerance for null/odd
+    # rows (split('') yields one empty word, so every doc still gets a
+    # fingerprint and the numpy stage never sees a NULL array)
     hashed = df.select(
         id_col,
         F.expr(
-            f"transform(split({text_col}, ' '), w -> xxhash64(w))"
+            f"transform(split(coalesce({text_col}, '') , ' '),"
+            " w -> xxhash64(w))"
         ).alias("__wh"),
     )
 

@@ -94,12 +94,15 @@ def similar_pairs(emb: DataFrame, threshold: float,
     a task (~n/B vectors × dim × 8 bytes); with ``n_blocks=None``
     (default) B is DERIVED from a one-pass count so each packed block row
     targets ≤ ``target_block_bytes`` (64 MB — e.g. 10⁹ 64-d vectors →
-    B ≈ 8 000, tiles of ~125 k×125 k BLAS). A second cheap aggregate
+    B ≈ 8 000, tiles of ~125 k×125 k BLAS), and a second cheap aggregate
     checks the REALIZED block sizes — ``id % B`` skews when ids aren't
-    uniform (all-even ids halve the occupied blocks) — and raises a
+    uniform (all-even ids halve the occupied blocks) — raising a
     ``RuntimeWarning`` when the largest block exceeds 2× the target
     instead of letting a task silently OOM. (On a real lakehouse both
-    numbers would come from table stats rather than a scan.)
+    numbers would come from table stats rather than a scan.) Passing an
+    EXPLICIT ``n_blocks`` keeps the function fully lazy — no jobs at
+    plan-construction time — and skips both checks: manual sizing means
+    the caller owns the skew risk.
     """
     import math
     import warnings
@@ -107,7 +110,10 @@ def similar_pairs(emb: DataFrame, threshold: float,
     src = emb.select(id_col, vec_col)
     margin = 1e-9
 
-    total_bytes = None
+    # Eager sizing/skew work happens ONLY on the auto path (n_blocks
+    # None): an explicit n_blocks means the caller has taken manual
+    # control of block sizing, and the function keeps its original
+    # fully-lazy contract — constructing the plan runs no jobs.
     if n_blocks is None:
         stats = src.agg(
             F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
@@ -115,30 +121,34 @@ def similar_pairs(emb: DataFrame, threshold: float,
         n_vec, dim = stats["n"] or 0, stats["d"] or 0
         total_bytes = n_vec * max(1, dim * 8)
         n_blocks = max(1, math.ceil(total_bytes / target_block_bytes))
+        if total_bytes > 2 * target_block_bytes:
+            # corpora small enough that the WHOLE corpus fits the 2×
+            # oversize cut can't trip it — skip the second aggregate on
+            # the common small-corpus path
+            blk_probe = src.select(
+                F.pmod(F.col(id_col), F.lit(n_blocks)).alias("__blk"),
+                F.size(vec_col).alias("__d"),
+            )
+            sizes = blk_probe.groupBy("__blk").agg(
+                F.count("*").alias("c"), F.max("__d").alias("d")
+            ).agg(
+                F.max(F.col("c") * F.col("d") * 8).alias("max_bytes")
+            ).first()
+            max_bytes = sizes["max_bytes"] or 0
+            if max_bytes > 2 * target_block_bytes:
+                warnings.warn(
+                    f"similar_pairs: largest packed block ≈ "
+                    f"{max_bytes / 2**20:.0f} MB (> 2× the "
+                    f"{target_block_bytes >> 20} MB target) — "
+                    f"`{id_col} % {n_blocks}` is skewed for this id "
+                    "distribution; raise n_blocks or remap ids to a "
+                    "uniform key",
+                    RuntimeWarning,
+                )
 
     blk = src.withColumn(
         "__blk", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int")
     )
-    if total_bytes is not None and total_bytes <= 2 * target_block_bytes:
-        # the WHOLE corpus fits the 2× oversize cut, so no single block
-        # can trip it — skip the realized-size check's extra aggregate
-        # (the common small-corpus auto path stays at one metadata job)
-        max_bytes = 0
-    else:
-        sizes = blk.groupBy("__blk").agg(
-            F.count("*").alias("c"), F.max(F.size(vec_col)).alias("d")
-        ).agg(
-            F.max(F.col("c") * F.col("d") * 8).alias("max_bytes")
-        ).first()
-        max_bytes = sizes["max_bytes"] or 0
-    if max_bytes > 2 * target_block_bytes:
-        warnings.warn(
-            f"similar_pairs: largest packed block ≈ {max_bytes / 2**20:.0f}"
-            f" MB (> 2× the {target_block_bytes >> 20} MB target) — "
-            f"`{id_col} % {n_blocks}` is skewed for this id distribution; "
-            "raise n_blocks or remap ids to a uniform key",
-            RuntimeWarning,
-        )
     packed = blk.groupBy("__blk").agg(
         F.collect_list(
             F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))

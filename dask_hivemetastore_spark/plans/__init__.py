@@ -128,7 +128,6 @@ _CERTIFICATION_PRIORITY = [
     "argmin_argmax_orders",
     "join_indicator",
     "csv_roundtrip_agg",
-    "salted_join_revenue",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -302,9 +302,17 @@ def test_similar_pairs_autosize_and_skew_warning(spark, sf_dir):
         (F.col("vec_id") * 4).alias("vec_id"), "embedding"
     )
     with pytest.warns(RuntimeWarning, match="skewed"):
-        # 4 blocks, ids all ≡ 0 (mod 4) → one block holds everything;
-        # tiny target makes the 2× oversize cut trip at fixture scale
-        similar_pairs(lopsided, 0.45, n_blocks=4, target_block_bytes=256)
+        # auto path with a tiny target: ids ≡ 0 (mod 4) occupy only every
+        # 4th derived block, so realized blocks run ~4× the target and
+        # the 2× oversize cut trips at fixture scale
+        similar_pairs(lopsided, 0.45, target_block_bytes=256)
+
+    # explicit n_blocks = caller-owned sizing: plan construction must be
+    # fully lazy — zero Spark jobs — even for the skewed distribution
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    similar_pairs(lopsided, 0.45, n_blocks=4)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "explicit-n_blocks path ran eager jobs"
 
 
 def test_resize_stub_raises():
@@ -717,3 +725,17 @@ def test_signature_stages_partitioning_invariant(spark, sf_dir):
         }
 
     assert pair_set(docs.repartition(1)) == pair_set(docs.repartition(13))
+
+
+def test_simhash_tolerates_null_text(spark):
+    """A NULL text row must not kill the job (r7 review: split(NULL)
+    yielded a NULL hash array and the numpy stage threw). The null doc
+    gets the empty-text fingerprint; real docs are unaffected."""
+    from dask_hivemetastore_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, None)],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs

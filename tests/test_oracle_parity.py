@@ -53,6 +53,11 @@ def test_certification_window_integrity():
     unknown = [k for k in _CERTIFICATION_PRIORITY if k not in QUERIES]
     assert not unknown, f"priority list names unregistered keys: {unknown}"
     assert len(set(_CERTIFICATION_PRIORITY)) == len(_CERTIFICATION_PRIORITY)
+    # a 51st entry would silently fall OUTSIDE the driver's first-50
+    # window and never certify (caught live in r7 review — the list had
+    # grown to 51 and salted_join_revenue was the silent casualty)
+    assert len(_CERTIFICATION_PRIORITY) == 50, len(_CERTIFICATION_PRIORITY)
     window = list(QUERIES)[:50]
+    assert set(window) == set(_CERTIFICATION_PRIORITY)
     rows_only = [k for k in window if k not in ORACLES]
     assert not rows_only, f"rows-only keys waste driver slots: {rows_only}"
