@@ -37,7 +37,8 @@ MERSENNE_P = (1 << 61) - 1
 
 
 def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
-                     out_col: str = "grams") -> DataFrame:
+                     out_col: str = "grams",
+                     nparts: int | None = None) -> DataFrame:
     """Attach the distinct word-``n``-gram set of ``text_col`` (JVM-side).
 
     Documents with fewer than ``n`` words are EXCLUDED — they cannot form an
@@ -55,10 +56,15 @@ def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
     cheaper, and the downstream inverted-index shuffle of exploded grams
     is ~n× larger anyway.
     """
-    nparts = max(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
-        df.rdd.getNumPartitions(),
-    )
+    if nparts is None:
+        # the df.rdd partition probe is illegal on a streaming frame —
+        # streaming callers pass nparts explicitly (one shared gram
+        # expression, not a copy that can drift; r7 review)
+        nparts = max(
+            int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200")),
+            df.rdd.getNumPartitions(),
+        )
     concat = ", ".join(f"__ws[i+{j}]" for j in range(n))
     return (
         df.withColumn("__ws", F.split(F.col(text_col), " "))

@@ -217,6 +217,8 @@ def lsh_bucket_ids(emb: DataFrame, dim: int = 64, bits: int = 12,
 
     def bucketize(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             vecs = np.stack(pdf[vec_col].to_numpy())
             signs = (vecs @ planes.T) > 0  # (n, bits)
             ids = (signs * (1 << np.arange(bits))).sum(axis=1)
@@ -270,6 +272,8 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             cells = (vecs @ C.T).argmax(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "cell": cells.astype(np.int64)})
@@ -279,8 +283,10 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
 
 # Centroids are a tiny model (n_cells × dim floats) that should be trained
 # once per corpus and reused by every query — retraining per call repeats a
-# full KMeans job for an identical result (seeded). Keyed by
-# (cache_key, n_cells, seed); callers pass a corpus identity (e.g. sf_dir).
+# full KMeans job for an identical result (seeded). Keyed by EVERY
+# parameter that changes the trained result (r7 review: a key missing
+# vec_col/max_train_rows returned stale centroids trained on the wrong
+# column); callers pass a corpus identity (e.g. sf_dir) as cache_key.
 _CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 
 
@@ -300,7 +306,10 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
     Centroids are L2-normalized so cell assignment and probe selection can
     both use dot products.
     """
-    key = (cache_key, n_cells, seed) if cache_key is not None else None
+    key = (
+        (cache_key, n_cells, seed, vec_col, max_train_rows)
+        if cache_key is not None else None
+    )
     if key is not None and key in _CENTROID_CACHE:
         return _CENTROID_CACHE[key]
 
@@ -343,6 +352,8 @@ def ivf_assign_full(emb: DataFrame, centroids: np.ndarray,
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             pdf = pdf.copy()
             pdf["cell"] = (vecs @ C.T).argmax(axis=1).astype(np.int32)
@@ -412,6 +423,12 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
 
     qrow = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        # match knn_topk's contract: unknown query id -> empty result,
+        # not a NoneType crash (r7 review)
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, label int, cosine double"
+        )
     qv = np.asarray(qrow[0], dtype=np.float64)
     probe_cells = [int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe]]
 
@@ -507,6 +524,13 @@ def knn_join(emb: DataFrame, query_ids: list, k: int = 5,
         .select(id_col, vec_col)
         .collect()  # bounded: len(query_ids) rows by construction
     )
+    if not qrows:
+        # fail fast and clearly — an empty query matrix would otherwise
+        # die deep in the executor GEMM with a shape error (r7 review)
+        raise ValueError(
+            f"knn_join: none of the {len(query_ids)} query_ids exist in "
+            f"the corpus ({id_col})"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # Q x d
     keep = int(k + overfetch)
@@ -562,10 +586,14 @@ def knn_join(emb: DataFrame, query_ids: list, k: int = 5,
 
 # --------------------------------------------- product quantization (PQ/ADC)
 
+_PQ_BOOKS_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def pq_train_codebooks(emb: DataFrame, m: int = 16, ksub: int = 32,
                        sample_n: int = 2048, iters: int = 25, seed: int = 42,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> np.ndarray:
+                       vec_col: str = "embedding",
+                       cache_key: str | None = None) -> np.ndarray:
     """Train product-quantization codebooks (Jégou et al. 2011): split the
     d-dim space into ``m`` contiguous subspaces of d/m dims and run a
     deterministic seeded Lloyd k-means (``ksub`` centroids, fixed ``iters``,
@@ -576,8 +604,17 @@ def pq_train_codebooks(emb: DataFrame, m: int = 16, ksub: int = 32,
     :func:`ivf_train_centroids` (codebooks are a model artifact, not data;
     at 100 TB you still train them on a few-thousand-row sample).
 
-    Returns a ``(m, ksub, d//m)`` f64 array.
+    Returns a ``(m, ksub, d//m)`` f64 array. With ``cache_key`` (a corpus
+    identity, e.g. sf_dir) the trained books are cached per full
+    parameter tuple across calls, like :func:`ivf_train_centroids` —
+    repeat queries pay only the ADC scan, never the k-means (r7 review).
     """
+    key = (
+        (cache_key, m, ksub, sample_n, iters, seed, id_col, vec_col)
+        if cache_key is not None else None
+    )
+    if key is not None and key in _PQ_BOOKS_CACHE:
+        return _PQ_BOOKS_CACHE[key]
     rows = (
         emb.orderBy(id_col).limit(int(sample_n)).select(vec_col).collect()
     )
@@ -601,6 +638,8 @@ def pq_train_codebooks(emb: DataFrame, m: int = 16, ksub: int = 32,
                     else sub[rng.integers(len(sub))]
                 )
         books[j] = cent
+    if key is not None:
+        _PQ_BOOKS_CACHE[key] = books
     return books
 
 
@@ -659,8 +698,12 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray, query_vec,
     lut = np.einsum(
         "mkd,md->mk", codebooks, q.reshape(m, dsub)
     )  # (m, ksub) dots
+    # float(v) before repr: numpy >= 2 renders repr(np.float64(x)) as
+    # "np.float64(x)", which would be invalid SQL (r7 review; the
+    # container's numpy 1.26 masked it)
     lut_sql = "array(" + ", ".join(
-        "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in lut
+        "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+        for row in lut
     ) + ")"
     score = F.expr(
         f"aggregate(sequence(1, {m}), 0D, (acc, i) -> acc + "
@@ -676,7 +719,8 @@ def pq_adc_topk(codes: DataFrame, codebooks: np.ndarray, query_vec,
 def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
                      shortlist: int = 50, m: int = 16, ksub: int = 32,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     label_col: str = "label") -> DataFrame:
+                     label_col: str = "label",
+                     cache_key: str | None = None) -> DataFrame:
     """The standard PQ serving shape: ADC over the code table shortlists
     ``shortlist`` candidates, then the exact JVM-fold dot re-scores only
     those against the raw vectors (a broadcast semi-join back — the float
@@ -692,14 +736,22 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
     which only helps.
     """
     books = pq_train_codebooks(emb, m=m, ksub=ksub, id_col=id_col,
-                               vec_col=vec_col)
+                               vec_col=vec_col, cache_key=cache_key)
     qrow = emb.where(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        return emb.sparkSession.createDataFrame(
+            [], f"{id_col} long, {label_col} int, cosine double"
+        )
     qv = np.asarray(qrow[0][0], dtype=np.float64)
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col,
                       label_col=label_col)
+    # k = shortlist + 1: the query's own row tops the ADC ranking and is
+    # filtered below — without the +1 it would silently consume one
+    # shortlist slot and deliver the recall of shortlist-1 (r7 review)
     short = pq_adc_topk(
-        codes, books, qv, k=shortlist, id_col=id_col, label_col=label_col
-    ).where(F.col(id_col) != query_id).select(id_col)
+        codes, books, qv, k=shortlist + 1, id_col=id_col,
+        label_col=label_col
+    ).where(F.col(id_col) != query_id).select(id_col).limit(shortlist)
     q = emb.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv")
     )

@@ -213,7 +213,9 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — the scan that still fits in memory at 100 TB.
     See :func:`..operators.similarity.pq_topk_reranked`."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.pq_topk_reranked(emb, query_id=0, k=10, shortlist=50)
+    return similarity.pq_topk_reranked(
+        emb, query_id=0, k=10, shortlist=50, cache_key=sf_dir
+    )
 
 
 @query("knn_lsh_topk")  # rows-only: ANN recall < 1 by construction

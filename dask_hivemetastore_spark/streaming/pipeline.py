@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -575,6 +576,11 @@ def stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            # previously unset: unset again, or the RocksDB override
+            # would silently leak into every later streaming query's
+            # checkpoint in this session (r7 review)
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 if _tws_available():  # pragma: no cover - protobuf absent in this container
@@ -889,7 +895,7 @@ def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 6) -> str:
 
 _BAND_STATE = StructType(
     [
-        StructField("ids", __import__("pyspark").sql.types.ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
         StructField("overflow", LongType()),
     ]
 )
@@ -998,23 +1004,14 @@ def stream_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
         .select("doc_id", "text")
     )
-    # streaming-safe grams: same expression as with_word_ngrams, but the
-    # partition-count probe (df.rdd) is illegal on a stream — use the conf
+    # the SAME gram expression the certified batch twin uses — shared via
+    # with_word_ngrams(nparts=...) because the df.rdd partition probe is
+    # illegal on a stream (a drifting copy here would silently break the
+    # streaming-equals-batch parity claim; r7 review)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    concat = ", ".join(f"__ws[i+{j}]" for j in range(3))
-    grams = (
-        docs_stream.withColumn("__ws", F.split(F.col("text"), " "))
-        .where(F.size("__ws") >= 3)
-        .repartition(nparts)
-        .withColumn(
-            "grams",
-            F.expr(
-                f"array_distinct(transform(sequence(0, size(__ws)-3), "
-                f"i -> concat_ws(' ', {concat})))"
-            ),
-        )
-        .drop("__ws", "text")
-    )
+    grams = with_word_ngrams(
+        docs_stream, "text", 3, nparts=nparts
+    ).drop("text")
     buckets = minhash_band_buckets(grams, "doc_id")
     pair_log = buckets.groupBy("band", "band_hash").applyInPandasWithState(
         _band_collisions,
