@@ -38,15 +38,24 @@ def asof_join(
     match farther back than the tolerance is nulled out (applied as a
     post-filter on the carried columns — the window pass is unchanged).
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    # The right row is carried as ONE struct, not per-column: a struct is
+    # non-null whenever a right row exists even if its inner values are
+    # NULL, so last(ignorenulls) attaches the single latest right ROW.
+    # Per-column carries would skip a NULL value column independently and
+    # stitch together values from DIFFERENT right rows — a row that never
+    # existed (r7 review; DuckDB ASOF / pandas merge_asof both attach the
+    # whole row).
+    r_struct_type = T.StructType(
+        [T.StructField("__ts", right.schema[ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[ts].dataType).alias(f"{right_prefix}{ts}"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         *[
@@ -54,8 +63,10 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side"),
-        F.col(ts).alias(f"{right_prefix}{ts}"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in value_cols],
+        F.struct(
+            F.col(ts).alias("__ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__r"),
     )
     # right rows sort BEFORE left rows on ts ties → inclusive (<=) semantics
     w = (
@@ -66,13 +77,19 @@ def asof_join(
     carried = l_tagged.unionByName(r_tagged).select(
         *lcols,
         F.col("__side"),
-        F.last(f"{right_prefix}{ts}", ignorenulls=True).over(w).alias(f"{right_prefix}{ts}"),
-        *[
-            F.last(f"{right_prefix}{c}", ignorenulls=True).over(w).alias(f"{right_prefix}{c}")
-            for c in value_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    out = carried.where(F.col("__side") == 1).drop("__side")
+    out = (
+        carried.where(F.col("__side") == 1)
+        .select(
+            *lcols,
+            F.col("__r.__ts").alias(f"{right_prefix}{ts}"),
+            *[
+                F.col(f"__r.{c}").alias(f"{right_prefix}{c}")
+                for c in value_cols
+            ],
+        )
+    )
     if tolerance_seconds is not None:
         delta_us = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
             F.col(f"{right_prefix}{ts}").cast("timestamp")

@@ -339,6 +339,23 @@ def semdedup_survivors(emb: DataFrame, threshold: float, n_cells: int = 16,
 
 # ---------------------------------------------------- deterministic splits
 
+def salted_draw(key_col: str, salt: str) -> F.Column:
+    """The salted md5 uniform draw shared by every deterministic sampler
+    here (weighted top-k, shuffle-shard ordering, stratified thresholds):
+    first 8 hex chars of ``md5(salt || key)`` as a bigint in [0, 2³²) —
+    one expression, one DuckDB mirror, instead of three copies that must
+    stay in lockstep (r7 review). Same engine-portability contract as
+    :func:`hash_bucket`; ``salt`` isolates independent draws over the
+    same key."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def hash_bucket(key_col: str, n_buckets: int = 100) -> F.Column:
     """Deterministic, engine-portable bucket in ``[0, n_buckets)`` from a
     key column: first 8 hex chars of ``md5(cast(key as string))`` read as an
@@ -398,13 +415,7 @@ def weighted_sample_topk(df: DataFrame, key_col: str, weight_col: str,
     no global sort, no shuffle of the corpus. Rows with weight ≤ 0 are
     excluded (their rank key is undefined).
     """
-    raw = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    raw = salted_draw(key_col, salt)
     u = (raw.cast("double") + 0.5) / F.lit(float(2 ** 32))
     rank_key = F.round(F.log(u) / F.col(weight_col), 12)
     return (
@@ -475,10 +486,11 @@ def rebalance_to_min(df: DataFrame, group_col: str, key_col: str,
         group_col,
         F.floor(F.col("__min_n") * precision / F.col("__n")).alias("__keep_lt"),
     )
+    thr = F.broadcast(thresholds.withColumnRenamed(group_col, "__grp"))
     return (
-        df.join(F.broadcast(thresholds), group_col)
+        df.join(thr, F.col(group_col).eqNullSafe(F.col("__grp")))
         .where(hash_bucket(key_col, precision) < F.col("__keep_lt"))
-        .drop("__keep_lt")
+        .drop("__grp", "__keep_lt")
     )
 
 
@@ -509,10 +521,11 @@ def rebalance_temperature(df: DataFrame, group_col: str, key_col: str,
     thresholds = counts.crossJoin(F.broadcast(floor_n)).select(
         group_col, F.floor(frac * precision).alias("__keep_lt")
     )
+    thr = F.broadcast(thresholds.withColumnRenamed(group_col, "__grp"))
     return (
-        df.join(F.broadcast(thresholds), group_col)
+        df.join(thr, F.col(group_col).eqNullSafe(F.col("__grp")))
         .where(hash_bucket(key_col, precision) < F.col("__keep_lt"))
-        .drop("__keep_lt")
+        .drop("__grp", "__keep_lt")
     )
 
 
@@ -545,8 +558,13 @@ def repeated_span_removal(df: DataFrame, id_col: str = "doc_id",
         int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
         df.rdd.getNumPartitions(),
     )
+    # coalesce(NULL text → '') keeps the one-row-per-doc return contract:
+    # split(NULL) is NULL and posexplode(NULL) emits ZERO rows, so a
+    # NULL-text doc used to vanish from the output entirely (r7 review);
+    # with '' it yields one empty span and survives as an empty text_clean
     ws = df.select(
-        id_col, F.split(F.col(text_col), " ").alias("__ws")
+        id_col,
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("__ws"),
     ).repartition(nparts)
     k = int(span_words)
     spans = ws.select(
@@ -626,15 +644,7 @@ def shuffle_shards(df: DataFrame, key_col: str, n_shards: int = 16,
 
     Returns (key_col, shard, pos).
     """
-    order_draw = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-    )
+    order_draw = salted_draw(key_col, salt)
     base = df.select(
         key_col,
         hash_bucket(key_col, n_shards).alias("shard"),
@@ -703,15 +713,7 @@ def stratified_sample(df: DataFrame, group_col: str, key_col: str,
     threshold is an exact integer compare, immune to float-boundary
     drift between engines.
     """
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint") % precision
-    )
+    draw = salted_draw(key_col, salt) % precision
     for g, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {g!r} must be in [0, 1], got {frac}")

@@ -163,20 +163,24 @@ def pii_redact(df: DataFrame, text_col: str = "text",
 
     Pure chained ``regexp_replace`` — per-row JVM projection inside
     whole-stage codegen, no shuffle, no Python, so it streams at scan speed
-    over any corpus size. Counts use ``regexp_count`` on the original text
-    so downstream auditing can aggregate redaction volume per source.
+    over any corpus size. Each rule's hit count is taken on the text with
+    every EARLIER rule already masked — the same progression the
+    replacement chain applies — so the counts agree with what was actually
+    redacted (r7 review: counting SSNs on unmasked text over-reported when
+    an SSN-shaped substring sat inside an email address that the email
+    rule had already swallowed).
     """
     redacted = F.col(text_col)
-    for pat, tok in PII_RULES:
+    masked_so_far = F.col(text_col)
+    counts = {}
+    for (pat, tok), name in zip(PII_RULES, ("n_email", "n_ssn", "n_phone")):
+        counts[name] = F.regexp_count(masked_so_far, F.lit(pat))
+        masked_so_far = F.regexp_replace(masked_so_far, pat, tok)
         redacted = F.regexp_replace(redacted, pat, tok)
     return (
-        df.withColumn("n_email", F.regexp_count(F.col(text_col), F.lit(PII_RULES[0][0])))
-        .withColumn("n_ssn", F.regexp_count(F.col(text_col), F.lit(PII_RULES[1][0])))
-        .withColumn("n_phone", F.regexp_count(
-            # count phones on the SSN-masked text so SSN tails aren't double-counted
-            F.regexp_replace(F.col(text_col), PII_RULES[1][0], PII_RULES[1][1]),
-            F.lit(PII_RULES[2][0]),
-        ))
+        df.withColumn("n_email", counts["n_email"])
+        .withColumn("n_ssn", counts["n_ssn"])
+        .withColumn("n_phone", counts["n_phone"])
         .withColumn(out_col, redacted)
     )
 
@@ -186,7 +190,13 @@ def pii_redact(df: DataFrame, text_col: str = "text",
 def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
                 out_col: str = "bm25") -> DataFrame:
-    """Okapi BM25 relevance of every document to a bag of query ``terms``.
+    """Okapi BM25 relevance to a bag of query ``terms`` — rows are emitted
+    ONLY for documents containing at least one query term; absent docs
+    score exactly 0 by the BM25 formula (tf = 0 for every term), so
+    callers wanting a dense ranking left-join this back and
+    ``coalesce(bm25, 0)``. Emitting the zero rows here would shuffle a
+    corpus-sized result for no information (r7 review: the docstring used
+    to promise "every document", which this sparse contract is not).
 
     Plan, scale-first:
     - term frequencies come from exploding ONLY query-term hits — the

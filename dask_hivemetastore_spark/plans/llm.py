@@ -1318,9 +1318,17 @@ def corpus_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, redacted,
            len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(text, '\d{3}-\d{2}-\d{4}')) AS n_ssn,
            len(regexp_extract_all(
-               regexp_replace(text, '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\d{3}-\d{2}-\d{4}')) AS n_ssn,
+           len(regexp_extract_all(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
                '\d{3}-\d{4}')) AS n_phone
     FROM red
     """,

@@ -16,6 +16,7 @@ subprocess.
 from __future__ import annotations
 
 import os
+import re
 import sys
 import tempfile
 
@@ -69,8 +70,13 @@ def demo(sf_dir: str = "/root/testdata/sf0.001") -> dict:
             "n_f": n_f,
             "partitions": partitions,
             "table_visible": "orders_hive" in catalog_tables,
+            # NON-EMPTY PartitionFilters required: the bare substring
+            # "PartitionFilters" appears in EVERY partitioned-scan plan
+            # (even as an empty list), which made the old or-branch
+            # vacuously true and the demo unable to catch a pruning
+            # regression (r7 review)
             "prunes": "status_part=F" in plan.replace(" ", "")
-            or "PartitionFilters" in plan,
+            or bool(re.search(r"PartitionFilters: \[[^\]]", plan)),
         }
     finally:
         spark.stop()

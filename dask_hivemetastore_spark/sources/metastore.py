@@ -81,19 +81,28 @@ class ThinCatalog:
         """Enumerate Hive-style ``key=value`` partition directories, applying
         the filter string BEFORE any data is touched (the connector's one
         real optimization, SURVEY.md §4.1)."""
+        return [vals for vals, _rel in self._partition_dirs(name, filter_expr)]
+
+    def _partition_dirs(
+        self, name: str, filter_expr: str | None = None
+    ) -> list[tuple[dict[str, str], str]]:
+        """(values, raw relative dir path) pairs — the RAW path rides along
+        because partition values are percent-escaped on disk (Hive
+        escaping): rebuilding the path from the unquoted values would
+        point at a directory that does not exist (r7 review)."""
         t = self.get_table(name)
         keys = [k for k, _ in t.partition_keys]
-        parts: list[dict[str, str]] = []
+        parts: list[tuple[dict[str, str], str]] = []
         for dirpath, dirnames, _files in os.walk(t.location):
             rel = os.path.relpath(dirpath, t.location)
             comps = [] if rel == "." else rel.split(os.sep)
             if len(comps) == len(keys) and all("=" in c for c in comps):
                 vals = {c.split("=", 1)[0]: unquote(c.split("=", 1)[1]) for c in comps}
-                parts.append(vals)
+                parts.append((vals, rel))
                 dirnames.clear()
         if filter_expr:
-            parts = [p for p in parts if _eval_filter(filter_expr, p)]
-        return sorted(parts, key=lambda p: [p[k] for k in keys])
+            parts = [(p, rel) for p, rel in parts if _eval_filter(filter_expr, p)]
+        return sorted(parts, key=lambda pr: [pr[0][k] for k in keys])
 
     # -- read (reference steps 1-5) ----------------------------------------
     def read_table(
@@ -131,11 +140,9 @@ class ThinCatalog:
         if strategy == "auto":
             strategy = "scan" if t.input_format == "parquet" else "union"
 
-        parts = self.list_partitions(name, partition_filter)
-        locs = [
-            os.path.join(t.location, *[f"{k}={pvals[k]}" for k, _ in t.partition_keys])
-            for pvals in parts
-        ]
+        part_dirs = self._partition_dirs(name, partition_filter)
+        parts = [p for p, _rel in part_dirs]
+        locs = [os.path.join(t.location, rel) for _p, rel in part_dirs]
         if not parts:
             empty_schema = hive_schema_to_struct(t.columns + t.partition_keys)
             return spark.createDataFrame([], empty_schema)
@@ -143,11 +150,18 @@ class ThinCatalog:
         if strategy == "scan":
             if t.input_format != "parquet":
                 raise ValueError("strategy='scan' requires a parquet table")
-            out = spark.read.option("basePath", t.location).parquet(*locs)
-            # partition columns come back type-inferred from the paths;
-            # cast to the DECLARED hive types (and order columns stably)
-            for k, hive_type in t.partition_keys:
-                out = out.withColumn(k, F.col(k).cast(parse_hive_type(hive_type)))
+            # the DECLARED schema (data + partition columns) is passed to
+            # the reader, so partition values are parsed AS their hive
+            # types rather than type-inferred from the path and cast back
+            # — inference would normalize string-typed values that look
+            # numeric ('01' → bigint 1 → '1'), silently diverging from
+            # the union strategy's raw directory value (r7 review)
+            full_schema = hive_schema_to_struct(t.columns + t.partition_keys)
+            out = (
+                spark.read.schema(full_schema)
+                .option("basePath", t.location)
+                .parquet(*locs)
+            )
         elif strategy == "union":
             frames: list[DataFrame] = []
             for pvals, loc in zip(parts, locs):

@@ -139,8 +139,9 @@ def make_jsonl_sink():
         n_rows: int
 
     class JsonlWriter(DataSourceWriter):
-        def __init__(self, options) -> None:
+        def __init__(self, options, overwrite: bool = False) -> None:
             self.path = options["path"]
+            self.overwrite = overwrite
 
         def write(self, iterator) -> "PartFile":
             from pyspark import TaskContext
@@ -158,9 +159,21 @@ def make_jsonl_sink():
 
         def commit(self, messages) -> None:
             total = 0
+            keep = {m.final_path for m in messages}
             for m in messages:
                 os.replace(m.tmp_path, m.final_path)
                 total += m.n_rows
+            if self.overwrite:
+                # overwrite-at-commit: clear stale part files from prior
+                # runs AFTER the new files land — a second overwrite with
+                # fewer partitions used to leave old parts beside a
+                # manifest that didn't count them (r7 review). Deferring
+                # the delete to commit keeps the failure contract: an
+                # aborted write leaves the previous output intact.
+                for fname in os.listdir(self.path):
+                    full = os.path.join(self.path, fname)
+                    if fname.endswith(".jsonl") and full not in keep:
+                        os.remove(full)
             with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
                 json.dump({"n_rows": total, "n_files": len(messages)}, f)
 
@@ -177,7 +190,7 @@ def make_jsonl_sink():
             return "pyjsonl"
 
         def writer(self, schema, overwrite: bool) -> "JsonlWriter":
-            return JsonlWriter(self.options)
+            return JsonlWriter(self.options, overwrite=overwrite)
 
     return JsonlSinkDataSource
 

@@ -739,3 +739,39 @@ def test_simhash_tolerates_null_text(spark):
     )
     pairs = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, "doc_id", "text").collect()}
     assert (1, 2) in pairs
+
+
+def test_asof_join_null_value_column(spark):
+    """The latest right row must attach ATOMICALLY: when its value column
+    is NULL, the output must show that NULL — not a value spliced in from
+    an older right row (r7 review; matches DuckDB ASOF / merge_asof)."""
+    from dask_hivemetastore_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 30, "u")], "event_id long, ts long, user_id string"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, "u", 5.0), (101, 20, "u", None)],
+        "event_id long, ts long, user_id string, value double",
+    )
+    row = asof_join(
+        left, right, ts="ts", by="user_id", value_cols=["value"]
+    ).collect()[0]
+    assert row.asof_ts == 20
+    assert row.asof_value is None  # NOT 5.0 from the ts=10 row
+
+
+def test_pii_counts_match_actual_redaction(spark):
+    """Hit counts must reflect what the replacement chain actually masked:
+    an SSN-shaped substring INSIDE an email is swallowed by the email rule,
+    so it must not count as an SSN (r7 review)."""
+    from dask_hivemetastore_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(1, "reach bob123-45-6789@x.com or 123-45-6789 now")],
+        "doc_id long, text string",
+    )
+    row = pii_redact(df).collect()[0]
+    assert row.n_email == 1
+    assert row.n_ssn == 1          # only the standalone SSN
+    assert "<EMAIL>" in row.redacted and row.redacted.count("<SSN>") == 1

@@ -452,3 +452,59 @@ def test_compact_partitions_scoped_untouched_byte_identical(spark, tmp_path):
 
     with pytest.raises(ValueError):
         compact_partitions(spark, ptable, {"o_orderstatus": "NOPE"})
+
+
+def test_metastore_escaped_and_numericlike_partition_values(spark, tmp_path):
+    """Two r7 review regressions: (1) percent-escaped partition dirs
+    (Hive escaping, e.g. a colon in the value) must resolve to the real
+    on-disk path — rebuilding from the unquoted value crashed the read;
+    (2) a string-typed partition value that LOOKS numeric ('01') must
+    survive both strategies verbatim — path type-inference used to
+    normalize it to '1' under strategy='scan' only."""
+    import os
+
+    from dask_hivemetastore_spark.sources.metastore import TableDef, ThinCatalog
+
+    loc = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10.0)], "id long, v double").write.parquet(
+        os.path.join(loc, "k=a%3Ab")  # value "a:b", Hive-escaped on disk
+    )
+    spark.createDataFrame([(2, 20.0)], "id long, v double").write.parquet(
+        os.path.join(loc, "k=01")
+    )
+    cat = ThinCatalog()
+    cat.register(TableDef(
+        name="t", location=loc,
+        columns=[("id", "bigint"), ("v", "double")],
+        partition_keys=[("k", "string")],
+    ))
+    assert [p["k"] for p in cat.list_partitions("t")] == ["01", "a:b"]
+
+    for strategy in ("scan", "union"):
+        got = {
+            (r.id, r.k)
+            for r in cat.read_table(spark, "t", strategy=strategy).collect()
+        }
+        assert got == {(1, "a:b"), (2, "01")}, strategy
+
+
+def test_jsonl_sink_overwrite_clears_stale_parts(spark, tmp_path):
+    """Overwrite with FEWER partitions must not leave prior-run part
+    files beside a manifest that doesn't count them (r7 review)."""
+    import glob
+    import json
+    import os
+
+    from dask_hivemetastore_spark.sources.pyds import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    spark.range(8).repartition(8).write.format("pyjsonl").option(
+        "path", out).mode("append").save()
+    assert len(glob.glob(os.path.join(out, "*.jsonl"))) == 8
+    spark.range(4).repartition(2).write.format("pyjsonl").option(
+        "path", out).mode("overwrite").save()
+    files = glob.glob(os.path.join(out, "*.jsonl"))
+    assert len(files) == 2, files
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_files"] == 2 and manifest["n_rows"] == 4
