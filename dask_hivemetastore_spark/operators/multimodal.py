@@ -68,23 +68,32 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """mapInPandas feature extraction over the binary column: byte length,
     sha256 hex, pseudo-decoded dimensions. This is the real 100 TB shape —
-    Arrow batches of (id, bytes) in, narrow feature rows out."""
+    Arrow batches of (id, bytes) in, narrow feature rows out. NULL
+    payloads are treated as empty bytes (a corrupt/absent media row must
+    degrade to zero-features, not kill the task — r7 review), the decode
+    runs ONCE per payload (the template rule real decoders must follow),
+    and the declared id type follows the input schema rather than
+    assuming long."""
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
+            dims = payloads.map(fake_decode_meta)  # one decode per payload
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "sha_hex": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "fake_w": payloads.map(lambda b: fake_decode_meta(b)[0]).astype("int32"),
-                    "fake_h": payloads.map(lambda b: fake_decode_meta(b)[1]).astype("int32"),
+                    "fake_w": dims.map(lambda d: d[0]).astype("int32"),
+                    "fake_h": dims.map(lambda d: d[1]).astype("int32"),
                 }
             )
 
     return df.select(id_col, "payload").mapInPandas(
-        feats, f"{id_col} long, n_bytes long, sha_hex string, fake_w int, fake_h int"
+        feats,
+        f"{id_col} {id_type}, n_bytes long, sha_hex string, "
+        "fake_w int, fake_h int",
     )
 
 
@@ -113,11 +122,13 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id",
     partitioned like its source. Frames are never a join/groupBy key —
     key by (id, frame_idx)."""
 
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, outs, totals = [], [], [], []
             for did, payload in zip(pdf[id_col], pdf["payload"]):
-                b = bytes(payload)
+                b = bytes(payload) if payload is not None else b""
                 n_frames = (len(b) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, stride):
                     ids.append(did)
@@ -126,7 +137,7 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id",
                     totals.append(n_frames)
             yield pd.DataFrame(
                 {
-                    id_col: pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids),
                     "frame_idx": pd.Series(idxs, dtype="int64"),
                     "frame": pd.Series(outs, dtype=object),
                     "n_frames": pd.Series(totals, dtype="int64"),
@@ -134,5 +145,6 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.select(id_col, "payload").mapInPandas(
-        frames, f"{id_col} long, frame_idx long, frame binary, n_frames long"
+        frames,
+        f"{id_col} {id_type}, frame_idx long, frame binary, n_frames long",
     )

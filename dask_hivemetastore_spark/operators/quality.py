@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as _T
 
 Rule = tuple[str, Column]
 
@@ -85,7 +86,8 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     )
 
 
-def check_grouped(df: DataFrame, by: str, rules: list[Rule]) -> DataFrame:
+def check_grouped(df: DataFrame, by: str, rules: list[Rule],
+                  expected_groups: list | None = None) -> DataFrame:
     """Per-partition constraint report (the Deequ ``where``/grouped-analyzer
     analogy): every rule evaluates PER GROUP of ``by``, still in one
     aggregation pass — one shuffle on the group key, partial aggregation
@@ -93,17 +95,52 @@ def check_grouped(df: DataFrame, by: str, rules: list[Rule]) -> DataFrame:
     becomes a per-group minimum (per-partition freshness/completeness
     checks); uniqueness is per-group uniqueness.
 
+    ``groupBy`` only yields rows for groups PRESENT in the data, so a
+    completely missing partition — the worst completeness failure — would
+    emit no report row at all (r7 review). ``expected_groups`` closes
+    that hole: groups listed there but absent from the data get a failed
+    report row per rule (``violations = -1`` as the absent marker for
+    rules other than ``min_rows``, whose violation count is its
+    threshold), so an alerting harness watching ``passed = 0`` sees them.
+
     Returns (by, rule, violations, passed), one row per (group, rule) —
     deterministic and oracle-checkable like the global report. At 100 TB
     this is how validation tracks a partitioned table: one report row per
-    (partition, rule) with no extra scans.
+    (partition, rule) with no extra scans (the expected-group frame is a
+    literal, broadcast anti-joined).
     """
     aggd = df.groupBy(by).agg(
         *[expr.cast("long").alias(f"__r{i}") for i, (_, expr) in enumerate(rules)]
     )
-    return aggd.select(
+    report = aggd.select(
         F.col(by), F.explode(_report_array(rules)).alias("r")
     ).select(by, "r.rule", "r.violations", "r.passed")
+    if expected_groups is not None:
+        spark = df.sparkSession
+        by_type = df.schema[by].dataType
+        expected = spark.createDataFrame(
+            [(g,) for g in expected_groups],
+            _T.StructType([_T.StructField(by, by_type)]),
+        )
+        def _absent_violations(name: str) -> int:
+            if name.startswith("min_rows("):
+                return int(name[len("min_rows("):-1])
+            return -1
+        missing = expected.join(aggd.select(by), by, "left_anti")
+        missing_rows = missing.select(
+            F.col(by),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.lit(_absent_violations(name)).cast("long").alias(
+                        "violations"),
+                    F.lit(0).cast("long").alias("passed"),
+                )
+                for name, _ in rules
+            ])).alias("r"),
+        ).select(by, "r.rule", "r.violations", "r.passed")
+        report = report.unionByName(missing_rows)
+    return report
 
 
 def _report_array(rules: list[Rule]) -> Column:

@@ -97,6 +97,12 @@ def point_in_interval_join(
     covered bucket — aggregate with ``count(point_col)`` which ignores
     NULLs, or dedup on an interval key).
 
+    Only ``how='inner'`` and ``how='left'`` are supported: the bucket
+    explode duplicates each side before the equi-join, and only these two
+    join types collapse back to the documented multiplicities
+    (``'right'``/``'full'`` would emit one NULL row per probe/bucket
+    replica — silently inflated — so they raise instead; r7 review).
+
     With ``max_buckets_per_interval = M`` the explode is bounded for
     long-tailed interval lengths by hierarchical banding: each interval
     picks the finest of ``n_levels`` granularities (level ℓ buckets are
@@ -107,6 +113,10 @@ def point_in_interval_join(
     interval's explosion covers the point's bucket at that level iff the
     point lies inside (up to the exact post-filter).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"point_in_interval_join supports how='inner'/'left', got {how!r}"
+        )
     start_ok = (
         F.col(point_col) > F.col(start_col)
         if open_start

@@ -183,7 +183,9 @@ class ThinCatalog:
             return spark.read.parquet(loc)
         if t.input_format == "text":
             sep = t.serde_params.get("field.delim", HIVE_DEFAULT_DELIM)
-            return read_delimited(spark, loc, t.columns, sep=sep)
+            # metastore text tables carry LazySimpleSerDe semantics
+            return read_delimited(spark, loc, t.columns, sep=sep,
+                                  hive_serde=True)
         raise ValueError(f"unsupported input_format {t.input_format!r}")
 
 

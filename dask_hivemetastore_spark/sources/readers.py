@@ -41,10 +41,39 @@ def read_delimited(
     hive_cols: list[tuple[str, str]],
     sep: str = HIVE_DEFAULT_DELIM,
     header: bool = False,
+    hive_serde: bool = False,
 ) -> DataFrame:
-    """A3: delimited text with a *declared* Hive schema (no inference),
-    exactly as the metastore path requires."""
+    r"""A3: delimited text with a *declared* Hive schema (no inference),
+    exactly as the metastore path requires.
+
+    ``hive_serde=True`` reads with LazySimpleSerDe field semantics rather
+    than Spark-CSV conventions: NO quote handling (Hive's text serde has
+    none — a leading ``"`` is data, and Spark's default quoted-field
+    parsing could swallow delimiters), ``\N`` as the NULL sentinel, and
+    empty string as a real value (Spark's default reads '' as NULL,
+    silently corrupting valid Hive empties — r7 review). The default
+    False keeps Spark-CSV semantics for files Spark itself wrote
+    (quoting IS meaningful there)."""
     schema = hive_schema_to_struct(hive_cols)
+    if hive_serde:
+        # LazySimpleSerDe exactly, as pure JVM expressions: split each
+        # line on the delimiter, map the \N sentinel to NULL, cast to
+        # the declared type. Spark's CSV reader cannot express this --
+        # its unquoted-empty-field handling returns NULL no matter what
+        # (univocity), and its quote/escape conventions have no Hive
+        # equivalent at all.
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        lines = spark.read.text(location)
+        fields = F.split(F.col("value"), _re.escape(sep), -1)
+        cols = []
+        for i, field_def in enumerate(schema.fields):
+            raw = F.element_at(fields, i + 1)
+            val = F.when(raw == "\\N", F.lit(None)).otherwise(raw)
+            cols.append(val.cast(field_def.dataType).alias(field_def.name))
+        return lines.select(*cols)
     return (
         spark.read.options(sep=sep, header=str(header).lower())
         .schema(schema)

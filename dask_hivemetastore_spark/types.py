@@ -152,6 +152,17 @@ def spark_type_to_hive(dt: T.DataType) -> str:
         return m[type(dt)]
     if isinstance(dt, T.DecimalType):
         return f"decimal({dt.precision},{dt.scale})"
+    # char/varchar and the interval types parse_hive_type accepts must
+    # round-trip — a table read through the forward mapping could not be
+    # re-registered otherwise (r7 review)
+    if isinstance(dt, T.VarcharType):
+        return f"varchar({dt.length})"
+    if isinstance(dt, T.CharType):
+        return f"char({dt.length})"
+    if isinstance(dt, T.YearMonthIntervalType):
+        return "interval_year_month"
+    if isinstance(dt, T.DayTimeIntervalType):
+        return "interval_day_time"
     if isinstance(dt, T.ArrayType):
         return f"array<{spark_type_to_hive(dt.elementType)}>"
     if isinstance(dt, T.MapType):

@@ -775,3 +775,23 @@ def test_pii_counts_match_actual_redaction(spark):
     assert row.n_email == 1
     assert row.n_ssn == 1          # only the standalone SSN
     assert "<EMAIL>" in row.redacted and row.redacted.count("<SSN>") == 1
+
+
+def test_check_grouped_reports_missing_expected_groups(spark):
+    """A wholly absent partition must still produce failed report rows
+    when expected_groups names it (r7 review: groupBy alone cannot see a
+    missing group, the worst completeness failure)."""
+    from dask_hivemetastore_spark.operators.quality import (
+        check_grouped,
+        min_rows,
+        not_null,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    report = check_grouped(
+        df, "g", [not_null("v"), min_rows(2)], expected_groups=["a", "b"]
+    ).collect()
+    rows = {(r.g, r.rule): (r.violations, r.passed) for r in report}
+    assert rows[("a", "min_rows(2)")] == (0, 1)
+    assert rows[("b", "min_rows(2)")] == (2, 0)     # shortfall = threshold
+    assert rows[("b", "not_null(v)")][1] == 0       # failed, absent marker

@@ -508,3 +508,27 @@ def test_jsonl_sink_overwrite_clears_stale_parts(spark, tmp_path):
     assert len(files) == 2, files
     manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert manifest["n_files"] == 2 and manifest["n_rows"] == 4
+
+
+def test_read_delimited_hive_serde_semantics(spark, tmp_path):
+    """hive_serde=True must read LazySimpleSerDe conventions: no quote
+    handling (a leading '\"' is data), backslash-N as NULL, and empty
+    string as a VALUE (Spark-CSV defaults silently corrupt all three —
+    r7 review)."""
+    import os
+
+    from dask_hivemetastore_spark.sources.readers import read_delimited
+
+    loc = str(tmp_path / "hive_text")
+    os.makedirs(loc)
+    with open(os.path.join(loc, "part-0"), "w") as f:
+        f.write('"quoted field\x01rest\n')   # quote char is data
+        f.write('\\N\x01after_null\n')        # Hive NULL sentinel
+        f.write('\x01after_empty\n')          # empty string is a value
+    rows = read_delimited(
+        spark, loc, [("a", "string"), ("b", "string")],
+        sep="\x01", hive_serde=True,
+    ).collect()
+    got = {(r.a, r.b) for r in rows}
+    assert got == {(None, "after_null"), ("", "after_empty"),
+                   ('"quoted field', "rest")}, got
