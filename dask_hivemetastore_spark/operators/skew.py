@@ -51,6 +51,12 @@ def salted_join(
     """Equi-join ``big ⋈ small`` on ``on`` with the hot keys of ``big``
     spread over ``buckets`` reducers. Semantically identical to
     ``big.join(small, on, how)`` for inner/left joins."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' only: the small side "
+            f"is replicated per salt bucket, and {how!r} would emit one "
+            "null-padded row PER REPLICA for unmatched small-side keys"
+        )
     b = salt_big_side(big, unique_expr, buckets)
     s = replicate_small_side(small, buckets)
     return b.join(s, on + [SALT_COL], how).drop(SALT_COL)

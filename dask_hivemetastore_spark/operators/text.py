@@ -170,18 +170,18 @@ def pii_redact(df: DataFrame, text_col: str = "text",
     an SSN-shaped substring sat inside an email address that the email
     rule had already swallowed).
     """
-    redacted = F.col(text_col)
-    masked_so_far = F.col(text_col)
+    masked = F.col(text_col)
     counts = {}
     for (pat, tok), name in zip(PII_RULES, ("n_email", "n_ssn", "n_phone")):
-        counts[name] = F.regexp_count(masked_so_far, F.lit(pat))
-        masked_so_far = F.regexp_replace(masked_so_far, pat, tok)
-        redacted = F.regexp_replace(redacted, pat, tok)
+        counts[name] = F.regexp_count(masked, F.lit(pat))
+        masked = F.regexp_replace(masked, pat, tok)
+    # after the loop `masked` IS the fully-redacted text — one chain
+    # serves both the counts and the output
     return (
         df.withColumn("n_email", counts["n_email"])
         .withColumn("n_ssn", counts["n_ssn"])
         .withColumn("n_phone", counts["n_phone"])
-        .withColumn(out_col, redacted)
+        .withColumn(out_col, masked)
     )
 
 
@@ -209,8 +209,9 @@ def bm25_scores(df: DataFrame, terms: list[str], text_col: str = "text",
     The idf form is ln(1 + (N - df + 0.5)/(df + 0.5)) (always positive).
     Scores are rounded to 6 dp so cross-engine float summation agrees.
     """
-    words = F.split(F.lower(F.col(text_col)), " ")
-    docs = df.select(F.col(id_col), words.alias("__ws"))
+    # the module's shared tokenizer — a drifting inline copy here would
+    # silently disagree with lang_id/quality_features on what a word is
+    docs = df.select(F.col(id_col), _words(text_col).alias("__ws"))
     stats = docs.agg(
         F.count("*").cast("double").alias("__n"),
         F.avg(F.size("__ws")).alias("__avgdl"),

@@ -83,6 +83,10 @@ _CERTIFICATION_PRIORITY = [
     "dedup_near",
     "dedup_incremental_batch",
     "split_leakage_audit",
+    # --- rolling_1h_events' frame sum moved to exact integer cents
+    # --- (engine-order float drift fix) — output values can differ at
+    # --- old .xx5 boundaries, so it re-certifies. ---
+    "rolling_1h_events",
     # --- drift re-certification (VERDICT r6 #7): the rotation program
     # --- completed in r6 — every full-oracle key is certified in the
     # --- r1-r6 union — so remaining slots re-certify the OLDEST
@@ -127,7 +131,6 @@ _CERTIFICATION_PRIORITY = [
     "string_funcs_docs",
     "argmin_argmax_orders",
     "join_indicator",
-    "csv_roundtrip_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

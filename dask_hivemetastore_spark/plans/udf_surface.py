@@ -248,6 +248,8 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: bigint, bigram: string")
     class BigramUDTF:
         def eval(self, text: str):
+            if text is None:
+                return  # NULL text -> no rows, matching unnest(NULL)
             words = text.split(" ")
             for i in range(len(words) - 1):
                 yield i, words[i] + " " + words[i + 1]
@@ -367,7 +369,8 @@ def udtf_polymorphic_firstwords(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str, k: int):
-            words = text.split(" ")
+            # NULL text -> all-NULL word columns, matching words[i] on NULL
+            words = text.split(" ") if text is not None else []
             yield tuple(words[i] if i < len(words) else None for i in range(k))
 
     spark.udtf.register("first_words", udtf(FirstWordsUDTF))

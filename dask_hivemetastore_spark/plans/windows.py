@@ -145,10 +145,13 @@ def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rolling_1h_events",
     oracle="""
+    WITH c AS (SELECT event_id, user_id, ts,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events)
     SELECT event_id,
-           COUNT(*) OVER w            AS n_1h,
-           ROUND(SUM(value) OVER w, 2) AS sum_1h
-    FROM events
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS sum_1h
+    FROM c
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
     """,
@@ -160,7 +163,14 @@ def rolling_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch (``unix_micros(ts)`` — same precision the oracle sees) with a
     ±3.6e9 µs frame; range frames include ts-peers on both engines, so ties
     need no tiebreak.
-    """
+
+    Parity: the frame sum runs over exact integer CENTS divided once at
+    the end — the same discipline ``window_price_band`` documents. A
+    float SUM over a sliding RANGE frame accumulates in engine-specific
+    order (Spark sequential per frame, DuckDB segment-tree combine), and
+    ROUND(,2) flips at .xx5 boundaries under that low-bit drift (measured
+    ~3 flips per 500 rows on the price-band fixture; r7 review applied
+    the existing fix here too)."""
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     w = (
@@ -168,10 +178,11 @@ def rolling_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(us.asc())
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
-    return ev.select(
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.withColumn("cents", cents).select(
         "event_id",
         F.count("*").over(w).alias("n_1h"),
-        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("sum_1h"),
     )
 
 

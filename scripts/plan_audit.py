@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -60,7 +61,13 @@ ALLOW: dict[str, str] = {
 # and their batch plan is not the artifact that runs
 SKIP_PREFIXES = ("stream_", "statestore_")
 
-BAD_TOKENS = ("BroadcastNestedLoopJoin", "CartesianProduct")
+# regexes, not substrings: BatchEvalPython\b is the row-at-a-time scalar
+# Python UDF node (the docstring's second scale-killer — r7 review found
+# the audit never actually grepped for it); the \b keeps it from matching
+# BatchEvalPythonUDTF, which is Spark's UDTF operator itself (J5's whole
+# surface is row-based by the UDTF API contract, not an accident).
+BAD_TOKENS = (r"BroadcastNestedLoopJoin", r"CartesianProduct",
+              r"BatchEvalPython\b")
 
 
 def main() -> None:
@@ -94,7 +101,7 @@ def main() -> None:
             flagged[key] = [f"PLAN-ERROR: {ex}"]
             continue
         n_checked += 1
-        hits = [tok for tok in BAD_TOKENS if tok in plan]
+        hits = [tok for tok in BAD_TOKENS if re.search(tok, plan)]
         if hits:
             if key in ALLOW:
                 allowed_hits[key] = ALLOW[key]
