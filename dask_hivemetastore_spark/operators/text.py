@@ -118,7 +118,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-QUALITY_ORACLE_COLS = """
+# The bare score expression, exported separately so EVERY oracle that
+# gates on quality interpolates the ONE definition (r7 review: the
+# flagship pipeline oracle had hand-inlined a copy that would silently
+# go stale on any tuning change to quality_features).
+QUALITY_SCORE_ORACLE_EXPR = """0.4 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0)
+  + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
+        w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+        / len(string_split(lower(text), ' ')))
+  + 0.3 * (1.0 - abs((CAST(length(text) AS DOUBLE)
+        - (len(string_split(lower(text), ' ')) - 1))
+        / len(string_split(lower(text), ' ')) - 4.5) / 10.0)"""
+
+QUALITY_ORACLE_COLS = f"""
   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
   CAST(len(list_filter(string_split(lower(text), ' '),
        w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
@@ -127,13 +139,7 @@ QUALITY_ORACLE_COLS = """
       / len(string_split(lower(text), ' ')) AS avg_word_len,
   CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
       / len(string_split(lower(text), ' ')) AS distinct_ratio,
-  0.4 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0)
-  + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
-        w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
-        / len(string_split(lower(text), ' ')))
-  + 0.3 * (1.0 - abs((CAST(length(text) AS DOUBLE)
-        - (len(string_split(lower(text), ' ')) - 1))
-        / len(string_split(lower(text), ' ')) - 4.5) / 10.0) AS quality_score
+  {QUALITY_SCORE_ORACLE_EXPR} AS quality_score
 """
 
 

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import curation, dedup, multimodal, similarity, text
-from .registry import query
+from .registry import query, scratch_dir
 
 # ---------------------------------------------------------------- K1: exact
 
@@ -277,7 +277,6 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays all three stages naively in SQL, so the hash match
     certifies each boundary decision, including the fixture's planted
     near-dup pairs that straddle the old/new split."""
-    from ..operators import dedup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     old = docs.where(F.col("doc_id") % 3 != 0)
@@ -324,12 +323,11 @@ def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage state is exactly right, not just approximately. All
     arithmetic is IEEE double ops + half-away-from-zero rounding,
     identical in Spark and DuckDB."""
-    import tempfile
 
     from ..operators.similarity import dequantize_expr, quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = tempfile.mkdtemp(prefix="qemb_") + "/q"
+    out = scratch_dir("qemb_") + "/q"
     quantize_int8(emb).select("vec_id", "scale", "qvec").write.mode(
         "overwrite"
     ).parquet(out)
@@ -372,7 +370,6 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: per-shard sketches persist like the HLL sketches and any
     rollup is a cell-wise merge with no rescan; eps sizes the memory
     (w = ⌈e/eps⌉ counters/row) independent of corpus size."""
-    from ..operators import text as T
 
     docs = load_table(spark, sf_dir, "documents")
     top = (
@@ -383,8 +380,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     top_rows = top.collect()  # 10 rows — bounded driver work
-    sketch = T.cms_word_sketch(docs, eps=0.0001, confidence=0.99)
-    est = T.cms_estimate_counts(spark, sketch, [r.word for r in top_rows])
+    sketch = text.cms_word_sketch(docs, eps=0.0001, confidence=0.99)
+    est = text.cms_estimate_counts(spark, sketch, [r.word for r in top_rows])
     return spark.createDataFrame(
         [
             (r.word, r.n_exact, est[r.word], est[r.word] - r.n_exact)
@@ -722,7 +719,6 @@ def token_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottleneck, while per-shard packing is embarrassingly parallel and is
     also what a curriculum (per-language mixing) wants. Pure window
     functions both sides → exact oracle."""
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -797,17 +793,11 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "training_corpus_pipeline",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
     feat AS (SELECT doc_id, source, text,
                     CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-                    0.4 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0)
-                    + 0.3 * (CAST(len(list_filter(string_split(lower(text), ' '),
-                          w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
-                          / len(string_split(lower(text), ' ')))
-                    + 0.3 * (1.0 - abs((CAST(length(text) AS DOUBLE)
-                          - (len(string_split(lower(text), ' ')) - 1))
-                          / len(string_split(lower(text), ' ')) - 4.5) / 10.0) AS q
+                    {text.QUALITY_SCORE_ORACLE_EXPR} AS q
              FROM documents WHERE lang = 'en'),
     kept AS (SELECT doc_id, source, text, n_tokens FROM feat
              WHERE q >= 0.5 AND n_tokens BETWEEN 20 AND 2000),
@@ -852,10 +842,9 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter-then-dedup is both cheaper (fewer signatures) and what quality
     pipelines want (a high-quality doc must not be deduped away in favor
     of a filtered-out twin)."""
-    from ..operators import text as text_ops
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
-    feats = text_ops.quality_features(docs)
+    feats = text.quality_features(docs)
     kept = feats.where(
         (F.col("quality_score") >= 0.5) & F.col("n_tokens").between(20, 2000)
     ).select("doc_id", "source", "text", "n_tokens")

@@ -51,3 +51,45 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+_SCRATCH_BASE: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Fresh scratch directory for a round-trip/sink query.
+
+    Every call returns a new unique dir, but all of them live under ONE
+    per-process base that is removed at interpreter exit — so a 100-rep
+    perf sweep no longer leaks a table copy into /tmp per query call
+    (r7 review: a dozen queries each did a bare ``tempfile.mkdtemp`` with
+    no cleanup). ``SPARK_GRAFT_SCRATCH`` relocates the base to any
+    Hadoop-visible URI for cluster runs (driver-local /tmp paths are
+    invisible to executors there); the base gets a per-process unique
+    suffix either way, so concurrent sweeps over the same dataset cannot
+    clobber each other's files. Remote bases are left to the store's
+    lifecycle policy to reap (the driver cannot rmtree an s3a:// URI).
+    """
+    global _SCRATCH_BASE
+    import os
+    import uuid
+
+    if _SCRATCH_BASE is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = os.environ.get("SPARK_GRAFT_SCRATCH")
+        if root:
+            _SCRATCH_BASE = (
+                f"{root.rstrip('/')}/scratch_{os.getpid()}_"
+                f"{uuid.uuid4().hex[:6]}"
+            )
+        else:
+            _SCRATCH_BASE = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+            atexit.register(shutil.rmtree, _SCRATCH_BASE, ignore_errors=True)
+    if "://" in _SCRATCH_BASE:
+        return f"{_SCRATCH_BASE}/{prefix}{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_BASE)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import query
+from .registry import query, scratch_dir
 
 
 # ---------------------------------------------------------------- B: filters
@@ -503,21 +503,38 @@ def string_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "argmin_argmax_orders",
     oracle="""
+    WITH t AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000
+                        + o_orderkey AS tie
+               FROM orders)
     SELECT o_orderstatus,
-           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           arg_min(o_orderkey, tie) AS cheapest_order,
+           arg_max(o_orderkey, tie) AS priciest_order,
            ROUND(MIN(o_totalprice), 2)       AS min_price,
            ROUND(MAX(o_totalprice), 2)       AS max_price
-    FROM orders GROUP BY o_orderstatus
+    FROM t GROUP BY o_orderstatus
     """,
 )
 def argmin_argmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D8 order-pinned first/last: min_by/max_by are the deterministic form
-    of Dask's first()/last() aggregates (which depend on partition order)."""
+    """D8 order-pinned first/last: min_by/max_by replace Dask's
+    partition-order-dependent first()/last() — but on a bare ordering
+    column they are still TIE-nondeterministic (two orders sharing the
+    group extreme price let each engine pick its own orderkey). The
+    ordering value is therefore the composite scalar
+    ``cents(price)·10⁸ + orderkey`` — lexicographic (price, key) order as
+    one BIGINT both engines compare identically (DuckDB's arg_min takes
+    no struct ordering; the encoding is exact while orderkey < 10⁸ and
+    cents·10⁸ < 2⁶³, comfortably true at every tested SF) — which makes
+    the picked key a pure function of the data (r7 review; the fixture's
+    unique extremes had been masking the hazard)."""
     orders = load_table(spark, sf_dir, "orders")
+    tie = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * 100_000_000
+        + F.col("o_orderkey")
+    )
     return orders.groupBy("o_orderstatus").agg(
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", tie).alias("cheapest_order"),
+        F.max_by("o_orderkey", tie).alias("priciest_order"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -595,10 +612,9 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (columnar, predicate pushdown) is the storage path; a text scan reads
     every byte of every row.
     """
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
-    out = tempfile.mkdtemp(prefix="csv_rt_") + "/lineitem_csv"
+    out = scratch_dir("csv_rt_") + "/lineitem_csv"
     li.select("l_orderkey", "l_returnflag", "l_quantity").write.mode(
         "overwrite"
     ).options(sep="|", header=False).csv(out)
@@ -668,10 +684,9 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     The oracle aggregates straight from the source parquet, so the hash
     match certifies the partitioned write→discover→prune→read cycle.
     """
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 13 == 0)
-    out = tempfile.mkdtemp(prefix="pq_rt_") + "/lineitem_part"
+    out = scratch_dir("pq_rt_") + "/lineitem_part"
     li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity").write.mode(
         "overwrite"
     ).partitionBy("l_returnflag").parquet(out)
@@ -709,7 +724,6 @@ def decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 (DuckDB fetchdf); the string form also certifies scale (always
     2 resp. 4 fractional digits).
     """
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
     dec = li.select(
@@ -717,7 +731,7 @@ def decimal_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
         F.col("l_discount").cast("decimal(12,2)").alias("disc_dec"),
     )
-    out = tempfile.mkdtemp(prefix="dec_rt_") + "/lineitem_dec"
+    out = scratch_dir("dec_rt_") + "/lineitem_dec"
     dec.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     dtypes = dict(back.dtypes)
@@ -904,9 +918,8 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     specializations, certified separately): per-segment, per-nation, and
     grand totals in ONE pass — Catalyst expands the sets into a single
     Expand + hash aggregate, vs three scans if written as UNION ALL."""
-    from ..catalog import load_table as _lt
 
-    _lt(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_gs_customer")
     return spark.sql(
         """
         SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
@@ -978,12 +991,11 @@ def thin_metastore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies resolution, pruning, typed partition-column attachment, and
     the scan. This is the thin-catalog sibling of the Hive-metastore path
     (tests/test_sources.py drives the real embedded-Derby HMS)."""
-    import tempfile
 
     from ..sources.metastore import TableDef, ThinCatalog
 
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
-    loc = tempfile.mkdtemp(prefix="thin_ms_") + "/orders_part"
+    loc = scratch_dir("thin_ms_") + "/orders_part"
     orders.select("o_orderkey", "o_totalprice", "o_orderstatus").write.partitionBy(
         "o_orderstatus"
     ).parquet(loc)
@@ -1246,10 +1258,9 @@ def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs a footer read per file at planning (off by default for that
     reason) — production tables keep the merged schema in a catalog
     instead and pass it explicitly."""
-    import tempfile
 
     orders = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="schema_evo_") + "/orders_evo"
+    out = scratch_dir("schema_evo_") + "/orders_evo"
     orders.where(F.col("o_orderkey") % 31 == 0).select(
         "o_orderkey", "o_totalprice"
     ).write.mode("overwrite").parquet(f"{out}/v1")
@@ -1390,12 +1401,11 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC write→read preserves values exactly. ORC keeps predicate pushdown
     and column pruning like parquet, so it's a storage-path peer, not an
     interchange-only format."""
-    import tempfile
 
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderkey") % 7 == 0
     )
-    out = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    out = scratch_dir("orc_rt_") + "/orders_orc"
     orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.mode(
         "overwrite"
     ).orc(out)
@@ -1423,12 +1433,11 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB an inference pass is a full extra scan). Oracle aggregates from
     parquet, certifying the JSON write→read round-trip including float
     formatting."""
-    import tempfile
 
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") % 5 == 0
     )
-    out = tempfile.mkdtemp(prefix="jsonl_rt_") + "/customer_jsonl"
+    out = scratch_dir("jsonl_rt_") + "/customer_jsonl"
     cust.select("c_custkey", "c_mktsegment", "c_acctbal").write.mode(
         "overwrite"
     ).json(out)
@@ -1619,10 +1628,9 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events. Rows-only by design: sketch estimates are engine-specific
     (no DuckDB twin); ``tests/test_operators.py`` asserts the estimates
     against exact distinct counts instead."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="hll_") + "/sketches"
+    out = scratch_dir("hll_") + "/sketches"
     per_day = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
@@ -1662,12 +1670,11 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/tpch.py q1 plan test), lifted to a *durable* boundary. The
     oracle recomputes from scratch over the full table — the hash match
     proves batch-split + merge ≡ single-pass aggregation."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    state_dir = tempfile.mkdtemp(prefix="aggstate_") + "/state"
+    state_dir = scratch_dir("aggstate_") + "/state"
     for parity in (0, 1):
         batch = ev.where(F.col("event_id") % 2 == parity)
         batch.groupBy("event_type").agg(
@@ -1802,19 +1809,20 @@ def sorted_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unsorted data defeats both prunings (every row group spans the full
     range). The oracle answers from the original source, so the hash match
     certifies the rewrite lost/duplicated nothing."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="sorted_") + "/events_sorted"
+    out = scratch_dir("sorted_") + "/events_sorted"
     (
         ev.repartitionByRange(8, "ts")
         .sortWithinPartitions("ts")
         .write.mode("overwrite")
         .parquet(out)
     )
+    # timestamp_ntz literals: ts IS NTZ (catalog contract) — an LTZ cast
+    # here would make the day-slice session-timezone-dependent (r7 review)
     back = spark.read.parquet(out).where(
-        (F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+        (F.col("ts") >= F.lit("2024-01-03").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-04").cast("timestamp_ntz"))
     )
     return back.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
@@ -1847,11 +1855,10 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed path even at sf0.01 where AQE would otherwise broadcast.
     The oracle answers from the raw tables — the hash match certifies the
     bucketed rewrite lost/duplicated nothing."""
-    import tempfile
 
     from ..operators.layout import write_bucketed
 
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    base = scratch_dir("bucketed_")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -2249,14 +2256,13 @@ def zorder_layout_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_plans.py quantifies the skip vs a linear sort on this
     exact layout). The oracle answers from the original table — the hash
     match certifies the rewrite lost/duplicated nothing."""
-    import tempfile
 
     from ..operators.layout import zorder_rewrite
 
     o = load_table(spark, sf_dir, "orders").withColumn(
         "__day", F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp_ntz"))
     )
-    out = tempfile.mkdtemp(prefix="zorder_") + "/orders_z"
+    out = scratch_dir("zorder_") + "/orders_z"
     zorder_rewrite(o, ["o_custkey", "__day"], out, bits=10, n_files=16)
     back = spark.read.parquet(out).where(
         F.col("o_custkey").between(100, 240)
@@ -2283,19 +2289,13 @@ def _compact_scratch_dir(sf_dir: str) -> str:
     """
     base = _COMPACT_SCRATCH.get(sf_dir)
     if base is None:
-        import atexit
-        import hashlib
-        import os
-        import shutil
-        import tempfile
-
-        root = os.environ.get("SPARK_GRAFT_SCRATCH")
-        if root:
-            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-            base = f"{root.rstrip('/')}/compact_{tag}"
-        else:
-            base = tempfile.mkdtemp(prefix="compact_")
-            atexit.register(shutil.rmtree, base, ignore_errors=True)
+        # delegate to the shared scratch helper (r7): per-process-unique
+        # base under SPARK_GRAFT_SCRATCH too — the old sf_dir-only remote
+        # tag let two concurrent sweeps of the same dataset clobber each
+        # other's non-transactional compaction swap mid-query. The
+        # per-(process, sf_dir) cache preserves cross-rep reuse; cleanup
+        # rides the helper's atexit.
+        base = scratch_dir("compact_")
         _COMPACT_SCRATCH[sf_dir] = base
     return base
 
@@ -2649,12 +2649,11 @@ def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the difference between writing a manifest for free and
     doubling pipeline I/O with a write-then-recount.
     """
-    import tempfile
 
     from ..sources.writers import write_parquet_observed
 
     li = load_table(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="observed_q_") + "/lineitem_copy"
+    out = scratch_dir("observed_q_") + "/lineitem_copy"
     got = write_parquet_observed(
         li,
         out,

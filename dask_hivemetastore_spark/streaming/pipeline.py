@@ -870,19 +870,12 @@ def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 6) -> str:
     """
     base = _DOCS_SCRATCH.get(sf_dir)
     if base is None:
-        import atexit
-        import hashlib
-        import os
-        import shutil
-        import tempfile
+        # shared scratch helper (r7): per-process-unique base locally AND
+        # under SPARK_GRAFT_SCRATCH, so concurrent runs can't scatter
+        # over each other's files; atexit cleanup rides the helper
+        from ..plans.registry import scratch_dir
 
-        root = os.environ.get("SPARK_GRAFT_SCRATCH")
-        if root:
-            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-            base = f"{root.rstrip('/')}/docstream_{tag}"
-        else:
-            base = tempfile.mkdtemp(prefix="docstream_")
-            atexit.register(shutil.rmtree, base, ignore_errors=True)
+        base = scratch_dir("docstream_")
         (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
             .repartition(n_files)
