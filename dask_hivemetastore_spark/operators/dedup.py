@@ -359,11 +359,14 @@ def simhash_pairs(
     # coalesce(NULL text → '') keeps the pre-r7 tolerance for null/odd
     # rows (split('') yields one empty word, so every doc still gets a
     # fingerprint and the numpy stage never sees a NULL array)
+    # Column expressions, not an F.expr SQL string: interpolating
+    # text_col verbatim would break on names needing backticks (spaces,
+    # keywords) — r8 review; the rest of the module is F.col-based too.
     hashed = df.select(
         id_col,
-        F.expr(
-            f"transform(split(coalesce({text_col}, '') , ' '),"
-            " w -> xxhash64(w))"
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda w: F.xxhash64(w),
         ).alias("__wh"),
     )
 

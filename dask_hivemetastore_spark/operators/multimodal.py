@@ -69,22 +69,28 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """mapInPandas feature extraction over the binary column: byte length,
     sha256 hex, pseudo-decoded dimensions. This is the real 100 TB shape —
     Arrow batches of (id, bytes) in, narrow feature rows out. NULL
-    payloads are treated as empty bytes (a corrupt/absent media row must
-    degrade to zero-features, not kill the task — r7 review), the decode
-    runs ONCE per payload (the template rule real decoders must follow),
-    and the declared id type follows the input schema rather than
-    assuming long."""
+    payloads degrade to zero-features rather than killing the task
+    (r7 review) but keep a NULL ``sha_hex`` — sha2(NULL) is NULL in SQL,
+    and hashing a sentinel b'' would collapse every corrupt/absent row
+    into one dedup group (r8 review). The decode runs ONCE per payload
+    (the template rule real decoders must follow), and the declared id
+    type follows the input schema rather than assuming long."""
     id_type = df.schema[id_col].dataType.simpleString()
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            is_null = pdf["payload"].isna()
             payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             dims = payloads.map(fake_decode_meta)  # one decode per payload
+            sha = payloads.map(
+                lambda b: hashlib.sha256(b).hexdigest()
+            ).astype("object")
+            sha[is_null] = None  # NULL payload -> NULL hash, not sha(b'')
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "sha_hex": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "sha_hex": sha,
                     "fake_w": dims.map(lambda d: d[0]).astype("int32"),
                     "fake_h": dims.map(lambda d: d[1]).astype("int32"),
                 }

@@ -99,9 +99,12 @@ def check_grouped(df: DataFrame, by: str, rules: list[Rule],
     completely missing partition — the worst completeness failure — would
     emit no report row at all (r7 review). ``expected_groups`` closes
     that hole: groups listed there but absent from the data get a failed
-    report row per rule (``violations = -1`` as the absent marker for
-    rules other than ``min_rows``, whose violation count is its
-    threshold), so an alerting harness watching ``passed = 0`` sees them.
+    report row per rule (``violations`` is NULL for rules other than
+    ``min_rows`` — there is no count to report for a group that does not
+    exist, and a ``-1`` sentinel would silently skew any downstream
+    SUM/rate over violations (r8 review); ``min_rows`` reports its
+    threshold as the shortfall), so an alerting harness watching
+    ``passed = 0`` sees them.
 
     Returns (by, rule, violations, passed), one row per (group, rule) —
     deterministic and oracle-checkable like the global report. At 100 TB
@@ -122,10 +125,10 @@ def check_grouped(df: DataFrame, by: str, rules: list[Rule],
             [(g,) for g in expected_groups],
             _T.StructType([_T.StructField(by, by_type)]),
         )
-        def _absent_violations(name: str) -> int:
+        def _absent_violations(name: str) -> int | None:
             if name.startswith("min_rows("):
                 return int(name[len("min_rows("):-1])
-            return -1
+            return None  # NULL, not a -1 sentinel (r8 review)
         missing = expected.join(aggd.select(by), by, "left_anti")
         missing_rows = missing.select(
             F.col(by),

@@ -43,6 +43,21 @@ ORACLE_DOT = (
 )
 
 
+def _empty_topk(emb: DataFrame, id_col: str, label_col: str) -> DataFrame:
+    """Empty (id, label, cosine) frame whose id/label types are DERIVED from
+    the corpus schema — a hardcoded ``long``/``int`` DDL would mismatch the
+    non-empty path for e.g. a bigint label and break schema-sensitive
+    callers (unions, compares) — r8 review."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([
+        emb.schema[id_col],
+        emb.schema[label_col],
+        StructField("cosine", DoubleType()),
+    ])
+    return emb.sparkSession.createDataFrame([], schema)
+
+
 def knn_topk(emb: DataFrame, query_id: int, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force cosine top-k of one query vector against the corpus.
@@ -426,9 +441,7 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
     if qrow is None:
         # match knn_topk's contract: unknown query id -> empty result,
         # not a NoneType crash (r7 review)
-        return emb.sparkSession.createDataFrame(
-            [], f"{id_col} long, label int, cosine double"
-        )
+        return _empty_topk(emb, id_col, "label")
     qv = np.asarray(qrow[0], dtype=np.float64)
     probe_cells = [int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe]]
 
@@ -739,9 +752,7 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
                                vec_col=vec_col, cache_key=cache_key)
     qrow = emb.where(F.col(id_col) == query_id).select(vec_col).collect()
     if not qrow:
-        return emb.sparkSession.createDataFrame(
-            [], f"{id_col} long, {label_col} int, cosine double"
-        )
+        return _empty_topk(emb, id_col, label_col)
     qv = np.asarray(qrow[0][0], dtype=np.float64)
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col,
                       label_col=label_col)

@@ -47,90 +47,90 @@ from .. import streaming  # noqa: F401,E402
 # implementation changed that round — after r6 the r1–r6 union covers
 # every full-oracle key (195/196 green; embedding_group_centroid was
 # the one red row, a driver-canonicalizer array-column failure).
-# Round 7 (this window): the 8 new/changed keys below, then drift
-# re-certification of the oldest (r1) certifications per VERDICT r6 #7.
+# Round 7 certified the 12 new/changed keys of that round plus drift
+# re-certification of the r1 window — CORRECTNESS_r07: 50/50 green.
+# Round 8 (this window): VERDICT r7 "What's wrong #1" — ~15 keys had
+# semantic fixes (c0f83b6, b8dd74b) land AFTER the r7 window froze, so
+# their driver rows predate their current answers; the policy's own
+# re-cert rule (above, #2 extended: changed keys re-certify) puts them
+# first. Remaining slots: drift re-certification of the OLDEST
+# surviving certifications — the r2 window's keys (last driver-checked
+# six rounds ago), minus those already re-certified in the r7 window
+# or covered by the changed-keys block.
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r7: new + changed-implementation keys (policy #2 and the
-    # --- re-cert rule). bucketed_join_agg is NEW (C3's persisted
-    # --- bucketBy half). embedding_group_centroid was r6's single red
-    # --- driver row — output re-shaped to exploded scalar rows (no
-    # --- top-level array column; the driver canonicalizer cannot sort
-    # --- list cells). stream_dedup_near_docs gained the band-bucket
-    # --- state cap. dedup_near_minhash / dedup_near_survivors /
-    # --- training_corpus_pipeline / stream_dedup_near_docs share the
-    # --- r7 JVM-xxhash64 MinHash signature stage (band hashes changed,
-    # --- so their LSH candidate sets must re-certify against the exact
-    # --- oracles). embedding_near_pairs / dedup_embedding_components
-    # --- run similar_pairs, which now auto-sizes n_blocks from a
-    # --- corpus scan. ---
-    "bucketed_join_agg",
-    "embedding_group_centroid",
-    "stream_dedup_near_docs",
-    "dedup_near_minhash",
-    "dedup_near_survivors",
-    "training_corpus_pipeline",
-    "embedding_near_pairs",
-    "dedup_embedding_components",
-    # --- r7 (late additions): the exact prefix-filter path now carries
-    # --- xxhash64(gram) ints through its inverted-index/candidate
-    # --- shuffles (strings only in the verify stage) — re-certify its
-    # --- three full-oracle consumers. ---
-    "dedup_near",
-    "dedup_incremental_batch",
-    "split_leakage_audit",
-    # --- rolling_1h_events' frame sum moved to exact integer cents
-    # --- (engine-order float drift fix) — output values can differ at
-    # --- old .xx5 boundaries, so it re-certifies. ---
-    "rolling_1h_events",
-    # --- drift re-certification (VERDICT r6 #7): the rotation program
-    # --- completed in r6 — every full-oracle key is certified in the
-    # --- r1-r6 union — so remaining slots re-certify the OLDEST
-    # --- certifications: the r1 window's full-oracle keys, last
-    # --- driver-checked six rounds ago (its 3 rows-only keys stay
-    # --- outside per policy #4). ---
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_local_supplier",
-    "q6_revenue_delta",
-    "scan_project_filter",
-    "q4_order_priority",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q7_volume_shipping",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_global_sales_opportunity",
-    "case_when_bucketing",
-    "null_handling",
-    "filter_in_list",
-    "join_orders_customer",
-    "left_join_customer_orders",
-    "full_outer_nation_presence",
-    "semi_join_customers",
-    "anti_join_customers",
-    "cross_join_region_status",
-    "distinct_users",
-    "agg_var_std",
-    "quantile_value",
-    "agg_collect",
-    "value_counts_events",
-    "rollup_nation_region",
-    "cube_segment_status",
-    "corr_price_qty",
-    "union_all_events_split",
-    "union_distinct",
-    "except_returned_items",
-    "intersect_nations",
-    "string_funcs_docs",
-    "argmin_argmax_orders",
-    "join_indicator",
+    # --- r8 block 1: keys whose ANSWERS changed after the r7 freeze
+    # --- (VERDICT r7 missing-#1 list, verbatim). asof fixes (atomic
+    # --- row-carry), thin-metastore raw-partition reads, hive-serde
+    # --- text path (+ r8's try_element_at/try_cast ANSI hardening),
+    # --- PII hit-count semantics, null-safe rebalance thresholds,
+    # --- span-dedup NULL rows, multimodal NULL/decode-once (+ r8's
+    # --- NULL-payload -> NULL sha_hex), quality grouped report,
+    # --- knn-join/range-join/interval/stratified engine-stability. ---
+    "asof_join_events",
+    "asof_join_tolerance",
+    "thin_metastore_scan",
+    "nations_per_region_csv",
+    "pii_redact_docs",
+    "corpus_rebalance_sources",
+    "corpus_rebalance_temperature",
+    "span_dedup_docs",
+    "multimodal_extract",
+    "multimodal_frame_sample",
+    "quality_report_by_status",
+    "knn_join_batch",
+    "range_join_banded",
+    "interval_overlap_pairs",
+    "stratified_sample_docs",
+    # --- r8 block 2: drift re-certification of the r2 window (oldest
+    # --- surviving driver rows), excluding keys above and keys already
+    # --- re-certified in the r7 window (dedup_near* family,
+    # --- training_corpus_pipeline, embedding_near_pairs,
+    # --- rolling_1h_events). Slots past 50 roll to the r9 window. ---
+    "python_datasource_scan",
+    "orc_roundtrip_agg",
+    "jsonl_roundtrip_agg",
+    "merge_upsert_orders",
+    "window_rank_orders",
+    "cumsum_orders",
+    "lag_lead_events",
+    "rolling_avg_value",
+    "topn_parts_per_brand",
+    "events_tumbling_1h",
+    "events_sliding",
+    "events_sessionize",
+    "range_join_events",
+    "stream_click_attribution",
+    "date_arithmetic",
+    "json_extract_props",
+    "map_funcs_props",
+    "array_funcs_embeddings",
+    "decimal_money_agg",
+    "pandas_udf_scalar",
+    "custom_agg_geomean",
+    "grouped_map_zscore",
+    "map_partitions_net_price",
+    "cogrouped_map_ratio",
+    "udtf_bigrams",
+    "dedup_exact",
+    "knn_cosine_topk",
+    "text_stats_docs",
+    "variant_extract_props",
+    "xml_parse_orders",
+    "lateral_top_lineitems",
+    "collated_distinct_words",
+    "train_test_split_docs",
+    "decontaminate_docs",
+    "quality_percentile_gate",
+    "stream_tumbling_1h",
+    "stream_dedup_users",
+    "stream_stateful_counts",
+    "stream_filter_to_parquet",
+    "python_stream_source_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

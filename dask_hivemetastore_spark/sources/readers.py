@@ -70,9 +70,16 @@ def read_delimited(
         fields = F.split(F.col("value"), _re.escape(sep), -1)
         cols = []
         for i, field_def in enumerate(schema.fields):
-            raw = F.element_at(fields, i + 1)
+            # try_element_at / try_cast, NOT element_at / cast: under
+            # Spark 4's default ANSI mode a short row (fewer fields than
+            # the declared schema) or an unparsable primitive would throw.
+            # LazySimpleSerDe NULL-pads short rows and NULLs malformed
+            # values, so ragged/dirty Hive text tables must read as NULLs.
+            raw = F.try_element_at(fields, F.lit(i + 1))
             val = F.when(raw == "\\N", F.lit(None)).otherwise(raw)
-            cols.append(val.cast(field_def.dataType).alias(field_def.name))
+            cols.append(
+                val.try_cast(field_def.dataType).alias(field_def.name)
+            )
         return lines.select(*cols)
     return (
         spark.read.options(sep=sep, header=str(header).lower())

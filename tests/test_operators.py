@@ -794,4 +794,6 @@ def test_check_grouped_reports_missing_expected_groups(spark):
     rows = {(r.g, r.rule): (r.violations, r.passed) for r in report}
     assert rows[("a", "min_rows(2)")] == (0, 1)
     assert rows[("b", "min_rows(2)")] == (2, 0)     # shortfall = threshold
-    assert rows[("b", "not_null(v)")][1] == 0       # failed, absent marker
+    # failed with NULL violations: no count exists for an absent group,
+    # and a -1 sentinel would skew downstream SUMs (r8 review)
+    assert rows[("b", "not_null(v)")] == (None, 0)

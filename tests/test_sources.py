@@ -532,3 +532,27 @@ def test_read_delimited_hive_serde_semantics(spark, tmp_path):
     got = {(r.a, r.b) for r in rows}
     assert got == {(None, "after_null"), ("", "after_empty"),
                    ('"quoted field', "rest")}, got
+
+
+def test_read_delimited_hive_serde_ragged_and_dirty(spark, tmp_path):
+    """LazySimpleSerDe NULL-pads short rows and NULLs unparsable
+    primitives. Under Spark 4's default ANSI mode element_at/cast on such
+    rows would THROW (INVALID_ARRAY_INDEX_IN_ELEMENT_AT / cast error), so
+    the reader must use try_element_at/try_cast (r8 advice — this is the
+    default metastore text-table path via metastore._read_leaf)."""
+    import os
+
+    from dask_hivemetastore_spark.sources.readers import read_delimited
+
+    loc = str(tmp_path / "hive_text_dirty")
+    os.makedirs(loc)
+    with open(os.path.join(loc, "part-0"), "w") as f:
+        f.write("1\x01x\x012.5\n")        # full row
+        f.write("2\n")                    # short row: b, c NULL-padded
+        f.write("oops\x01y\x01not_num\n")  # malformed ints/doubles -> NULL
+    rows = read_delimited(
+        spark, loc, [("a", "int"), ("b", "string"), ("c", "double")],
+        sep="\x01", hive_serde=True,
+    ).collect()
+    got = {(r.a, r.b, r.c) for r in rows}
+    assert got == {(1, "x", 2.5), (2, None, None), (None, "y", None)}, got
