@@ -1,0 +1,565 @@
+"""Differential query generator: random specs compiled to BOTH a Spark
+DataFrame plan and DuckDB oracle SQL (VERDICT r7 next-round #2).
+
+The 197 registered oracles are fixed point-checks; this module searches the
+semantic space BETWEEN them — NULL propagation, ties under LIMIT, float
+aggregation order, integer overflow paths, timezone/date edges — by
+generating random filter/projection/group-by/join/window/set-op specs over
+the testdata schemas and comparing engines through the same
+rows+schema+hash harness the driver uses (``oracle_harness.compare``).
+
+Design rules that keep every spec a TRUE oracle (no false mismatches):
+
+* every non-aggregate result is fully ordered (explicit NULLS FIRST/LAST
+  on both sides + a unique-key tiebreak) before LIMIT — ties can never
+  make row selection engine-dependent;
+* double-typed SUMs go through DECIMAL(18,2) accumulation on both sides
+  (exact, order-independent) and come back as DOUBLE;
+* integer SUMs are cast to BIGINT on both sides (DuckDB's HUGEINT would
+  otherwise fetch as float64);
+* AVG is generated as CAST(SUM AS DOUBLE)/COUNT — bit-identical double
+  division in both engines — never the engines' own AVG/ROUND (whose
+  half-even vs half-up edges are exactly what we do NOT want to paper
+  over in a *generator*; targeted tests own those);
+* NULLs are synthesized with NULLIF so NULL paths are exercised even on
+  fully-populated testdata columns.
+
+Generation is seeded ``random.Random`` — the corpus is deterministic per
+seed, so a discovered divergence reproduces forever with its seed number
+(hypothesis adds shrinking but not determinism-across-runs for a fixed
+corpus; a seed IS the minimal repro here).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# --------------------------------------------------------------------------
+# schema model
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TableModel:
+    name: str
+    int_cols: tuple[str, ...]          # integral, non-negative in testdata
+    float_cols: tuple[str, ...]        # doubles with ≤2 meaningful decimals
+    cat_cols: tuple[str, ...]          # low-cardinality strings
+    str_cols: tuple[str, ...]          # ascii-ish strings (safe to compare)
+    ts_cols: tuple[str, ...]
+    uniq: tuple[str, ...]              # minimal unique key (tiebreak)
+
+
+TABLES = {
+    "orders": TableModel(
+        "orders",
+        ("o_orderkey", "o_custkey"), ("o_totalprice",),
+        ("o_orderstatus", "o_orderpriority"), ("o_orderpriority",),
+        ("o_orderdate",), ("o_orderkey",),
+    ),
+    "lineitem": TableModel(
+        "lineitem",
+        ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        ("l_returnflag", "l_linestatus"), (),
+        ("l_shipdate",), ("l_orderkey", "l_linenumber"),
+    ),
+    "customer": TableModel(
+        "customer",
+        ("c_custkey", "c_nationkey"), ("c_acctbal",),
+        ("c_mktsegment",), ("c_name",), (), ("c_custkey",),
+    ),
+    "events": TableModel(
+        "events",
+        ("event_id", "user_id"), ("value",),
+        ("event_type",), (), ("ts",), ("event_id",),
+    ),
+    "documents": TableModel(
+        "documents",
+        ("doc_id", "n_chars"), (),
+        ("lang", "source"), (), (), ("doc_id",),
+    ),
+}
+
+# literal pools observed in the testdata generators (any value works for
+# correctness — these just keep filters selective enough to matter)
+CAT_VALUES = {
+    "o_orderstatus": ["O", "F", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                        "5-LOW"],
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["O", "F"],
+    "c_mktsegment": ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
+                     "FURNITURE"],
+    "event_type": ["click", "view", "purchase", "signup", "error"],
+    "lang": ["en", "de", "fr", "es", "zh"],
+    "source": ["src0", "src1", "src7", "src12", "src19"],
+}
+INT_LITERALS = [0, 1, 3, 7, 10, 100, 1000, 50000]
+FLOAT_LITERALS = [0.02, 0.05, 0.5, 5.0, 50.0, 900.0, 10000.0]
+
+
+# --------------------------------------------------------------------------
+# paired expression builders: every helper returns (spark Column, sql text)
+# --------------------------------------------------------------------------
+
+Pair = tuple[Column, str]
+
+
+def _col(name: str) -> Pair:
+    return F.col(name), name
+
+
+def _num_col(t: TableModel, rng: random.Random, allow_float=True) -> tuple[Pair, bool]:
+    """A numeric column pair; returns (pair, is_float)."""
+    pool = list(t.int_cols) + (list(t.float_cols) if allow_float else [])
+    c = rng.choice(pool)
+    return _col(c), c in t.float_cols
+
+
+def gen_scalar(t: TableModel, rng: random.Random) -> tuple[Pair, str]:
+    """A deterministic scalar projection expression; returns (pair, kind)."""
+    kind = rng.choice(
+        ["arith", "case", "string", "date", "nullif", "cast"]
+        if t.ts_cols else ["arith", "case", "string", "nullif", "cast"]
+    )
+    if kind == "arith":
+        (ca, sa), fa = _num_col(t, rng)
+        (cb, sb), fb = _num_col(t, rng)
+        op = rng.choice(["+", "-", "*"])
+        # double arithmetic is bit-identical across engines for the same
+        # two operands; only *accumulation order* diverges (handled in
+        # aggregates) — so raw +,-,* are safe here.
+        expr = {"+": ca + cb, "-": ca - cb, "*": ca * cb}[op]
+        if not fa and not fb:
+            # int*int can overflow int32/int64 differently: force BIGINT
+            return (expr.cast("long"),
+                    f"CAST({sa} {op} {sb} AS BIGINT)"), "int"
+        return (expr.cast("double"),
+                f"CAST(CAST({sa} AS DOUBLE) {op} CAST({sb} AS DOUBLE) "
+                "AS DOUBLE)"), "float"
+    if kind == "case":
+        cat = rng.choice(t.cat_cols)
+        vals = CAT_VALUES[cat]
+        v1, v2 = rng.sample(vals, 2)
+        expr = (F.when(F.col(cat) == v1, F.lit(1))
+                 .when(F.col(cat) == v2, F.lit(2))
+                 .otherwise(F.lit(0)).cast("int"))
+        sql = (f"CAST(CASE WHEN {cat} = '{v1}' THEN 1 "
+               f"WHEN {cat} = '{v2}' THEN 2 ELSE 0 END AS INT)")
+        return (expr, sql), "int"
+    if kind == "string":
+        pool = list(t.cat_cols) + list(t.str_cols)
+        c = rng.choice(pool)
+        f = rng.choice(["upper", "lower", "substr", "length", "concat"])
+        if f == "upper":
+            return (F.upper(F.col(c)), f"UPPER({c})"), "str"
+        if f == "lower":
+            return (F.lower(F.col(c)), f"LOWER({c})"), "str"
+        if f == "substr":
+            return (F.substring(F.col(c), 1, 4), f"SUBSTR({c}, 1, 4)"), "str"
+        if f == "length":
+            return (F.length(F.col(c)).cast("long"),
+                    f"CAST(LENGTH({c}) AS BIGINT)"), "int"
+        return (F.concat(F.col(c), F.lit("_x")), f"{c} || '_x'"), "str"
+    if kind == "date":
+        c = rng.choice(t.ts_cols)
+        f = rng.choice(["year", "month", "trunc_month", "trunc_day"])
+        if f == "year":
+            return (F.year(c).cast("long"),
+                    f"CAST(EXTRACT(year FROM {c}) AS BIGINT)"), "int"
+        if f == "month":
+            return (F.month(c).cast("long"),
+                    f"CAST(EXTRACT(month FROM {c}) AS BIGINT)"), "int"
+        unit = "month" if f == "trunc_month" else "day"
+        return (F.date_trunc(unit, F.col(c)).cast("timestamp_ntz"),
+                f"date_trunc('{unit}', {c})"), "ts"
+    if kind == "nullif":
+        cat = rng.choice(t.cat_cols)
+        v = rng.choice(CAT_VALUES[cat])
+        inner = (F.nullif(F.col(cat), F.lit(v)), f"NULLIF({cat}, '{v}')")
+        if rng.random() < 0.5:
+            return inner, "str"
+        return (F.coalesce(inner[0], F.lit("<null>")),
+                f"COALESCE({inner[1]}, '<null>')"), "str"
+    # cast: int -> double and float -> bigint truncation edges
+    (c, s), is_f = _num_col(t, rng)
+    if is_f:
+        # CAST(double AS BIGINT) truncates toward zero in both engines
+        return (c.cast("long"), f"CAST({s} AS BIGINT)"), "int"
+    return (c.cast("double"), f"CAST({s} AS DOUBLE)"), "float"
+
+
+def gen_predicate(t: TableModel, rng: random.Random) -> Pair:
+    kind = rng.choice(["cmp", "between", "in", "like", "null", "compound"])
+    if kind == "cmp":
+        (c, s), is_f = _num_col(t, rng)
+        lit = rng.choice(FLOAT_LITERALS if is_f else INT_LITERALS)
+        op = rng.choice([">", "<", ">=", "<=", "<>"])
+        expr = {">": c > lit, "<": c < lit, ">=": c >= lit,
+                "<=": c <= lit, "<>": c != lit}[op]
+        return expr, f"{s} {op} {lit}"
+    if kind == "between":
+        (c, s), is_f = _num_col(t, rng)
+        lits = sorted(rng.sample(FLOAT_LITERALS if is_f else INT_LITERALS, 2))
+        return c.between(lits[0], lits[1]), f"{s} BETWEEN {lits[0]} AND {lits[1]}"
+    if kind == "in":
+        cat = rng.choice(t.cat_cols)
+        pool = CAT_VALUES[cat]
+        vals = rng.sample(pool, min(len(pool), rng.randint(1, 3)))
+        quoted = ", ".join(f"'{v}'" for v in vals)
+        expr = F.col(cat).isin(vals)
+        if rng.random() < 0.3:
+            return ~expr, f"{cat} NOT IN ({quoted})"
+        return expr, f"{cat} IN ({quoted})"
+    if kind == "like":
+        cat = rng.choice(t.cat_cols)
+        v = rng.choice(CAT_VALUES[cat])
+        pat = v[:2] + "%" if rng.random() < 0.5 else "%" + v[-2:]
+        return F.col(cat).like(pat), f"{cat} LIKE '{pat}'"
+    if kind == "null":
+        cat = rng.choice(t.cat_cols)
+        v = rng.choice(CAT_VALUES[cat])
+        inner_c, inner_s = F.nullif(F.col(cat), F.lit(v)), f"NULLIF({cat}, '{v}')"
+        if rng.random() < 0.5:
+            return inner_c.isNull(), f"{inner_s} IS NULL"
+        return inner_c.isNotNull(), f"{inner_s} IS NOT NULL"
+    # compound
+    a_c, a_s = gen_predicate(t, rng)
+    b_c, b_s = gen_predicate(t, rng)
+    if rng.random() < 0.5:
+        return a_c & b_c, f"({a_s}) AND ({b_s})"
+    return a_c | b_c, f"({a_s}) OR ({b_s})"
+
+
+def gen_agg(t: TableModel, rng: random.Random, alias: str) -> tuple[Column, str]:
+    """One aggregate, aliased identically on both sides."""
+    kind = rng.choice(
+        ["count_star", "count_col", "count_distinct", "sum_int",
+         "sum_float", "min", "max", "avg_int", "count_nullable"]
+    )
+    if kind == "count_star":
+        return (F.count(F.lit(1)).alias(alias),
+                f"COUNT(*) AS {alias}")
+    if kind == "count_col":
+        (c, s), _ = _num_col(t, rng)
+        return F.count(c).alias(alias), f"COUNT({s}) AS {alias}"
+    if kind == "count_nullable":
+        cat = rng.choice(t.cat_cols)
+        v = rng.choice(CAT_VALUES[cat])
+        return (F.count(F.nullif(F.col(cat), F.lit(v))).alias(alias),
+                f"COUNT(NULLIF({cat}, '{v}')) AS {alias}")
+    if kind == "count_distinct":
+        c = rng.choice(list(t.cat_cols) + list(t.int_cols))
+        return (F.countDistinct(F.col(c)).alias(alias),
+                f"COUNT(DISTINCT {c}) AS {alias}")
+    if kind == "sum_int" or (kind == "sum_float" and not t.float_cols):
+        c = rng.choice(t.int_cols)
+        return (F.sum(c).cast("long").alias(alias),
+                f"CAST(SUM({c}) AS BIGINT) AS {alias}")
+    if kind == "sum_float":
+        c = rng.choice(t.float_cols)
+        # DECIMAL accumulation: exact and order-independent on both sides
+        return (F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
+                .alias(alias),
+                f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}")
+    if kind == "avg_int":
+        c = rng.choice(t.int_cols)
+        return ((F.sum(c).cast("double") / F.count(c)).alias(alias),
+                f"CAST(SUM({c}) AS DOUBLE) / COUNT({c}) AS {alias}")
+    (c, s), is_f = _num_col(t, rng)
+    fn = F.min if kind == "min" else F.max
+    return (fn(c).alias(alias), f"{kind.upper()}({s}) AS {alias}")
+
+
+def _group_key(t: TableModel, rng: random.Random, alias: str) -> tuple[Column, str, str]:
+    """A grouping key: cat col, int-mod bucket, or year(ts)."""
+    choices = ["cat", "mod"] + (["year"] if t.ts_cols else [])
+    kind = rng.choice(choices)
+    if kind == "cat":
+        c = rng.choice(t.cat_cols)
+        return F.col(c).alias(alias), f"{c} AS {alias}", c
+    if kind == "mod":
+        c = rng.choice(t.int_cols)
+        k = rng.choice([2, 5, 10])
+        return ((F.col(c) % k).cast("long").alias(alias),
+                f"CAST({c} % {k} AS BIGINT) AS {alias}", f"{c} % {k}")
+    c = rng.choice(t.ts_cols)
+    return (F.year(c).cast("long").alias(alias),
+            f"CAST(EXTRACT(year FROM {c}) AS BIGINT) AS {alias}",
+            f"EXTRACT(year FROM {c})")
+
+
+def _order_clause(cols_sql: list[str], dirs: list[str]) -> str:
+    parts = []
+    for s, d in zip(cols_sql, dirs):
+        nulls = "NULLS FIRST" if d == "ASC" else "NULLS LAST"
+        parts.append(f"{s} {d} {nulls}")
+    return ", ".join(parts)
+
+
+def _spark_order(df_cols: list[str], dirs: list[str]) -> list[Column]:
+    out = []
+    for name, d in zip(df_cols, dirs):
+        c = F.col(name)
+        out.append(c.asc_nulls_first() if d == "ASC" else c.desc_nulls_last())
+    return out
+
+
+# --------------------------------------------------------------------------
+# spec shapes
+# --------------------------------------------------------------------------
+
+@dataclass
+class Spec:
+    seed: int
+    description: str
+    build: Callable[[dict], DataFrame]   # tables dict -> DataFrame
+    sql: str
+
+
+def _projection_spec(rng: random.Random, seed: int) -> Spec:
+    t = TABLES[rng.choice(list(TABLES))]
+    n_proj = rng.randint(1, 3)
+    pairs = [gen_scalar(t, rng) for _ in range(n_proj)]
+    aliases = [f"e{i}" for i in range(n_proj)]
+    preds = [gen_predicate(t, rng) for _ in range(rng.randint(0, 2))]
+    limit = rng.choice([10, 50, 100])
+    # deterministic full order: projected exprs then the unique key
+    dirs = [rng.choice(["ASC", "DESC"]) for _ in range(n_proj + len(t.uniq))]
+
+    sel_sql = ", ".join(f"{s} AS {a}" for (_, s), a in
+                        zip([p[0] for p in pairs], aliases))
+    uniq_sql = ", ".join(f"{u} AS u{i}" for i, u in enumerate(t.uniq))
+    uniq_aliases = [f"u{i}" for i in range(len(t.uniq))]
+    where = (" WHERE " + " AND ".join(f"({s})" for _, s in
+                                      [p for p in preds]) if preds else "")
+    order = _order_clause(aliases + uniq_aliases, dirs)
+    sql = (f"SELECT {sel_sql}, {uniq_sql} FROM {t.name}{where} "
+           f"ORDER BY {order} LIMIT {limit}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name]
+        for c, _ in preds:
+            df = df.where(c)
+        cols = [p[0][0].alias(a) for p, a in zip(pairs, aliases)]
+        cols += [F.col(u).alias(f"u{i}") for i, u in enumerate(t.uniq)]
+        df = df.select(*cols)
+        return df.orderBy(*_spark_order(aliases + uniq_aliases, dirs)).limit(limit)
+
+    # NOTE: predicates are applied to the SAME (col, sql) pairs, so the
+    # filtered set matches by construction; determinism comes from the
+    # unique-key suffix in the ORDER BY.
+    return Spec(seed, f"projection over {t.name}", build, sql)
+
+
+def _groupby_spec(rng: random.Random, seed: int) -> Spec:
+    t = TABLES[rng.choice(list(TABLES))]
+    n_keys = rng.randint(1, 2)
+    keys = [_group_key(t, rng, f"k{i}") for i in range(n_keys)]
+    n_aggs = rng.randint(1, 3)
+    aggs = [gen_agg(t, rng, f"a{i}") for i in range(n_aggs)]
+    preds = [gen_predicate(t, rng) for _ in range(rng.randint(0, 2))]
+    having = rng.random() < 0.3
+
+    key_sel = ", ".join(s for _, s, _ in keys)
+    key_grp = ", ".join(g for _, _, g in keys)
+    agg_sel = ", ".join(s for _, s in aggs)
+    where = (" WHERE " + " AND ".join(f"({s})" for _, s in preds)
+             if preds else "")
+    hav = " HAVING COUNT(*) > 1" if having else ""
+    sql = (f"SELECT {key_sel}, {agg_sel} FROM {t.name}{where} "
+           f"GROUP BY {key_grp}{hav}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name]
+        for c, _ in preds:
+            df = df.where(c)
+        grouped = df.groupBy(*[c for c, _, _ in keys])
+        agg_cols = [c for c, _ in aggs]
+        if having:
+            # HAVING inside the same aggregation (a semi-join re-compute
+            # would drop NULL-keyed groups via null-unsafe equality)
+            out = grouped.agg(*agg_cols,
+                              F.count(F.lit(1)).alias("__having_cnt"))
+            return out.where(F.col("__having_cnt") > 1).drop("__having_cnt")
+        return grouped.agg(*agg_cols)
+
+    return Spec(seed, f"groupBy over {t.name}", build, sql)
+
+
+_JOINS = [
+    # (left, right, left_key, right_key)
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+]
+
+
+def _join_spec(rng: random.Random, seed: int) -> Spec:
+    lname, rname, lk, rk = rng.choice(_JOINS)
+    lt = TABLES.get(lname)
+    how = rng.choice(["inner", "left"])
+    preds = [gen_predicate(lt, rng) for _ in range(rng.randint(0, 1))]
+    # aggregate over the join so output stays small; count the nullable
+    # right key to exercise left-join NULL propagation
+    where = (" WHERE " + " AND ".join(f"({s})" for _, s in preds)
+             if preds else "")
+    joinw = "JOIN" if how == "inner" else "LEFT JOIN"
+    sql = (f"SELECT COUNT(*) AS n_rows, COUNT(r.{rk}) AS n_matched, "
+           f"COUNT(DISTINCT l.{lk}) AS n_keys "
+           f"FROM {lname} l {joinw} {rname} r ON l.{lk} = r.{rk}{where}")
+
+    def build(tabs: dict) -> DataFrame:
+        left, right = tabs[lname], tabs[rname]
+        for c, _ in preds:
+            left = left.where(c)
+        j = left.join(right, left[lk] == right[rk], how)
+        return j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(right[rk]).alias("n_matched"),
+            F.countDistinct(left[lk]).alias("n_keys"),
+        )
+
+    return Spec(seed, f"{how} join {lname}x{rname}", build, sql)
+
+
+def _semi_anti_spec(rng: random.Random, seed: int) -> Spec:
+    lname, rname, lk, rk = rng.choice(_JOINS)
+    rt = TABLES.get(rname)
+    anti = rng.random() < 0.5
+    rpred_c, rpred_s = (gen_predicate(rt, rng) if rt and rng.random() < 0.7
+                        else (None, None))
+    ex = "NOT EXISTS" if anti else "EXISTS"
+    inner_where = f" AND ({rpred_s})" if rpred_s else ""
+    sql = (f"SELECT COUNT(*) AS n, CAST(SUM({lk}) AS BIGINT) AS key_sum "
+           f"FROM {lname} l WHERE {ex} (SELECT 1 FROM {rname} r "
+           f"WHERE r.{rk} = l.{lk}{inner_where})")
+
+    def build(tabs: dict) -> DataFrame:
+        left, right = tabs[lname], tabs[rname]
+        if rpred_c is not None:
+            right = right.where(rpred_c)
+        j = left.join(right, left[lk] == right[rk],
+                      "left_anti" if anti else "left_semi")
+        return j.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(lk).cast("long").alias("key_sum"))
+
+    return Spec(seed, f"{'anti' if anti else 'semi'} {lname}~{rname}", build, sql)
+
+
+def _setop_spec(rng: random.Random, seed: int) -> Spec:
+    t = TABLES[rng.choice(["orders", "customer", "events", "documents"])]
+    op = rng.choice(["UNION ALL", "UNION", "EXCEPT", "INTERSECT"])
+    p1c, p1s = gen_predicate(t, rng)
+    p2c, p2s = gen_predicate(t, rng)
+    cat = rng.choice(t.cat_cols)
+    uniq0 = t.uniq[0]
+    branch = f"SELECT {uniq0} AS id, {cat} AS c FROM {t.name} WHERE "
+    sql = (f"SELECT COUNT(*) AS n, COUNT(DISTINCT c) AS nc FROM "
+           f"({branch}{p1s} {op} {branch}{p2s})")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name]
+        a = df.where(p1c).select(F.col(uniq0).alias("id"), F.col(cat).alias("c"))
+        b = df.where(p2c).select(F.col(uniq0).alias("id"), F.col(cat).alias("c"))
+        if op == "UNION ALL":
+            u = a.unionByName(b)
+        elif op == "UNION":
+            u = a.unionByName(b).distinct()
+        elif op == "EXCEPT":
+            u = a.subtract(b)
+        else:
+            u = a.intersect(b)
+        return u.agg(F.count(F.lit(1)).alias("n"),
+                     F.countDistinct("c").alias("nc"))
+
+    return Spec(seed, f"{op} over {t.name}", build, sql)
+
+
+def _window_spec(rng: random.Random, seed: int) -> Spec:
+    from pyspark.sql import Window
+
+    t = TABLES[rng.choice(["orders", "customer", "events", "lineitem"])]
+    part = rng.choice(t.cat_cols)
+    (oc, osql), is_f = _num_col(t, rng)
+    fn = rng.choice(["row_number", "rank", "dense_rank", "lag", "lead", "cumsum"])
+    pred_c, pred_s = gen_predicate(t, rng)
+    limit = 100
+    uniq_sql = ", ".join(t.uniq)
+    uniq_aliases = [f"u{i}" for i in range(len(t.uniq))]
+    uniq_sel = ", ".join(f"{u} AS u{i}" for i, u in enumerate(t.uniq))
+    # window order: value ASC NULLS FIRST + unique key (fully deterministic)
+    win_order_sql = f"{osql} ASC NULLS FIRST, {uniq_sql}"
+
+    if fn in ("row_number", "rank", "dense_rank"):
+        wexpr_sql = f"{fn}() OVER (PARTITION BY {part} ORDER BY {win_order_sql})"
+        out_cast = "BIGINT"
+    elif fn in ("lag", "lead"):
+        wexpr_sql = (f"{fn}({osql}, 1) OVER "
+                     f"(PARTITION BY {part} ORDER BY {win_order_sql})")
+        out_cast = "DOUBLE" if is_f else "BIGINT"
+    else:  # cumsum with exact decimal accumulation
+        inner = f"CAST({osql} AS DECIMAL(18,2))" if is_f else osql
+        wexpr_sql = (f"SUM({inner}) OVER (PARTITION BY {part} "
+                     f"ORDER BY {win_order_sql} "
+                     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        out_cast = "DOUBLE" if is_f else "BIGINT"
+
+    sql = (f"SELECT {part} AS p, {uniq_sel}, CAST({wexpr_sql} AS {out_cast}) AS w "
+           f"FROM {t.name} WHERE {pred_s} "
+           f"ORDER BY p ASC NULLS FIRST, "
+           + ", ".join(f"{a} ASC NULLS FIRST" for a in uniq_aliases)
+           + f" LIMIT {limit}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].where(pred_c)
+        w = Window.partitionBy(part).orderBy(
+            oc.asc_nulls_first(), *[F.col(u).asc() for u in t.uniq]
+        )
+        if fn == "row_number":
+            wc = F.row_number().over(w)
+        elif fn == "rank":
+            wc = F.rank().over(w)
+        elif fn == "dense_rank":
+            wc = F.dense_rank().over(w)
+        elif fn in ("lag", "lead"):
+            wc = (F.lag if fn == "lag" else F.lead)(oc, 1).over(w)
+        else:
+            inner = oc.cast("decimal(18,2)") if is_f else oc
+            wc = F.sum(inner).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        spark_cast = {"BIGINT": "long", "DOUBLE": "double"}[out_cast]
+        out = df.select(
+            F.col(part).alias("p"),
+            *[F.col(u).alias(f"u{i}") for i, u in enumerate(t.uniq)],
+            wc.cast(spark_cast).alias("w"),
+        )
+        order = [F.col("p").asc_nulls_first()] + [
+            F.col(a).asc_nulls_first() for a in uniq_aliases
+        ]
+        return out.orderBy(*order).limit(limit)
+
+    return Spec(seed, f"{fn} window over {t.name}", build, sql)
+
+
+_SHAPES = [
+    (_projection_spec, 3),
+    (_groupby_spec, 3),
+    (_join_spec, 2),
+    (_semi_anti_spec, 2),
+    (_setop_spec, 2),
+    (_window_spec, 2),
+]
+_SHAPE_POOL = [fn for fn, w in _SHAPES for _ in range(w)]
+
+
+def make_spec(seed: int) -> Spec:
+    rng = random.Random(seed)
+    shape = rng.choice(_SHAPE_POOL)
+    return shape(rng, seed)
