@@ -404,3 +404,100 @@ def test_band_bucket_cap_bounds_state_and_pairs(spark):
     out2 = list(fn((0, 0), [pd.DataFrame({"doc_id": [2, 20, 21, 22, 23]})], st))
     assert out2 == []
     assert st.get == ([0, 1, 2, 3], 10)
+
+
+def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
+    """I4 hardening (VERDICT r7 #3): a watermarked streaming aggregation
+    STOPPED after its first micro-batch and RESTARTED from the same
+    checkpoint must finish with exactly the batch answer — state restores
+    from the checkpoint, already-seen files are not reprocessed, new files
+    are (exactly-once across restart).
+
+    Mechanics: the events table is split into 4 parquet files; phase 1
+    drains a source directory holding only 2 of them (availableNow), then
+    the query stops. The remaining files land and phase 2 restarts the
+    SAME plan on the SAME checkpoint under a new memory-sink name. If
+    offset tracking failed the phase-2 answer would double-count files
+    1-2; if state recovery failed it would cover only files 3-4."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+
+    stage = str(tmp_path / "stage")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    ev.repartition(4).write.parquet(stage)
+    parts = sorted(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    for f in parts[:2]:
+        shutil.copy(os.path.join(stage, f), os.path.join(src, f))
+
+    schema = spark.read.parquet(stage).schema
+
+    def start(name: str):
+        agg = (
+            spark.readStream.schema(schema).parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+                "n_events",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return spark.table(name)
+
+    partial = start("ckpt_rec_p1").collect()
+
+    full_batch = (
+        spark.read.parquet(stage)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    )
+    # phase 1 genuinely saw only half the input
+    assert sum(r.n_events for r in partial) < sum(r.n_events for r in full_batch)
+
+    for f in parts[2:]:
+        shutil.copy(os.path.join(stage, f), os.path.join(src, f))
+    recovered = start("ckpt_rec_p2").collect()
+
+    def key(rows):
+        return sorted((r.h, r.n_events) for r in rows)
+
+    assert key(recovered) == key(full_batch)
+    # exactly-once on the summed values too (same Spark-side rounding op,
+    # but accumulation ORDER differs stream-vs-batch — compare at 1e-6)
+    got = {r.h: r.total_value for r in recovered}
+    want = {r.h: r.total_value for r in full_batch}
+    assert all(abs(got[h] - want[h]) < 1e-6 for h in want)
