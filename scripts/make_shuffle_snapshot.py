@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Record the shuffle-volume snapshot that tests/test_shuffle_budget.py
+gates against (VERDICT r7 next-round #4).
+
+Profiles every BATCH registry query at the correctness scale (sf0.01)
+under the test-suite session config (shuffle_partitions=8 — shuffle
+BYTES depend on partition count via per-partition compression framing,
+so snapshot and replay must match), keeps the 20 heaviest by shuffle
+bytes, and writes ``tests/shuffle_snapshot.json``.
+
+Streaming keys are skipped: their returned DataFrame is a memory-sink
+table scan whose executed plan carries none of the stream's shuffles.
+
+Re-run + commit the snapshot ONLY when a deliberate plan change moves a
+pinned query's volume (the test failure message says which and by how
+much); an unexplained move is the regression the gate exists to catch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = "/root/testdata/sf0.01"
+TOP_N = 20
+
+
+def main() -> None:
+    from plan_metrics import shuffle_profile
+
+    from dask_hivemetastore_spark import plans
+    from dask_hivemetastore_spark.session import get_spark
+
+    spark = get_spark(app_name="shuffle-snapshot", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    profiles: dict[str, dict[str, int]] = {}
+    for key, fn in plans.QUERIES.items():
+        if "stream" in key:
+            continue
+        try:
+            profiles[key] = shuffle_profile(fn(spark, SF_DIR))
+        except Exception as exc:  # noqa: BLE001 — diagnostic tool
+            print(f"skip {key}: {type(exc).__name__}: {exc}", file=sys.stderr)
+            continue
+        print(json.dumps({"query": key, **profiles[key]}), flush=True)
+
+    top = dict(
+        sorted(profiles.items(), key=lambda kv: -kv[1]["shuffle_bytes"])[:TOP_N]
+    )
+    out = {
+        "sf_dir": SF_DIR,
+        "shuffle_partitions": 8,
+        "queries": top,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "tests", "shuffle_snapshot.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"\nwrote {path} with top {len(top)} by shuffle bytes")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,17 +41,30 @@ def main() -> None:
     spark = get_spark(app_name="perf-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from plan_metrics import shuffle_profile
+
     times: dict[str, float] = {}
+    shuffles: dict[str, dict[str, int]] = {}
     t_all = time.perf_counter()
     for key, fn in plans.QUERIES.items():
-        fn(spark, sf_dir).count()  # untimed warm rep
+        # The untimed warm rep doubles as the shuffle-metrics rep (r8,
+        # VERDICT r7 #4): collect() attaches SQLMetrics to the plan it
+        # executes, which count() would not. Timing methodology (timed
+        # rep = count, after one warm rep) is unchanged from r5.
+        try:
+            shuffles[key] = shuffle_profile(fn(spark, sf_dir))
+        except Exception:  # noqa: BLE001 — warm rep must never kill a sweep
+            fn(spark, sf_dir).count()
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         times[key] = round(time.perf_counter() - t0, 3)
-        print(json.dumps({"query": key, "sec": times[key]}), flush=True)
+        print(json.dumps({"query": key, "sec": times[key],
+                          **shuffles.get(key, {})}), flush=True)
     total = round(time.perf_counter() - t_all, 1)
 
-    out = {"sf_dir": sf_dir, "total_sec": total, "n": len(times), "queries": times}
+    out = {"sf_dir": sf_dir, "total_sec": total, "n": len(times),
+           "queries": times, "shuffle": shuffles}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PERF_sweep.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -1,0 +1,64 @@
+"""Executed-plan shuffle metrics (VERDICT r7 next-round #4).
+
+The registry-wide plan audit (``scripts/plan_audit.py``) greps operator
+TREES — it cannot see a shuffle-VOLUME regression that keeps the same
+operators (e.g. a filter that stops pushing below an exchange quietly
+10×es the shuffled rows). This module reads the actual SQLMetrics off an
+executed plan: total shuffle bytes/records written and the number of
+ShuffleExchange nodes, exactly what the Spark UI's SQL tab shows.
+
+Used by ``scripts/perf_sweep.py`` (sweep JSON carries bytes per query) and
+``tests/test_shuffle_budget.py`` (pins the top-shuffling queries against a
+committed snapshot at ±50%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_METRIC_KEYS = ("shuffleBytesWritten", "shuffleRecordsWritten")
+
+
+def _walk(p, nodes: list) -> None:
+    nodes.append(p)
+    cname = p.getClass().getSimpleName()
+    if cname == "AdaptiveSparkPlanExec":
+        _walk(p.executedPlan(), nodes)
+        return
+    if cname.endswith("QueryStageExec"):
+        _walk(p.plan(), nodes)
+        return
+    if cname == "ReusedExchangeExec":
+        # metrics live on (and are already counted at) the original
+        return
+    it = p.children().iterator()
+    while it.hasNext():
+        _walk(it.next(), nodes)
+
+
+def shuffle_profile(df: DataFrame) -> dict[str, int]:
+    """Execute ``df`` and return its shuffle totals.
+
+    Runs ``collect()`` (metrics attach to THIS QueryExecution — an
+    action like ``count()`` would execute a different wrapped plan and
+    leave these metrics zero), then folds SQLMetrics over the final
+    adaptive plan. Only call on bounded results.
+    """
+    df.collect()
+    nodes: list = []
+    _walk(df._jdf.queryExecution().executedPlan(), nodes)
+    out = {"n_shuffles": 0, "shuffle_bytes": 0, "shuffle_records": 0}
+    for n in nodes:
+        cname = n.getClass().getSimpleName()
+        is_exchange = cname == "ShuffleExchangeExec"
+        if is_exchange:
+            out["n_shuffles"] += 1
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            name = kv._1()
+            if name == "shuffleBytesWritten":
+                out["shuffle_bytes"] += kv._2().value()
+            elif name == "shuffleRecordsWritten":
+                out["shuffle_records"] += kv._2().value()
+    return out
