@@ -86,6 +86,13 @@ _CERTIFICATION_PRIORITY = [
     "range_join_banded",
     "interval_overlap_pairs",
     "stratified_sample_docs",
+    # --- r8 hostile-corpus finds (tests/test_hostile_corpus.py): four
+    # --- NULL-text semantic divergences fixed this round (pii concat
+    # --- NULL-propagation, chunker size(NULL), span-dedup row drop,
+    # --- multimodal NULL-feature contract) — the three keys above
+    # --- already in this block re-certify anyway; doc_chunk_windows
+    # --- joins them. ---
+    "doc_chunk_windows",
     # --- r8 block 2: drift re-certification of the r2 window (oldest
     # --- surviving driver rows), excluding keys above and keys already
     # --- re-certified in the r7 window (dedup_near* family,

@@ -486,10 +486,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_extract",
     oracle="""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text)                               AS sha_hex,
-           ascii(substr(text, 1, 1)) + 1              AS fake_w,
-           ascii(substr(text, 2, 1)) + 1              AS fake_h
+           CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
+           sha256(text)                                 AS sha_hex,
+           CAST(COALESCE(CAST('0x' || NULLIF(substr(hex(encode(text)), 1, 2),
+                                             '') AS INT) + 1, 1) AS INT)
+               AS fake_w,
+           CAST(COALESCE(CAST('0x' || NULLIF(substr(hex(encode(text)), 3, 2),
+                                             '') AS INT) + 1, 1) AS INT)
+               AS fake_h
     FROM documents
     """,
 )
@@ -497,7 +501,11 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5 multimodal plumbing: attach a binary payload + metadata struct,
     then mapInPandas feature extraction (bytes → length/sha/pseudo-decode).
     The oracle recomputes the same features from the text the payload
-    encodes. Real decoders are stubbed (operators/multimodal.py)."""
+    encodes — reading payload BYTES via hex(encode(text)), not codepoints
+    (identical on ASCII, divergent on CJK/emoji — r8 hostile-corpus find),
+    with the NULL-payload degrade contract (n_bytes 0, dims 1×1, NULL sha)
+    spelled out in COALESCEs. Real decoders are stubbed
+    (operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     with_payload = multimodal.attach_binary_payload(docs)
     return multimodal.extract_features(with_payload, "doc_id")
@@ -743,8 +751,9 @@ def token_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_chunk_windows",
     oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
-                      len(string_split(text, ' ')) AS n
+    WITH w AS (SELECT doc_id,
+                      string_split(COALESCE(text, ''), ' ') AS words,
+                      len(string_split(COALESCE(text, ''), ' ')) AS n
                FROM documents WHERE doc_id % 17 = 0),
     c AS (SELECT doc_id, words,
                  unnest(range(0, 1 + CAST(CEIL(GREATEST(n - 64, 0) / 48.0)
@@ -769,8 +778,15 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/dedup.py:with_word_ngrams)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # NULL text normalizes to '' on BOTH sides (oracle COALESCEs too):
+    # Spark's size(NULL)=-1 / concat_ws-'' vs DuckDB's GREATEST-skips-NULL
+    # otherwise produce ''-vs-NULL chunk_text (r8 hostile-corpus find), and
+    # a chunker must not drop/null a doc because its text is NULL.
     words = (
-        docs.select("doc_id", F.split("text", " ").alias("words"))
+        docs.select(
+            "doc_id",
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("words"),
+        )
         .repartition(nparts)
         .withColumn("n", F.size("words"))
     )
@@ -1336,7 +1352,11 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@example.com or 555-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
             F.lit(" ssn 123-45-6789 "),
-            F.substring("text", 1, 40),
+            # coalesce BEFORE concat: Spark's concat NULL-propagates while
+            # DuckDB's CONCAT skips NULL args, so a NULL-text doc would
+            # otherwise lose its entire planted row Spark-side only
+            # (r8 hostile-corpus find)
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
         ).alias("text"),
     )
     return text.pii_redact(docs).select(
@@ -1508,7 +1528,8 @@ def interleave_sources_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "span_dedup_docs",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH t AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+               FROM documents),
     chunks AS (
         SELECT doc_id, i AS ci, array_to_string(ws[i*8+1 : i*8+8], ' ') AS chunk
         FROM t, UNNEST(range(CAST(ceil(len(ws)/8.0) AS BIGINT))) AS u(i)
