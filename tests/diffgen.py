@@ -189,8 +189,11 @@ def gen_scalar(t: TableModel, rng: random.Random) -> tuple[Pair, str]:
     # cast: int -> double and float -> bigint truncation edges
     (c, s), is_f = _num_col(t, rng)
     if is_f:
-        # CAST(double AS BIGINT) truncates toward zero in both engines
-        return (c.cast("long"), f"CAST({s} AS BIGINT)"), "int"
+        # DIALECT TRAP (found by this fuzzer, seeds 287/296): Spark's
+        # CAST(double AS BIGINT) truncates toward zero, DuckDB's ROUNDS
+        # to nearest — an oracle must write CAST(trunc(x) AS BIGINT) to
+        # mean what the Spark side computes.
+        return (c.cast("long"), f"CAST(trunc({s}) AS BIGINT)"), "int"
     return (c.cast("double"), f"CAST({s} AS DOUBLE)"), "float"
 
 
@@ -548,6 +551,75 @@ def _window_spec(rng: random.Random, seed: int) -> Spec:
     return Spec(seed, f"{fn} window over {t.name}", build, sql)
 
 
+def _distinct_spec(rng: random.Random, seed: int) -> Spec:
+    """SELECT DISTINCT over low-cardinality expressions — dedup semantics
+    incl. NULL-as-a-value (one NULL row survives in both engines)."""
+    t = TABLES[rng.choice(list(TABLES))]
+    cat = rng.choice(t.cat_cols)
+    v = rng.choice(CAT_VALUES[cat])
+    kc, ks, _ = _group_key(t, rng, "k")
+    pred_c, pred_s = gen_predicate(t, rng)
+    sql = (f"SELECT DISTINCT NULLIF({cat}, '{v}') AS c, {ks} "
+           f"FROM {t.name} WHERE {pred_s}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].where(pred_c)
+        return df.select(
+            F.nullif(F.col(cat), F.lit(v)).alias("c"), kc
+        ).distinct()
+
+    return Spec(seed, f"distinct over {t.name}", build, sql)
+
+
+def _offset_spec(rng: random.Random, seed: int) -> Spec:
+    """LIMIT/OFFSET pagination over a fully-ordered projection — page
+    boundaries are where tie/NULL-order bugs become row-content bugs."""
+    t = TABLES[rng.choice(list(TABLES))]
+    (oc, osql), _ = _num_col(t, rng)
+    off = rng.choice([1, 7, 23, 50])
+    lim = rng.choice([10, 25])
+    d = rng.choice(["ASC", "DESC"])
+    nulls = "NULLS FIRST" if d == "ASC" else "NULLS LAST"
+    uniq_sel = ", ".join(f"{u} AS u{i}" for i, u in enumerate(t.uniq))
+    uniq_aliases = [f"u{i}" for i in range(len(t.uniq))]
+    order_tail = ", ".join(f"{a} ASC NULLS FIRST" for a in uniq_aliases)
+    sql = (f"SELECT {osql} AS v, {uniq_sel} FROM {t.name} "
+           f"ORDER BY v {d} {nulls}, {order_tail} "
+           f"LIMIT {lim} OFFSET {off}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].select(
+            oc.alias("v"),
+            *[F.col(u).alias(f"u{i}") for i, u in enumerate(t.uniq)],
+        )
+        first = (F.col("v").asc_nulls_first() if d == "ASC"
+                 else F.col("v").desc_nulls_last())
+        order = [first] + [F.col(a).asc_nulls_first() for a in uniq_aliases]
+        return df.orderBy(*order).offset(off).limit(lim)
+
+    return Spec(seed, f"offset pagination over {t.name}", build, sql)
+
+
+def _null_group_spec(rng: random.Random, seed: int) -> Spec:
+    """GROUP BY a NULLIF-wrapped key: both engines must produce exactly one
+    NULL group, and aggregates over it must agree."""
+    t = TABLES[rng.choice(list(TABLES))]
+    cat = rng.choice(t.cat_cols)
+    v = rng.choice(CAT_VALUES[cat])
+    aggs = [gen_agg(t, rng, f"a{i}") for i in range(rng.randint(1, 2))]
+    agg_sel = ", ".join(s for _, s in aggs)
+    sql = (f"SELECT NULLIF({cat}, '{v}') AS k, {agg_sel} "
+           f"FROM {t.name} GROUP BY NULLIF({cat}, '{v}')")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name]
+        return df.groupBy(
+            F.nullif(F.col(cat), F.lit(v)).alias("k")
+        ).agg(*[c for c, _ in aggs])
+
+    return Spec(seed, f"NULL-keyed groupBy over {t.name}", build, sql)
+
+
 _SHAPES = [
     (_projection_spec, 3),
     (_groupby_spec, 3),
@@ -555,6 +627,9 @@ _SHAPES = [
     (_semi_anti_spec, 2),
     (_setop_spec, 2),
     (_window_spec, 2),
+    (_distinct_spec, 1),
+    (_offset_spec, 1),
+    (_null_group_spec, 1),
 ]
 _SHAPE_POOL = [fn for fn, w in _SHAPES for _ in range(w)]
 

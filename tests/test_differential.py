@@ -20,7 +20,7 @@ import pytest
 from .diffgen import make_spec
 from .oracle_harness import compare
 
-N_SPECS = 240
+N_SPECS = 360
 CHUNK = 30
 DIFF_SF = os.environ.get("SPARK_GRAFT_DIFF_SF_DIR", "/root/testdata/sf0.001")
 

@@ -74,6 +74,22 @@ _KEYS = [
     "collated_distinct_words",
     "span_dedup_docs",
     "multimodal_extract",
+    # r8 extension: the remaining document-centric full-oracle keys
+    "dedup_exact_selfunion",
+    "dedup_incremental_batch",
+    "token_pack_docs",
+    "domain_cap_docs",
+    "domain_cap_prefiltered",
+    "decontaminate_digest_docs",
+    "stratified_sample_docs",
+    "weighted_sample_docs",
+    "corpus_rebalance_sources",
+    "corpus_rebalance_temperature",
+    "interleave_sources_rr",
+    "corpus_shuffle_shards",
+    "split_leakage_audit",
+    "training_corpus_pipeline",
+    "multimodal_frame_sample",
 ]
 
 
