@@ -26,4 +26,23 @@ __all__ = [
     "quality_features",
     "token_counts",
     "with_word_ngrams",
+    "sql_round",
 ]
+
+
+def sql_round(x: float, digits: int = 2) -> float:
+    """Round a double the way Spark's ``F.round`` and DuckDB's ``ROUND``
+    both do: round the SHORTEST DECIMAL REPR half-up (Spark goes through
+    ``BigDecimal.valueOf(double)`` → HALF_UP), so ``3.674999…82`` reads as
+    "3.675" and rounds to ``3.68``. Python's builtin ``round()`` uses the
+    true binary value plus banker's ties (→ ``3.67``) — any Python-side
+    operator (pandas UDF, stateful streaming fn) whose output is compared
+    against an SQL twin must use THIS, not ``round()`` (r8 hostile-events
+    find: the custom streaming sessionizer diverged from its oracle by
+    exactly one cent)."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )

@@ -86,18 +86,32 @@ _CERTIFICATION_PRIORITY = [
     "range_join_banded",
     "interval_overlap_pairs",
     "stratified_sample_docs",
-    # --- r8 hostile-corpus finds (tests/test_hostile_corpus.py): four
-    # --- NULL-text semantic divergences fixed this round (pii concat
-    # --- NULL-propagation, chunker size(NULL), span-dedup row drop,
-    # --- multimodal NULL-feature contract) — the three keys above
-    # --- already in this block re-certify anyway; doc_chunk_windows
-    # --- joins them. ---
+    # --- r8 hostile-corpus finds (tests/test_hostile_corpus.py +
+    # --- test_hostile_events.py): NULL-text semantic divergences (pii
+    # --- concat NULL-propagation, chunker size(NULL), span-dedup row
+    # --- drop, multimodal NULL-feature contract), session-gap boundary
+    # --- semantics (Spark session_window MERGES at exactly last+gap;
+    # --- oracles moved >= -> >, streaming twin aligned), and the
+    # --- hostile-JSON contract (get_json_object try_cast, from_json
+    # --- map semantics oracle, parse_json -> try_parse_json crash fix).
+    # --- Three keys above re-certify anyway; these seven join them. ---
     "doc_chunk_windows",
+    "events_sessionize",
+    "sessionize_dynamic_gap",
+    "stream_sessionize",
+    "json_extract_props",
+    "map_funcs_props",
+    "variant_extract_props",
     # --- r8 block 2: drift re-certification of the r2 window (oldest
-    # --- surviving driver rows), excluding keys above and keys already
-    # --- re-certified in the r7 window (dedup_near* family,
-    # --- training_corpus_pipeline, embedding_near_pairs,
-    # --- rolling_1h_events). Slots past 50 roll to the r9 window. ---
+    # --- surviving driver rows), excluding keys moved to block 1 and
+    # --- keys already re-certified in the r7 window (dedup_near*
+    # --- family, training_corpus_pipeline, embedding_near_pairs,
+    # --- rolling_1h_events). The window is EXACTLY 50 (pinned by
+    # --- test_certification_window_integrity), so the r2 block's last
+    # --- eight keys defer to the r9 window: train_test_split_docs,
+    # --- decontaminate_docs, quality_percentile_gate,
+    # --- stream_tumbling_1h, stream_dedup_users, stream_stateful_counts,
+    # --- stream_filter_to_parquet, python_stream_source_agg. ---
     "python_datasource_scan",
     "orc_roundtrip_agg",
     "jsonl_roundtrip_agg",
@@ -109,12 +123,9 @@ _CERTIFICATION_PRIORITY = [
     "topn_parts_per_brand",
     "events_tumbling_1h",
     "events_sliding",
-    "events_sessionize",
     "range_join_events",
     "stream_click_attribution",
     "date_arithmetic",
-    "json_extract_props",
-    "map_funcs_props",
     "array_funcs_embeddings",
     "decimal_money_agg",
     "pandas_udf_scalar",
@@ -126,18 +137,9 @@ _CERTIFICATION_PRIORITY = [
     "dedup_exact",
     "knn_cosine_topk",
     "text_stats_docs",
-    "variant_extract_props",
     "xml_parse_orders",
     "lateral_top_lineitems",
     "collated_distinct_words",
-    "train_test_split_docs",
-    "decontaminate_docs",
-    "quality_percentile_gate",
-    "stream_tumbling_1h",
-    "stream_dedup_users",
-    "stream_stateful_counts",
-    "stream_filter_to_parquet",
-    "python_stream_source_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

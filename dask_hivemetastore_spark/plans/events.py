@@ -89,7 +89,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                         OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
@@ -108,8 +108,12 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3 session windows (30 min inactivity gap) via ``F.session_window``.
 
-    Spark closes a session when the next event is >= last_ts + gap; the
-    gaps-and-islands oracle encodes exactly that. Works identically in
+    Boundary semantics (pinned by the hostile-events corpus, r8): Spark's
+    session windows MERGE when the next event lands exactly at
+    last_ts + gap — touching windows coalesce — so a new session starts
+    only when the gap is STRICTLY greater than the threshold. The
+    gaps-and-islands oracle uses ``>`` accordingly (an earlier ``>=``
+    version diverged on an exactly-30-minute pair). Works identically in
     Structured Streaming with a watermark (streaming/ has the variant).
     """
     ev = load_table(spark, sf_dir, "events")
@@ -128,17 +132,27 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract_props",
     oracle="""
-    SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 10 AS k_bucket,
+    SELECT TRY_CAST((CASE WHEN json_valid(props) THEN props ->> '$.k' END)
+                    AS INTEGER) % 10 AS k_bucket,
            COUNT(*)             AS n,
            ROUND(AVG(value), 6) AS avg_value
     FROM events GROUP BY 1
     """,
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H-json: ``get_json_object`` over the props JSON column (the oracle
-    parses the same field with a regex to avoid DuckDB's JSON extension)."""
+    """H-json: ``get_json_object`` over the props JSON column.
+
+    Dirty-input contract (pinned by the hostile-events corpus, r8):
+    malformed JSON, absent keys, and non-integer values (nested objects,
+    arrays, JSON null) all yield a NULL bucket — ``try_cast``, because a
+    nested value extracts as its JSON text and a plain cast would THROW
+    under Spark 4 ANSI. The oracle mirrors every case with DuckDB's
+    ``json_valid`` guard + ``->>`` + ``TRY_CAST`` (probed identical on
+    all 13 hostile props shapes, including duplicate keys — both engines
+    take the FIRST occurrence — and string-typed numbers, which both
+    unquote then cast)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.groupBy((k % 10).alias("k_bucket")).agg(
         F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
     )
@@ -471,24 +485,53 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "map_funcs_props",
     oracle="""
-    SELECT 'k' AS key,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS total,
-           COUNT(*) AS key_obs
-    FROM events
+    WITH e AS (
+        SELECT event_id AS i, props FROM events
+        WHERE json_valid(props)
+          AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+    ),
+    kv AS (
+        SELECT e.i, u.k AS key, json_extract(e.props, u.k) AS value
+        FROM e, UNNEST(json_keys(e.props)) AS u(k)
+    ),
+    bad AS (SELECT DISTINCT i FROM kv
+            WHERE json_type(value) NOT IN ('UBIGINT', 'BIGINT', 'NULL')),
+    withk AS (
+        SELECT g.key, TRY_CAST(g.value AS BIGINT) AS val,
+               COUNT(*) OVER (PARTITION BY g.i) AS n_keys
+        FROM kv g WHERE g.i NOT IN (SELECT i FROM bad)
+    )
+    SELECT key, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS total,
+           CAST(SUM(n_keys) AS BIGINT) AS key_obs
+    FROM withk GROUP BY key
     """,
 )
 def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H-map family: ``from_json`` → ``map<string,bigint>``, then
     ``explode`` (map → key/value rows), ``map_keys``/``size``.
 
-    The props fixture is a single-key JSON object, so the exploded stream has
-    one row per event and the oracle can recompute it with a regex — the
-    point is certifying the map-typed operator chain, absent in the
-    reference (Dask has no map dtype; SURVEY.md §2-H "map: absent").
-    """
+    Dirty-input contract (pinned by the hostile-events corpus, r8), with
+    the oracle reproducing it case-for-case instead of the old
+    single-key regex: invalid JSON → no map (no rows); any non-integer
+    value (string, nested object, array) nulls the WHOLE map, not just
+    that entry (``from_json``'s all-or-nothing typed parse); JSON null
+    stays as a key with NULL value (counted in ``n``/``key_obs``,
+    skipped by ``SUM``); DUPLICATE-KEY objects are rejected entirely —
+    ``from_json`` alone silently keeps the last occurrence, which DuckDB
+    1.0 cannot express, and the variant path (``try_parse_json``)
+    rejects them too, so rejection is both the consistent engine
+    contract and the oracle-expressible one (the ``json_object_keys``
+    size guard below). On the clean fixture this reduces to the old
+    one-row answer. The map-typed operator chain is absent in the
+    reference (Dask has no map dtype; SURVEY.md §2-H "map: absent")."""
     ev = load_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
+    m0 = F.from_json("props", "map<string,bigint>")
+    # reject duplicate-key objects. Subtlety (r8 probe): from_json KEEPS
+    # duplicate keys physically — the map displays dict-collapsed in
+    # Python but map_keys returns ['k','k'] and explode emits BOTH rows —
+    # so the detector compares the key array against its distinct form.
+    keys0 = F.map_keys(m0)
+    m = F.when(F.size(F.array_distinct(keys0)) == F.size(keys0), m0)
     exploded = ev.withColumn("m", m).select(
         F.explode(F.col("m")).alias("key", "val"),
         F.size(F.map_keys(F.col("m"))).alias("n_keys"),
@@ -699,7 +742,11 @@ def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "variant_extract_props",
     oracle="""
-    SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 7 AS k_mod,
+    SELECT TRY_CAST((CASE WHEN json_valid(props)
+                               AND len(json_keys(props)) =
+                                   len(list_distinct(json_keys(props)))
+                          THEN props ->> '$.k' END)
+                    AS INTEGER) % 7 AS k_mod,
            COUNT(*)             AS n,
            ROUND(SUM(value), 6) AS sum_value
     FROM events GROUP BY 1
@@ -713,11 +760,19 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ragged JSON: parse once at ingest, store the variant column in
     parquet (shredded in Spark 4), and every downstream path access is a
     binary seek instead of a string parse (`get_json_object` re-parses per
-    call — see ``json_extract_props`` for that legacy form). The oracle
-    extracts the same field with a regex, avoiding DuckDB's JSON
-    extension."""
+    call — see ``json_extract_props`` for that legacy form).
+
+    Dirty-input contract (pinned by the hostile-events corpus, r8): the
+    ``try_`` forms, because plain ``parse_json`` THROWS on the first
+    malformed row — a dead job at 100 TB. ``try_parse_json`` NULLs
+    malformed JSON and — unlike ``get_json_object`` — rejects
+    duplicate-key objects entirely; ``try_variant_get`` casts
+    string-typed numbers and NULLs non-castable shapes. The oracle
+    mirrors each case (``json_valid`` + a ``json_keys`` duplicate
+    detector + ``->>`` + ``TRY_CAST``, probed identical on all 13
+    hostile props shapes)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return ev.groupBy((k % 7).alias("k_mod")).agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
     )
@@ -734,7 +789,7 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), flagged AS (
         SELECT user_id, ts, value,
-               CASE WHEN MAX(ends) OVER w IS NULL OR ts >= MAX(ends) OVER w
+               CASE WHEN MAX(ends) OVER w IS NULL OR ts > MAX(ends) OVER w
                     THEN 1 ELSE 0 END AS new_sess
         FROM g
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC
@@ -756,10 +811,13 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column): purchases hold the session open 45 min, everything else 15 min
     — the "checkout keeps the visit alive" shape real clickstream
     sessionization needs. Each event contributes the interval
-    [ts, ts + its own gap); Spark merges overlapping intervals per key, so
-    a session closes only when the next event starts at/after the RUNNING
-    MAX of prior ends — which is exactly what the gaps-and-islands oracle
-    computes (``MAX(ends) OVER (... AND 1 PRECEDING)``; the fixed-gap
+    [ts, ts + its own gap); Spark merges overlapping AND touching
+    intervals per key (an event exactly at the running-max end still
+    merges — same boundary rule the hostile-events corpus pinned for the
+    fixed-gap form, r8), so a session closes only when the next event
+    starts STRICTLY after the RUNNING MAX of prior ends — which is
+    exactly what the gaps-and-islands oracle computes
+    (``MAX(ends) OVER (... AND 1 PRECEDING)`` with ``>``; the fixed-gap
     oracle's simple LAG is not enough here, because a long-gap event can
     outlast several short-gap successors). Same single-shuffle plan as the
     fixed-gap form; works identically under Structured Streaming

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load_table
+from ..functions import sql_round
 from .registry import query
 
 
@@ -209,7 +210,10 @@ def cogrouped_map_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nationkey": [int(nk)],
                 "n_cust": [len(cust)],
                 "n_supp": [len(supp)],
-                "cust_bal": [round(float(cust["c_acctbal"].sum()), 2) if len(cust) else 0.0],
+                # sql_round, not round(): must match the oracle's SQL
+                # ROUND at shortest-repr .xx5 boundaries (r8)
+                "cust_bal": [sql_round(float(cust["c_acctbal"].sum()))
+                             if len(cust) else 0.0],
             }
         )
 

@@ -47,6 +47,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions import sql_round
 from ..plans.registry import query
 from ..session import ensure_runtime_confs
 
@@ -249,7 +250,12 @@ _GAP_US = 30 * 60 * 1_000_000
 def _sessionize_fn(key, pdf_iter, state: GroupState):
     """Per-user gap sessionizer. State = the one open session (4 scalars).
 
-    Closes a session when the next event is >= 30 min after the last; emits
+    Closes a session when the next event is STRICTLY more than 30 min
+    after the last — an arrival at exactly last+gap still merges, matching
+    batch ``F.session_window`` (touching windows coalesce; boundary pinned
+    by the hostile-events corpus, r8 — this operator and its oracle
+    previously used >=, diverging from the batch twin on exact-gap
+    arrivals); emits
     closed sessions (final) AND the still-open session (re-emitted each
     batch it grows — downstream upserts by (user_id, session_start)). Value
     sums accumulate sequentially in event-time order, matching the oracle's
@@ -268,7 +274,7 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
     for ts, v in rows:
         if start is None:
             start, last, n, s = ts, ts, 0, 0.0
-        elif ts - last >= _GAP_US:
+        elif ts - last > _GAP_US:
             closed.append((start, n, s))
             start, last, n, s = ts, ts, 0, 0.0
         n += 1
@@ -285,7 +291,7 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
                 pd.Timestamp(st, unit="us").strftime("%Y-%m-%d %H:%M:%S") for st, _, _ in out
             ],
             "n_events": [n_ for _, n_, _ in out],
-            "total_value": [round(s_, 2) for _, _, s_ in out],
+            "total_value": [sql_round(s_) for _, _, s_ in out],
         }
     )
 
@@ -296,7 +302,7 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                         OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)

@@ -138,8 +138,8 @@ def test_stateful_counts_accumulate_across_batches(spark, tmp_path):
 
 def test_sessionize_state_carries_across_batches(spark, tmp_path):
     """A session spanning two micro-batches must be re-emitted with grown
-    counts (open-session upsert semantics), and a >=30-min gap starts a new
-    session."""
+    counts (open-session upsert semantics), and a >30-min gap starts a new
+    session (exactly 30 merges, matching batch session_window — r8)."""
     import pandas as pd  # noqa: F811
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
