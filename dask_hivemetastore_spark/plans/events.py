@@ -528,10 +528,12 @@ def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     m0 = F.from_json("props", "map<string,bigint>")
     # reject duplicate-key objects. Subtlety (r8 probe): from_json KEEPS
     # duplicate keys physically — the map displays dict-collapsed in
-    # Python but map_keys returns ['k','k'] and explode emits BOTH rows —
-    # so the detector compares the key array against its distinct form.
-    keys0 = F.map_keys(m0)
-    m = F.when(F.size(F.array_distinct(keys0)) == F.size(keys0), m0)
+    # Python but explode emits BOTH rows — so the guard compares raw key
+    # occurrences against their distinct form. json_object_keys, not
+    # map_keys(m0): same NULL/dup verdict on every probed shape but ~15%
+    # cheaper (keys-only parse vs a second typed from_json; A/B r8).
+    jok = F.json_object_keys("props")
+    m = F.when(F.size(F.array_distinct(jok)) == F.size(jok), m0)
     exploded = ev.withColumn("m", m).select(
         F.explode(F.col("m")).alias("key", "val"),
         F.size(F.map_keys(F.col("m"))).alias("n_keys"),
