@@ -501,3 +501,90 @@ def test_checkpoint_recovery_resumes_exactly_once(spark, tmp_path):
     got = {r.h: r.total_value for r in recovered}
     want = {r.h: r.total_value for r in full_batch}
     assert all(abs(got[h] - want[h]) < 1e-6 for h in want)
+
+
+def test_stateful_checkpoint_recovery_restores_custom_state(spark, tmp_path):
+    """I6 hardening (r8, sibling of the watermarked-agg recovery test):
+    an applyInPandasWithState query stopped after draining half its input
+    and RESTARTED from the same checkpoint must restore the CUSTOM state
+    (the open session) — the restarted run re-emits that session grown,
+    not restarted. Upserting emissions by (user, session_start), phase-2
+    last-wins, must reproduce the batch gaps-and-islands answer."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from dask_hivemetastore_spark.streaming.pipeline import (
+        _SESS_OUT,
+        _SESS_STATE,
+        _sessionize_fn,
+    )
+
+    src = tmp_path / "sess_rec_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "sess_rec_ckpt")
+    t0 = 1_600_000_000_000_000
+    m = 60 * 1_000_000
+    # batch A: session opens (2 events); batch B (lands after restart):
+    # grows the SAME session (+10 min), then a >30-min gap opens a new one
+    batches = {
+        "a.parquet": [(1, t0, 1.0), (1, t0 + 5 * m, 2.0)],
+        "b.parquet": [(1, t0 + 15 * m, 3.0), (1, t0 + 55 * m, 4.0)],
+    }
+    schema = StructType([
+        StructField("user_id", LongType()), StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ])
+
+    def write(name):
+        rows = batches[name]
+        pd.DataFrame(
+            {"user_id": [r[0] for r in rows], "ts_us": [r[1] for r in rows],
+             "value": [r[2] for r in rows]}
+        ).to_parquet(str(src / name))
+
+    def run(sink: str):
+        stream = (
+            spark.readStream.schema(schema).parquet(str(src))
+            .select("user_id", F.timestamp_micros("ts_us").alias("ts"), "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_fn,
+                outputStructType=_SESS_OUT,
+                stateStructType=_SESS_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        # foreachBatch, not a memory sink: update-mode memory sinks refuse
+        # checkpoint recovery (only complete mode supports it)
+        emissions: list = []
+
+        def grab(batch_df, _bid):
+            emissions.extend(batch_df.collect())
+
+        q = (
+            stream.writeStream.foreachBatch(grab)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return emissions
+
+    write("a.parquet")
+    p1 = run("sess_rec_p1")
+    write("b.parquet")
+    p2 = run("sess_rec_p2")
+
+    final = {}
+    for r in list(p1) + list(p2):  # phase-2 emissions overwrite phase-1
+        final[(r.user_id, r.session_start)] = (r.n_events, r.total_value)
+    s0 = pd.Timestamp(t0, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    s1 = pd.Timestamp(t0 + 55 * m, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    # state restored: first session ends at n=3/6.0 (NOT a fresh n=1 at
+    # +15min, which is what a lost-state restart would emit)
+    assert final == {(1, s0): (3, 6.0), (1, s1): (1, 4.0)}, final
