@@ -66,7 +66,13 @@ TABLES = {
         ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
         ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         ("l_returnflag", "l_linestatus"), (),
-        ("l_shipdate",), ("l_orderkey", "l_linenumber"),
+        ("l_shipdate",),
+        # NOT (l_orderkey, l_linenumber): the synthetic testdata has ~14k
+        # duplicate pairs at sf0.01 (deliberately — the quality-report
+        # queries count them), and a non-total ORDER BY let DuckDB's
+        # parallel window ranks flap run-to-run (flaky seed 38, r8). The
+        # 4-column form is verified unique at every SF.
+        ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
     ),
     "customer": TableModel(
         "customer",
@@ -620,6 +626,59 @@ def _null_group_spec(rng: random.Random, seed: int) -> Spec:
     return Spec(seed, f"NULL-keyed groupBy over {t.name}", build, sql)
 
 
+def _rollup_cube_spec(rng: random.Random, seed: int) -> Spec:
+    """ROLLUP/CUBE over two keys — the subtotal/NULL-marker rows are where
+    grouping-set semantics diverge if at all."""
+    t = TABLES[rng.choice(["orders", "lineitem", "customer", "events"])]
+    op = rng.choice(["ROLLUP", "CUBE"])
+    cats = (rng.sample(t.cat_cols, 2) if len(t.cat_cols) >= 2
+            else [t.cat_cols[0], None])
+    k2_sql = cats[1] if cats[1] else f"CAST({t.int_cols[0]} % 3 AS BIGINT)"
+    aggs = [gen_agg(t, rng, "a0")]
+    pred_c, pred_s = gen_predicate(t, rng)
+    # DIALECT TRAP (found by this fuzzer, seeds 197/209): on EMPTY input
+    # the SQL standard (and DuckDB) still emit the () grouping set's
+    # grand-total row; Spark's rollup/cube emit zero rows. HAVING
+    # COUNT(*) > 0 is a no-op on non-empty input (every emitted row
+    # aggregates >= 1 base rows) and drops exactly that row when empty.
+    sql = (f"SELECT {cats[0]} AS k1, {k2_sql} AS k2, {aggs[0][1]} "
+           f"FROM {t.name} WHERE {pred_s} GROUP BY {op} ({cats[0]}, {k2_sql}) "
+           f"HAVING COUNT(*) > 0")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].where(pred_c)
+        k1 = F.col(cats[0]).alias("k1")
+        k2 = (F.col(cats[1]).alias("k2") if cats[1]
+              else (F.col(t.int_cols[0]) % 3).cast("long").alias("k2"))
+        grouped = df.rollup(k1, k2) if op == "ROLLUP" else df.cube(k1, k2)
+        return grouped.agg(aggs[0][0])
+
+    return Spec(seed, f"{op} over {t.name}", build, sql)
+
+
+def _text_order_spec(rng: random.Random, seed: int) -> Spec:
+    """Fully-ordered LIMIT over documents.text prefixes — unicode byte-order
+    (Spark UTF8_BINARY) vs DuckDB's default collation would show up as
+    different rows surviving the limit."""
+    t = TABLES["documents"]
+    n = rng.choice([8, 16, 32])
+    limit = rng.choice([25, 60])
+    d = rng.choice(["ASC", "DESC"])
+    nulls = "NULLS FIRST" if d == "ASC" else "NULLS LAST"
+    sql = (f"SELECT substr(text, 1, {n}) AS p, doc_id AS u0 FROM documents "
+           f"ORDER BY p {d} {nulls}, u0 ASC NULLS FIRST LIMIT {limit}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].select(
+            F.substring("text", 1, n).alias("p"), F.col("doc_id").alias("u0")
+        )
+        first = (F.col("p").asc_nulls_first() if d == "ASC"
+                 else F.col("p").desc_nulls_last())
+        return df.orderBy(first, F.col("u0").asc_nulls_first()).limit(limit)
+
+    return Spec(seed, "unicode text ordering", build, sql)
+
+
 _SHAPES = [
     (_projection_spec, 3),
     (_groupby_spec, 3),
@@ -630,6 +689,8 @@ _SHAPES = [
     (_distinct_spec, 1),
     (_offset_spec, 1),
     (_null_group_spec, 1),
+    (_rollup_cube_spec, 1),
+    (_text_order_spec, 1),
 ]
 _SHAPE_POOL = [fn for fn, w in _SHAPES for _ in range(w)]
 
