@@ -1,0 +1,143 @@
+"""Differential fuzz of the banded range join vs a plain DuckDB theta join.
+
+``point_in_interval_join`` rewrites a keyless inequality join into a
+banded equi-join (single-level or hierarchical); the property suite pins
+it against Spark's own naive theta join. This fuzzer pins it against a
+SECOND engine: random widths, bucket sizes, boundary openness, join
+sides, and banding modes, on both the real sf0.001 events and the
+boundary-heavy hostile corpus (points landing exactly ON interval
+endpoints — where open_start semantics bite).
+
+Inner specs compare exact (interval, point) pair sets; left specs compare
+per-interval aggregates, because the operator's documented left-join
+multiplicity is one NULL row per uncovered bucket (collapsed by
+count/sum exactly like SQL's grouped LEFT JOIN).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from .oracle_harness import compare
+
+TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _spec(seed: int):
+    rng = random.Random(7000 + seed)
+    it = rng.choice(TYPES)
+    pt = rng.choice([t for t in TYPES if t != it])
+    width = rng.choice([60, 300, 900, 3600, 7200])
+    bucket = rng.choice([60, 300, 1800])
+    open_start = rng.random() < 0.5
+    how = rng.choice(["inner", "left"])
+    hier = rng.choice([None, 4])  # max_buckets_per_interval
+    return it, pt, width, bucket, open_start, how, hier
+
+
+def _spark_side(spark, sf_dir, it, pt, width, bucket, open_start, how, hier):
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == it).select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {width} SECOND")).alias("e"),
+    )
+    pts = ev.where(F.col("event_type") == pt).select(
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    j = point_in_interval_join(
+        iv, pts, "s", "e", "p_ts", bucket_seconds=bucket, how=how,
+        open_start=open_start, max_buckets_per_interval=hier,
+    )
+    if how == "inner":
+        return j.select("iid", "pid")
+    return j.groupBy("iid").agg(
+        F.count("pid").alias("n_pts"),
+        F.sum(F.col("p_value").cast("decimal(18,2)")).cast("double")
+        .alias("val_sum"),
+    )
+
+
+def _oracle_sql(it, pt, width, open_start, how):
+    lo = ">" if open_start else ">="
+    on = f"p.ts {lo} i.ts AND p.ts <= i.ts + INTERVAL {width} SECOND"
+    if how == "inner":
+        return f"""
+        SELECT i.event_id AS iid, p.event_id AS pid
+        FROM (SELECT * FROM events WHERE event_type = '{it}') i
+        JOIN (SELECT * FROM events WHERE event_type = '{pt}') p ON {on}
+        """
+    return f"""
+    SELECT i.event_id AS iid, COUNT(p.event_id) AS n_pts,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+    FROM (SELECT * FROM events WHERE event_type = '{it}') i
+    LEFT JOIN (SELECT * FROM events WHERE event_type = '{pt}') p ON {on}
+    GROUP BY 1
+    """
+
+
+N = 16
+
+
+@pytest.mark.parametrize("corpus", ["real", "hostile"])
+def test_rangejoin_fuzz(corpus, spark, tmp_path_factory):
+    import duckdb
+
+    from .conftest import SF_SMOKE
+
+    if corpus == "real":
+        sf_dir = SF_SMOKE
+    else:
+        import pandas as pd
+
+        from .test_hostile_events import _ROWS
+
+        d = tmp_path_factory.mktemp("rj_hostile")
+        pd.DataFrame(
+            {
+                "event_id": pd.array(range(len(_ROWS)), dtype="int64"),
+                "ts": pd.array([r[0] for r in _ROWS], dtype="datetime64[us]"),
+                "user_id": pd.array([r[1] for r in _ROWS], dtype="int64"),
+                "event_type": [r[2] for r in _ROWS],
+                "value": pd.array([r[3] for r in _ROWS], dtype="float64"),
+                "props": pd.array([r[4] for r in _ROWS], dtype="object"),
+            }
+        ).to_parquet(d / "events.parquet", index=False)
+        sf_dir = str(d)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    failures = []
+    for seed in range(N):
+        it, pt, width, bucket, open_start, how, hier = _spec(seed)
+        try:
+            sdf = _spark_side(spark, sf_dir, it, pt, width, bucket,
+                              open_start, how, hier)
+            problems = compare(
+                f"rj{seed}", sdf,
+                con.sql(_oracle_sql(it, pt, width, open_start, how)),
+            )
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"rj{seed}: EXCEPTION {type(exc).__name__}: {exc}"]
+        if problems:
+            failures.append(
+                f"--- seed {seed} (iv={it} pt={pt} w={width}s bucket={bucket}"
+                f" open={open_start} how={how} hier={hier}) ---\n"
+                + "\n".join(problems)
+            )
+    con.close()
+    assert not failures, f"{len(failures)} divergent:\n" + "\n".join(failures)
