@@ -679,6 +679,42 @@ def _text_order_spec(rng: random.Random, seed: int) -> Spec:
     return Spec(seed, "unicode text ordering", build, sql)
 
 
+def _join_groupby_spec(rng: random.Random, seed: int) -> Spec:
+    """join → filter → groupBy over the joined shape — the most common
+    real-query composition; exercises join-key NULLs (left joins) feeding
+    grouping and aggregates over right-side columns."""
+    lname, rname, lk, rk = rng.choice(_JOINS)
+    lt, rt = TABLES.get(lname), TABLES.get(rname)
+    how = rng.choice(["inner", "left"])
+    preds = [gen_predicate(lt, rng) for _ in range(rng.randint(0, 1))]
+    # group on a LEFT cat col; aggregate counts of both sides + a right
+    # numeric (NULL-bearing under left join)
+    gcat = rng.choice(lt.cat_cols)
+    rnum = rng.choice(rt.int_cols) if rt else rk
+    where = (" WHERE " + " AND ".join(f"({s})" for _, s in preds)
+             if preds else "")
+    joinw = "JOIN" if how == "inner" else "LEFT JOIN"
+    sql = (f"SELECT l.{gcat} AS k, COUNT(*) AS n, COUNT(r.{rk}) AS n_r, "
+           f"CAST(SUM(r.{rnum}) AS BIGINT) AS r_sum, "
+           f"COUNT(DISTINCT r.{rnum}) AS r_nd "
+           f"FROM {lname} l {joinw} {rname} r ON l.{lk} = r.{rk}{where} "
+           f"GROUP BY l.{gcat}")
+
+    def build(tabs: dict) -> DataFrame:
+        left, right = tabs[lname], tabs[rname]
+        for c, _ in preds:
+            left = left.where(c)
+        j = left.join(right, left[lk] == right[rk], how)
+        return j.groupBy(left[gcat].alias("k")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(right[rk]).alias("n_r"),
+            F.sum(right[rnum]).cast("long").alias("r_sum"),
+            F.countDistinct(right[rnum]).alias("r_nd"),
+        )
+
+    return Spec(seed, f"{how} join+groupBy {lname}x{rname}", build, sql)
+
+
 _SHAPES = [
     (_projection_spec, 3),
     (_groupby_spec, 3),
@@ -691,6 +727,7 @@ _SHAPES = [
     (_null_group_spec, 1),
     (_rollup_cube_spec, 1),
     (_text_order_spec, 1),
+    (_join_groupby_spec, 2),
 ]
 _SHAPE_POOL = [fn for fn, w in _SHAPES for _ in range(w)]
 
