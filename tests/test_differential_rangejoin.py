@@ -141,3 +141,92 @@ def test_rangejoin_fuzz(corpus, spark, tmp_path_factory):
             )
     con.close()
     assert not failures, f"{len(failures)} divergent:\n" + "\n".join(failures)
+
+
+def _overlap_spec(seed: int):
+    rng = random.Random(9000 + seed)
+    at = rng.choice(TYPES)
+    bt = rng.choice([t for t in TYPES if t != at])
+    wa = rng.choice([60, 600, 3600])
+    wb = rng.choice([60, 600, 3600])
+    bucket = rng.choice([60, 600, 1800])
+    hier = rng.choice([None, 4])
+    return at, bt, wa, wb, bucket, hier
+
+
+@pytest.mark.parametrize("corpus", ["real", "hostile"])
+def test_interval_overlap_fuzz(corpus, spark, tmp_path_factory):
+    """interval×interval sibling: random widths on each side, closed
+    overlap — pair sets must equal DuckDB's plain theta join (the anchor
+    trick's exactly-once claim tested against a second engine)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    if corpus == "real":
+        sf_dir = SF_SMOKE
+    else:
+        import pandas as pd
+
+        from .test_hostile_events import _ROWS
+
+        d = tmp_path_factory.mktemp("ov_hostile")
+        pd.DataFrame(
+            {
+                "event_id": pd.array(range(len(_ROWS)), dtype="int64"),
+                "ts": pd.array([r[0] for r in _ROWS], dtype="datetime64[us]"),
+                "user_id": pd.array([r[1] for r in _ROWS], dtype="int64"),
+                "event_type": [r[2] for r in _ROWS],
+                "value": pd.array([r[3] for r in _ROWS], dtype="float64"),
+                "props": pd.array([r[4] for r in _ROWS], dtype="object"),
+            }
+        ).to_parquet(d / "events.parquet", index=False)
+        sf_dir = str(d)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    failures = []
+    for seed in range(12):
+        at, bt, wa, wb, bucket, hier = _overlap_spec(seed)
+        a = ev.where(F.col("event_type") == at).select(
+            F.col("event_id").alias("aid"),
+            F.col("ts").alias("a_s"),
+            (F.col("ts") + F.expr(f"INTERVAL {wa} SECOND")).alias("a_e"),
+        )
+        b = ev.where(F.col("event_type") == bt).select(
+            F.col("event_id").alias("bid"),
+            F.col("ts").alias("b_s"),
+            (F.col("ts") + F.expr(f"INTERVAL {wb} SECOND")).alias("b_e"),
+        )
+        sql = f"""
+        SELECT a.event_id AS aid, b.event_id AS bid
+        FROM (SELECT * FROM events WHERE event_type = '{at}') a
+        JOIN (SELECT * FROM events WHERE event_type = '{bt}') b
+          ON a.ts <= b.ts + INTERVAL {wb} SECOND
+         AND b.ts <= a.ts + INTERVAL {wa} SECOND
+        """
+        try:
+            sdf = interval_overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", bucket_seconds=bucket,
+                max_buckets_per_interval=hier,
+            ).select("aid", "bid")
+            problems = compare(f"ov{seed}", sdf, con.sql(sql))
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"ov{seed}: EXCEPTION {type(exc).__name__}: {exc}"]
+        if problems:
+            failures.append(
+                f"--- seed {seed} (a={at}/{wa}s b={bt}/{wb}s bucket={bucket}"
+                f" hier={hier}) ---\n" + "\n".join(problems)
+            )
+    con.close()
+    assert not failures, f"{len(failures)} divergent:\n" + "\n".join(failures)
