@@ -495,7 +495,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e, UNNEST(json_keys(e.props)) AS u(k)
     ),
     bad AS (SELECT DISTINCT i FROM kv
-            WHERE json_type(value) NOT IN ('UBIGINT', 'BIGINT', 'NULL')),
+            WHERE json_type(value) NOT IN ('UBIGINT', 'BIGINT', 'NULL')
+               OR (json_type(value) <> 'NULL'
+                   AND TRY_CAST(value AS BIGINT) IS NULL)),
     withk AS (
         SELECT g.key, TRY_CAST(g.value AS BIGINT) AS val,
                COUNT(*) OVER (PARTITION BY g.i) AS n_keys
@@ -513,8 +515,11 @@ def map_funcs_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dirty-input contract (pinned by the hostile-events corpus, r8), with
     the oracle reproducing it case-for-case instead of the old
     single-key regex: invalid JSON → no map (no rows); any non-integer
-    value (string, nested object, array) nulls the WHOLE map, not just
-    that entry (``from_json``'s all-or-nothing typed parse); JSON null
+    value (string, nested object, array — or an integer ABOVE int64,
+    which DuckDB types as UBIGINT but Spark's bigint cannot hold, hence
+    the oracle's TRY_CAST-to-BIGINT guard; r8 review) nulls the WHOLE
+    map, not just that entry (``from_json``'s all-or-nothing typed
+    parse); JSON null
     stays as a key with NULL value (counted in ``n``/``key_obs``,
     skipped by ``SUM``); DUPLICATE-KEY objects are rejected entirely —
     ``from_json`` alone silently keeps the last occurrence, which DuckDB

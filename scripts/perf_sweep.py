@@ -52,8 +52,15 @@ def main() -> None:
         # VERDICT r7 #4): collect() attaches SQLMetrics to the plan it
         # executes, which count() would not. Timing methodology (timed
         # rep = count, after one warm rep) is unchanged from r5.
+        # Streaming keys keep the count() warm rep: their returned frame
+        # is a memory-sink scan whose plan has NONE of the stream's
+        # shuffles — recording its near-zero numbers would pollute the
+        # sweep JSON (r8 review; make_shuffle_snapshot skips them too).
         try:
-            shuffles[key] = shuffle_profile(fn(spark, sf_dir))
+            if "stream" in key:
+                fn(spark, sf_dir).count()
+            else:
+                shuffles[key] = shuffle_profile(fn(spark, sf_dir))
         except Exception:  # noqa: BLE001 — warm rep must never kill a sweep
             fn(spark, sf_dir).count()
         t0 = time.perf_counter()

@@ -57,8 +57,8 @@ def shuffle_profile(df: DataFrame) -> dict[str, int]:
         while it.hasNext():
             kv = it.next()
             name = kv._1()
-            if name == "shuffleBytesWritten":
+            if name == _METRIC_KEYS[0]:
                 out["shuffle_bytes"] += kv._2().value()
-            elif name == "shuffleRecordsWritten":
+            elif name == _METRIC_KEYS[1]:
                 out["shuffle_records"] += kv._2().value()
     return out

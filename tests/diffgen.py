@@ -140,11 +140,15 @@ def gen_scalar(t: TableModel, rng: random.Random) -> tuple[Pair, str]:
         # double arithmetic is bit-identical across engines for the same
         # two operands; only *accumulation order* diverges (handled in
         # aggregates) — so raw +,-,* are safe here.
-        expr = {"+": ca + cb, "-": ca - cb, "*": ca * cb}[op]
         if not fa and not fb:
-            # int*int can overflow int32/int64 differently: force BIGINT
-            return (expr.cast("long"),
-                    f"CAST({sa} {op} {sb} AS BIGINT)"), "int"
+            # cast operands BEFORE the operator: a post-cast would let the
+            # multiply run at native int width first, where Spark 4 ANSI
+            # throws ARITHMETIC_OVERFLOW on int32 products (r8 review)
+            la, lb = ca.cast("long"), cb.cast("long")
+            lexpr = {"+": la + lb, "-": la - lb, "*": la * lb}[op]
+            return (lexpr,
+                    f"CAST({sa} AS BIGINT) {op} CAST({sb} AS BIGINT)"), "int"
+        expr = {"+": ca + cb, "-": ca - cb, "*": ca * cb}[op]
         return (expr.cast("double"),
                 f"CAST(CAST({sa} AS DOUBLE) {op} CAST({sb} AS DOUBLE) "
                 "AS DOUBLE)"), "float"

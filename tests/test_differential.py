@@ -1,6 +1,6 @@
 """Differential fuzzing: generated Spark-vs-DuckDB parity (VERDICT r7 #2).
 
-240 seeded random query specs (``diffgen.make_spec``) — projections,
+360 seeded random query specs (``diffgen.make_spec``) — projections,
 filters, group-bys, joins, semi/anti, set-ops, windows — each compiled to
 BOTH a DataFrame plan and oracle SQL, compared through the driver-identical
 ``oracle_harness.compare``. A failure prints the seed + SQL: the seed is a

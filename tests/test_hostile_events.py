@@ -77,6 +77,11 @@ _ROWS: list[tuple] = [
     (_ts(8, 9),              1, "click",    1.5,    '{"k": null}'),
     (_ts(8, 10),             1, "click",    1.5,    ' {"k": 30} '),
     (_ts(8, 11),             1, "click",    1.5,    '{"k": -0}'),
+    # uint64-range integer (2^63 < v < 2^64): DuckDB json-types it
+    # UBIGINT; Spark's bigint cannot hold it (from_json nulls the map,
+    # try_cast nulls the scalar) — r8 review found this class untested
+    (_ts(8, 12),             1, "click",    1.5,
+     '{"k": 12345678901234567890}'),
     # --- dynamic-gap boundaries (user 6): next event EXACTLY at the
     # --- 15-min click gap, then EXACTLY at the 45-min purchase gap —
     # --- session_window merges touching windows in both cases ---
