@@ -43,6 +43,17 @@ ORACLE_DOT = (
 )
 
 
+def _finite(df: DataFrame, col: str = "cosine") -> DataFrame:
+    """Drop non-finite similarity scores before ranking. Spark sorts NaN
+    ABOVE every number, so a single NaN-poisoned vector (a real
+    occurrence in 100 TB embedding corpora) would otherwise TOP every
+    top-k ranking (r8 probe). A NaN-poisoned QUERY vector yields an
+    empty result — corrupt inputs surface as no-answers, never as
+    wrong-answers. similar_pairs needs no guard: NaN fails its
+    >= threshold compare."""
+    return df.where(~F.isnan(F.col(col)))
+
+
 def _empty_topk(emb: DataFrame, id_col: str, label_col: str) -> DataFrame:
     """Empty (id, label, cosine) frame whose id/label types are DERIVED from
     the corpus schema — a hardcoded ``long``/``int`` DDL would mismatch the
@@ -71,6 +82,7 @@ def knn_topk(emb: DataFrame, query_id: int, k: int = 10,
         emb.where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(id_col, "label", F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
+        .transform(_finite)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -273,6 +285,7 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
         with_b.where(F.col(id_col) != query_id)
         .join(F.broadcast(qb), F.array_contains(F.col("__probes"), F.col("bucket")))
         .select(id_col, F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
+        .transform(_finite)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -411,6 +424,7 @@ def ivf_probe_indexed(spark, index_path: str, centroids: np.ndarray,
     return (
         idx.select(id_col, "label",
                    F.round(dot_f64(F.col(vec_col), qcol), 6).alias("cosine"))
+        .transform(_finite)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -452,6 +466,7 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
         cands.crossJoin(F.broadcast(q))
         .select(id_col, "label",
                 F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
+        .transform(_finite)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -591,6 +606,7 @@ def knn_join(emb: DataFrame, query_ids: list, k: int = 5,
             "q_id", id_col, label_col,
             F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
         )
+        .transform(_finite)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .drop("__rn")
@@ -773,6 +789,7 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
             id_col, label_col,
             F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"),
         )
+        .transform(_finite)
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

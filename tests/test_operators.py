@@ -797,3 +797,31 @@ def test_check_grouped_reports_missing_expected_groups(spark):
     # failed with NULL violations: no count exists for an absent group,
     # and a -1 sentinel would skew downstream SUMs (r8 review)
     assert rows[("b", "not_null(v)")] == (None, 0)
+
+
+def test_topk_ranking_ignores_nan_poisoned_vectors(spark):
+    """Spark sorts NaN above every number, so a single corrupt vector
+    would otherwise TOP every top-k ranking (r8 probe). All ranking paths
+    must drop non-finite scores: corrupt rows never rank; a corrupt QUERY
+    vector yields an empty result, not a wrong one."""
+    import math
+
+    from dask_hivemetastore_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [float("nan"), 0.5, 0.5, 0.5], 0),
+        (3, [0.8, 0.2, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    top = S.knn_topk(emb, 0, k=2).collect()
+    assert [r.vec_id for r in top] == [1, 3]
+    assert all(math.isfinite(r.cosine) for r in top)
+    # NaN query vector -> empty result
+    assert S.knn_topk(emb, 2, k=2).count() == 0
+    # batched knn join: the poisoned candidate never ranks for any query
+    batch = S.knn_join(emb, [0, 1], k=3).collect()
+    assert all(r.vec_id != 2 for r in batch)
