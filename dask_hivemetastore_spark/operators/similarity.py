@@ -45,13 +45,20 @@ ORACLE_DOT = (
 
 def _finite(df: DataFrame, col: str = "cosine") -> DataFrame:
     """Drop non-finite similarity scores before ranking. Spark sorts NaN
-    ABOVE every number, so a single NaN-poisoned vector (a real
-    occurrence in 100 TB embedding corpora) would otherwise TOP every
-    top-k ranking (r8 probe). A NaN-poisoned QUERY vector yields an
-    empty result — corrupt inputs surface as no-answers, never as
-    wrong-answers. similar_pairs needs no guard: NaN fails its
-    >= threshold compare."""
-    return df.where(~F.isnan(F.col(col)))
+    ABOVE every number (and +Inf above every finite), so a single
+    corrupt vector (NaN or Inf components — a real occurrence in 100 TB
+    embedding corpora) would otherwise TOP every top-k ranking (r8
+    probe). No magnitude bound — unnormalized corpora legitimately
+    produce large finite dots (max-inner-product search); only the
+    non-finite values that cannot be real scores are dropped. A
+    corrupt QUERY vector yields an empty result — corrupt inputs
+    surface as no-answers, never as wrong-answers. similar_pairs'
+    rescore caps cosine at 1+eps instead (NaN fails its threshold
+    compare; Inf would pass it — see its rescore filter)."""
+    c = F.col(col)
+    return df.where(
+        ~F.isnan(c) & (c != F.lit(float("inf"))) & (c != F.lit(float("-inf")))
+    )
 
 
 def _empty_topk(emb: DataFrame, id_col: str, label_col: str) -> DataFrame:
@@ -226,7 +233,14 @@ def similar_pairs(emb: DataFrame, threshold: float,
     return (
         b.join(F.broadcast(with_va), "id_b")
         .select("id_a", "id_b", d.alias("__c"))
-        .where(F.col("__c") >= threshold)
+        # upper bound alongside the threshold: a +Inf dot (corrupt vector
+        # with Inf components) would pass a bare >= threshold and pair the
+        # corrupt row with everything it met in the screen; NaN already
+        # fails the compare. Finite near-dup cosines cannot exceed ~1, so
+        # the 1+eps cap drops only the non-finite/corrupt class (r8).
+        .where(
+            (F.col("__c") >= threshold) & (F.col("__c") <= F.lit(1.000001))
+        )
         .select("id_a", "id_b", F.round("__c", 6).alias("cosine"))
     )
 

@@ -813,6 +813,7 @@ def test_topk_ranking_ignores_nan_poisoned_vectors(spark):
         (1, [0.9, 0.1, 0.0, 0.0], 1),
         (2, [float("nan"), 0.5, 0.5, 0.5], 0),
         (3, [0.8, 0.2, 0.0, 0.0], 1),
+        (4, [float("inf"), 0.0, 0.0, 0.0], 0),
     ]
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
@@ -822,6 +823,11 @@ def test_topk_ranking_ignores_nan_poisoned_vectors(spark):
     assert all(math.isfinite(r.cosine) for r in top)
     # NaN query vector -> empty result
     assert S.knn_topk(emb, 2, k=2).count() == 0
-    # batched knn join: the poisoned candidate never ranks for any query
+    # batched knn join: neither poisoned candidate ranks for any query
     batch = S.knn_join(emb, [0, 1], k=3).collect()
-    assert all(r.vec_id != 2 for r in batch)
+    assert all(r.vec_id not in (2, 4) for r in batch)
+    # similar_pairs: the Inf vector would pass a bare >= threshold; the
+    # 1+eps rescore cap must keep corrupt rows out of the pair set
+    pairs = S.similar_pairs(emb, threshold=0.5, n_blocks=1).collect()
+    assert all(r.id_a not in (2, 4) and r.id_b not in (2, 4) for r in pairs)
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (0, 3), (1, 3)}
