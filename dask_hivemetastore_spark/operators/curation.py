@@ -319,7 +319,14 @@ def semdedup_pairs(emb: DataFrame, threshold: float, n_cells: int = 16,
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
+        # 1+eps cap alongside the threshold: a +Inf dot from a corrupt
+        # vector would pass a bare >= and semdedup-drop every partner in
+        # its cell; NaN already fails the compare (r8, same guard as
+        # similarity.similar_pairs)
+        .where(
+            (F.col("cosine") >= threshold)
+            & (F.col("cosine") <= F.lit(1.000001))
+        )
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
 
