@@ -49,6 +49,10 @@ _TEXTS: list[str | None] = [
     "x",                                      # 21: another 1-char
     "semi\x01colon\tand\nnewline all in one \\N doc",       # 22: combo
     "normal looking document with ordinary sentence structure.",  # 23
+    "﻿BOM prefixed document text",       # 24: byte-order mark
+    "windows\r\nline\r\nendings here",        # 25: CRLF
+    "zero​width‌joiners‍ here",  # 26: ZW chars
+    "  leading and trailing spaces  ",        # 27: pad
 ]
 
 _KEYS = [
