@@ -504,15 +504,34 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
     (:func:`dequantize_expr`); all arithmetic is IEEE double ops +
     half-away-from-zero rounding, identical in Spark and DuckDB, so the
     full quantized state is hash-certifiable by an oracle.
+
+    A vector with any non-finite component gets NULL scale + NULL qvec
+    (r8 probe: under Spark 4 ANSI the NaN→tinyint cast otherwise THROWS
+    CAST_OVERFLOW — one corrupt embedding killing a 100 TB quantization
+    job; and ±Inf would silently saturate. NULL marks the row corrupt
+    for downstream filtering without losing it).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.greatest(
+    corrupt = F.exists(
+        v,
+        lambda x: F.isnan(x)
+        | (x == F.lit(float("inf")))
+        | (x == F.lit(float("-inf"))),
+    )
+    scale_val = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
         F.lit(1e-12),  # all-zero vector guard
     )
-    return emb.withColumn("scale", scale).withColumn(
+    return emb.withColumn(
+        "scale", F.when(~corrupt, scale_val)
+    ).withColumn(
         "qvec",
-        F.transform(v, lambda x: F.round(x / scale, 0).cast("tinyint")),
+        F.when(
+            ~corrupt,
+            F.transform(
+                v, lambda x: F.round(x / scale_val, 0).try_cast("tinyint")
+            ),
+        ),
     )
 
 

@@ -831,3 +831,24 @@ def test_topk_ranking_ignores_nan_poisoned_vectors(spark):
     pairs = S.similar_pairs(emb, threshold=0.5, n_blocks=1).collect()
     assert all(r.id_a not in (2, 4) and r.id_b not in (2, 4) for r in pairs)
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (0, 3), (1, 3)}
+
+
+def test_quantize_int8_nulls_corrupt_vectors(spark):
+    """A NaN component previously THREW CAST_OVERFLOW under ANSI (one
+    corrupt embedding killing the whole quantization job) and ±Inf would
+    silently saturate; both now yield NULL scale + NULL qvec, marking the
+    row corrupt without losing it (r8 probe)."""
+    from dask_hivemetastore_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [float("nan"), 0.5, 0.5, 0.5]),
+        (2, [float("inf"), 0.1, 0.1, 0.1]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.scale, r.qvec) for r in quantize_int8(emb).collect()}
+    assert out[0][1] == [127, 0, 0, 0]
+    assert out[1] == (None, None)
+    assert out[2] == (None, None)
+    assert out[3] == (1e-12, [0, 0, 0, 0])  # all-zero guard unchanged
