@@ -43,6 +43,22 @@ ORACLE_DOT = (
 )
 
 
+def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Keep only rows whose vector has NO non-finite component. Corrupt
+    embeddings (NaN/Inf — real at 100 TB) crash pyspark.ml KMeans
+    outright ("Vector values MUST NOT be NaN or Infinity", r8 probe) and
+    poison any assignment argmax, so index construction excludes them at
+    the door; they can never be legitimate neighbors."""
+    return df.where(
+        ~F.exists(
+            F.col(vec_col),
+            lambda x: F.isnan(x.cast("double"))
+            | (x.cast("double") == F.lit(float("inf")))
+            | (x.cast("double") == F.lit(float("-inf"))),
+        )
+    )
+
+
 def _finite(df: DataFrame, col: str = "cosine") -> DataFrame:
     """Drop non-finite similarity scores before ranking. Spark sorts NaN
     ABOVE every number (and +Inf above every finite), so a single
@@ -307,9 +323,11 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign every vector to its nearest centroid cell (max dot product —
-    vectors and centroids are unit-normalized). Vectorized numpy per Arrow
-    batch; centroids ride along as a task broadcast."""
+    """Assign every FINITE vector to its nearest centroid cell (max dot
+    product — vectors and centroids are unit-normalized). Vectorized numpy
+    per Arrow batch; centroids ride along as a task broadcast. Corrupt
+    vectors (NaN/Inf) are excluded — a NaN dot row makes argmax garbage
+    and would file the corrupt vector into an arbitrary cell (r8)."""
     C = centroids
 
     def assign(batches):
@@ -320,7 +338,9 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
             cells = (vecs @ C.T).argmax(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "cell": cells.astype(np.int64)})
 
-    return emb.select(id_col, vec_col).mapInPandas(assign, f"{id_col} long, cell long")
+    return finite_vectors(emb.select(id_col, vec_col), vec_col).mapInPandas(
+        assign, f"{id_col} long, cell long"
+    )
 
 
 # Centroids are a tiny model (n_cells × dim floats) that should be trained
@@ -358,7 +378,8 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train_src = emb.select(vec_col)
+    # corrupt vectors crash KMeans outright — exclude before sampling
+    train_src = finite_vectors(emb.select(vec_col), vec_col)
     n = train_src.count()
     if n > max_train_rows:
         # slight oversample so the post-filter row count lands near the cap
@@ -384,7 +405,9 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
 def ivf_assign_full(emb: DataFrame, centroids: np.ndarray,
                     vec_col: str = "embedding") -> DataFrame:
     """All input columns + their nearest-centroid ``cell`` (the index row
-    shape). Vectorized numpy per Arrow batch; other columns pass through."""
+    shape). Vectorized numpy per Arrow batch; other columns pass through.
+    Corrupt (non-finite) vectors are excluded — they must not be written
+    into the index (r8, same rule as :func:`ivf_assign`)."""
     from pyspark.sql import types as T
 
     C = centroids
@@ -401,7 +424,7 @@ def ivf_assign_full(emb: DataFrame, centroids: np.ndarray,
             pdf["cell"] = (vecs @ C.T).argmax(axis=1).astype(np.int32)
             yield pdf
 
-    return emb.mapInPandas(assign, schema)
+    return finite_vectors(emb, vec_col).mapInPandas(assign, schema)
 
 
 def ivf_build_index(emb: DataFrame, index_path: str, n_cells: int = 16,
@@ -678,7 +701,8 @@ def pq_train_codebooks(emb: DataFrame, m: int = 16, ksub: int = 32,
     if key is not None and key in _PQ_BOOKS_CACHE:
         return _PQ_BOOKS_CACHE[key]
     rows = (
-        emb.orderBy(id_col).limit(int(sample_n)).select(vec_col).collect()
+        finite_vectors(emb, vec_col)  # corrupt rows poison k-means means
+        .orderBy(id_col).limit(int(sample_n)).select(vec_col).collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     d = x.shape[1]

@@ -852,3 +852,33 @@ def test_quantize_int8_nulls_corrupt_vectors(spark):
     assert out[1] == (None, None)
     assert out[2] == (None, None)
     assert out[3] == (1e-12, [0, 0, 0, 0])  # all-zero guard unchanged
+
+
+def test_ivf_pq_training_excludes_corrupt_vectors(spark):
+    """pyspark.ml KMeans crashes outright on a NaN/Inf vector ("Vector
+    values MUST NOT be NaN or Infinity") and numpy k-means means would be
+    poisoned — IVF training/assignment and PQ codebook sampling must
+    exclude corrupt vectors at the door (r8 probe)."""
+    import random
+
+    import numpy as np
+
+    from dask_hivemetastore_spark.operators import similarity as S
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(4)], i % 2)
+            for i in range(40)]
+    rows.append((40, [float("nan"), 0.5, 0.5, 0.5], 0))
+    rows.append((41, [float("inf"), 0.5, 0.5, 0.5], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = S.ivf_train_centroids(emb, n_cells=4)
+    assert np.isfinite(cents).all()
+    top = S.ivf_topk(emb, 0, k=3, n_cells=4, nprobe=4).collect()
+    assert top and all(r.vec_id not in (40, 41) for r in top)
+    books = S.pq_train_codebooks(emb, m=2, ksub=4)
+    assert np.isfinite(books).all()
+    # the corrupt rows never enter an index
+    assigned = S.ivf_assign(emb, cents).collect()
+    assert all(r.vec_id not in (40, 41) for r in assigned)
