@@ -10,7 +10,11 @@ and are re-exported here as the stable import point).
 from __future__ import annotations
 
 from ..operators.dedup import with_word_ngrams  # noqa: F401
-from ..operators.similarity import ORACLE_DOT, dot_f64  # noqa: F401
+from ..operators.similarity import (  # noqa: F401
+    ORACLE_DOT,
+    dot_f64,
+    finite_vectors,
+)
 from ..operators.text import (  # noqa: F401
     lang_id,
     lang_id_oracle_expr,
@@ -21,6 +25,7 @@ from ..operators.text import (  # noqa: F401
 __all__ = [
     "ORACLE_DOT",
     "dot_f64",
+    "finite_vectors",
     "lang_id",
     "lang_id_oracle_expr",
     "quality_features",
