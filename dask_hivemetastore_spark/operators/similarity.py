@@ -70,11 +70,15 @@ def _finite(df: DataFrame, col: str = "cosine") -> DataFrame:
     corrupt QUERY vector yields an empty result — corrupt inputs
     surface as no-answers, never as wrong-answers. similar_pairs'
     rescore caps cosine at 1+eps instead (NaN fails its threshold
-    compare; Inf would pass it — see its rescore filter)."""
-    c = F.col(col)
-    return df.where(
-        ~F.isnan(c) & (c != F.lit(float("inf"))) & (c != F.lit(float("-inf")))
-    )
+    compare; Inf would pass it — see its rescore filter).
+
+    ``abs(c) < Inf`` on purpose, not ``~isnan & != ±inf``: the filter
+    predicate inlines the full score expression per reference when
+    Catalyst pushes it below the projection (the 3-term form put FOUR
+    copies of the dot fold in the optimized plan, r8), and NaN fails
+    any comparison while ±Inf fails the bound — one reference covers
+    all three."""
+    return df.where(F.abs(F.col(col)) < F.lit(float("inf")))
 
 
 def _empty_topk(emb: DataFrame, id_col: str, label_col: str) -> DataFrame:
