@@ -127,7 +127,13 @@ def point_in_interval_join(
     if max_buckets_per_interval is None:
         lo = _bucket(F.col(start_col), bucket_seconds)
         hi = _bucket(F.col(end_col), bucket_seconds)
-        iv = intervals.withColumn("__b", F.explode(F.sequence(lo, hi)))
+        # explode_outer, not explode: an interval with NULL bounds has a
+        # NULL bucket sequence, and a plain explode would DROP the row —
+        # but SQL LEFT JOIN preserves left rows whose ON predicate is
+        # NULL (r8 NULL-corpus fuzz). The NULL __b replica matches
+        # nothing, so inner joins drop it and left joins emit the
+        # unmatched row, both matching the theta-join oracle.
+        iv = intervals.withColumn("__b", F.explode_outer(F.sequence(lo, hi)))
         pt = points.withColumn(
             "__b", _bucket(F.col(point_col), bucket_seconds)
         )
@@ -145,7 +151,9 @@ def point_in_interval_join(
         intervals.withColumn("__lvl", level)
         .withColumn(
             "__b",
-            F.explode(
+            # explode_outer: same NULL-bounds left-preservation rule as
+            # the single-level path above
+            F.explode_outer(
                 F.sequence(
                     F.floor(_secs(F.col(start_col)) / size).cast("long"),
                     F.floor(_secs(F.col(end_col)) / size).cast("long"),

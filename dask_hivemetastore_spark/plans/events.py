@@ -29,7 +29,7 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
            COUNT(*)                       AS n_events,
            COUNT(DISTINCT user_id)        AS n_users,
            ROUND(SUM(value), 2)           AS total_value
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,6 +64,7 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*)                        AS n_events,
            ROUND(SUM(value), 2)            AS total_value
     FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offsets(k)
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -91,7 +92,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_sess
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
     ), sess AS (
         SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
@@ -793,7 +794,7 @@ def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                ts + CASE WHEN event_type = 'purchase'
                          THEN INTERVAL '45 minutes'
                          ELSE INTERVAL '15 minutes' END AS ends
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN MAX(ends) OVER w IS NULL OR ts > MAX(ends) OVER w

@@ -105,14 +105,15 @@ def cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(value) OVER w AS next_value,
            ROUND(value - COALESCE(LAG(value) OVER w, 0), 2) AS delta
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts ASC NULLS FIRST, event_id ASC)
     """,
 )
 def lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 shift/diff ≙ lag/lead (Dask's map_overlap across partition edges
     becomes a plain sorted window)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_first("ts"), F.asc("event_id"))
     return ev.select(
         "event_id",
         "value",
@@ -126,7 +127,8 @@ def lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_avg_value",
     oracle="""
     SELECT event_id,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC NULLS FIRST, event_id ASC
                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS avg4
     FROM events
     """,
@@ -136,7 +138,7 @@ def rolling_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .orderBy(F.asc_nulls_first("ts"), F.asc("event_id"))
         .rowsBetween(-3, Window.currentRow)
     )
     return ev.select("event_id", F.round(F.avg("value").over(w), 6).alias("avg4"))

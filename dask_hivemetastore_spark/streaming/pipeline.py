@@ -263,6 +263,10 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
     """
     rows: list[tuple[int, float]] = []
     for pdf in pdf_iter:
+        # drop NULL event-times, matching batch session_window (which
+        # drops undated rows); NaT would otherwise convert to int64 MIN
+        # and open a garbage session at the epoch floor (r8 NULL probe)
+        pdf = pdf.dropna(subset=["ts"])
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
         rows.extend(zip(ts_us.tolist(), pdf["value"].tolist()))
     rows.sort()
@@ -271,14 +275,23 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
     else:
         start = None
     closed: list[tuple[int, int, float]] = []
+    import math as _math
+
     for ts, v in rows:
         if start is None:
-            start, last, n, s = ts, ts, 0, 0.0
+            start, last, n, s = ts, ts, 0, float("nan")
         elif ts - last > _GAP_US:
             closed.append((start, n, s))
-            start, last, n, s = ts, ts, 0, 0.0
+            start, last, n, s = ts, ts, 0, float("nan")
         n += 1
-        s += float(v)
+        # SQL-SUM semantics (r8 NULL probe): NULL values (NaN after
+        # Arrow) count in n_events but are skipped by the sum — a bare
+        # += would poison the session total. s starts as NaN ("no
+        # values yet", SQL's SUM-of-nothing-is-NULL) so an all-NULL
+        # session emits NULL, matching the oracle; NaN round-trips the
+        # Arrow state schema unchanged.
+        if v is not None and not _math.isnan(float(v)):
+            s = float(v) if _math.isnan(s) else s + float(v)
         last = ts
     out = list(closed)
     if start is not None:
@@ -291,7 +304,10 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
                 pd.Timestamp(st, unit="us").strftime("%Y-%m-%d %H:%M:%S") for st, _, _ in out
             ],
             "n_events": [n_ for _, n_, _ in out],
-            "total_value": [sql_round(s_) for _, _, s_ in out],
+            "total_value": [
+                None if _math.isnan(s_) else sql_round(s_)
+                for _, _, s_ in out
+            ],
         }
     )
 
@@ -304,7 +320,7 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_sess
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
     ), sess AS (
         SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC

@@ -99,21 +99,10 @@ def test_rangejoin_fuzz(corpus, spark, tmp_path_factory):
     if corpus == "real":
         sf_dir = SF_SMOKE
     else:
-        import pandas as pd
-
-        from .test_hostile_events import _ROWS
+        from .test_hostile_events import write_hostile_events
 
         d = tmp_path_factory.mktemp("rj_hostile")
-        pd.DataFrame(
-            {
-                "event_id": pd.array(range(len(_ROWS)), dtype="int64"),
-                "ts": pd.array([r[0] for r in _ROWS], dtype="datetime64[us]"),
-                "user_id": pd.array([r[1] for r in _ROWS], dtype="int64"),
-                "event_type": [r[2] for r in _ROWS],
-                "value": pd.array([r[3] for r in _ROWS], dtype="float64"),
-                "props": pd.array([r[4] for r in _ROWS], dtype="object"),
-            }
-        ).to_parquet(d / "events.parquet", index=False)
+        write_hostile_events(d)
         sf_dir = str(d)
 
     con = duckdb.connect()
@@ -172,21 +161,10 @@ def test_interval_overlap_fuzz(corpus, spark, tmp_path_factory):
     if corpus == "real":
         sf_dir = SF_SMOKE
     else:
-        import pandas as pd
-
-        from .test_hostile_events import _ROWS
+        from .test_hostile_events import write_hostile_events
 
         d = tmp_path_factory.mktemp("ov_hostile")
-        pd.DataFrame(
-            {
-                "event_id": pd.array(range(len(_ROWS)), dtype="int64"),
-                "ts": pd.array([r[0] for r in _ROWS], dtype="datetime64[us]"),
-                "user_id": pd.array([r[1] for r in _ROWS], dtype="int64"),
-                "event_type": [r[2] for r in _ROWS],
-                "value": pd.array([r[3] for r in _ROWS], dtype="float64"),
-                "props": pd.array([r[4] for r in _ROWS], dtype="object"),
-            }
-        ).to_parquet(d / "events.parquet", index=False)
+        write_hostile_events(d)
         sf_dir = str(d)
 
     con = duckdb.connect()

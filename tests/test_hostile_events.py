@@ -92,6 +92,13 @@ _ROWS: list[tuple] = [
     (_ts(11, 45, 0, 1),      6, "error",    34.0,   '{"k": 24}'),
     # --- an isolated event days later (gapfill spine stress: big gap) ---
     (_ts(72, 0),             5, "error",    -3.25,  '{"k": 40}'),
+    # --- NULL scalars (r8 round-end probe: no registered query crashes
+    # --- on them; this pins that the ANSWERS agree too). NULL ts forms
+    # --- its own window/sort group; NULL value is skipped by SUM/AVG;
+    # --- NULL user_id is its own session/partition key. ---
+    (None,                   1, "view",     2.0,    '{"k": 41}'),
+    (_ts(9, 0),              1, "click",    None,   '{"k": 42}'),
+    (_ts(9, 5),              None, "view",  4.0,    '{"k": 43}'),
 ]
 
 _KEYS = [
@@ -122,22 +129,32 @@ _KEYS = [
 ]
 
 
+def write_hostile_events(dirpath) -> None:
+    """Write the hostile corpus as ``events.parquet`` under ``dirpath`` —
+    the ONE corpus builder (the operator fuzzers reuse it; a private copy
+    with non-nullable dtypes broke the moment NULL rows were added).
+    Nullable Int64/Float64 on purpose: plain int64 can't hold None and
+    plain float64 turns None into NaN, which parquet stores as a NaN
+    VALUE, not a NULL."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array(range(len(_ROWS)), dtype="int64"),
+            "ts": pd.array([r[0] for r in _ROWS], dtype="datetime64[us]"),
+            "user_id": pd.array([r[1] for r in _ROWS], dtype="Int64"),
+            "event_type": [r[2] for r in _ROWS],
+            "value": pd.array([r[3] for r in _ROWS], dtype="Float64"),
+            "props": pd.array([r[4] for r in _ROWS], dtype="object"),
+        }
+    )
+    pdf.to_parquet(os.path.join(str(dirpath), "events.parquet"), index=False)
+
+
 @pytest.fixture(scope="module")
 def hostile_events_dir(tmp_path_factory) -> str:
     from .conftest import SF_SMOKE
 
     d = tmp_path_factory.mktemp("hostile_events_sf")
-    pdf = pd.DataFrame(
-        {
-            "event_id": pd.array(range(len(_ROWS)), dtype="int64"),
-            "ts": pd.array([r[0] for r in _ROWS], dtype="datetime64[us]"),
-            "user_id": pd.array([r[1] for r in _ROWS], dtype="int64"),
-            "event_type": [r[2] for r in _ROWS],
-            "value": pd.array([r[3] for r in _ROWS], dtype="float64"),
-            "props": pd.array([r[4] for r in _ROWS], dtype="object"),
-        }
-    )
-    pdf.to_parquet(d / "events.parquet", index=False)
+    write_hostile_events(d)
     for f in os.listdir(SF_SMOKE):
         if f != "events.parquet":
             os.symlink(os.path.join(SF_SMOKE, f), d / f)
