@@ -319,13 +319,15 @@ def semdedup_pairs(emb: DataFrame, threshold: float, n_cells: int = 16,
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
-        # 1+eps cap alongside the threshold: a +Inf dot from a corrupt
-        # vector would pass a bare >= and semdedup-drop every partner in
-        # its cell; NaN already fails the compare (r8, same guard as
-        # similarity.similar_pairs)
+        # non-finite guard alongside the threshold: a +Inf dot from a
+        # corrupt vector would pass a bare >= and semdedup-drop every
+        # partner in its cell; NaN already fails the compare. abs < Inf,
+        # not a 1+eps magnitude cap — legitimate large finite dots on
+        # unnormalized corpora must survive (r9 advisor, same guard as
+        # similarity.similar_pairs / similarity._finite)
         .where(
             (F.col("cosine") >= threshold)
-            & (F.col("cosine") <= F.lit(1.000001))
+            & (F.abs(F.col("cosine")) < F.lit(float("inf")))
         )
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

@@ -44,13 +44,21 @@ ORACLE_DOT = (
 
 
 def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Keep only rows whose vector has NO non-finite component. Corrupt
-    embeddings (NaN/Inf — real at 100 TB) crash pyspark.ml KMeans
-    outright ("Vector values MUST NOT be NaN or Infinity", r8 probe) and
-    poison any assignment argmax, so index construction excludes them at
-    the door; they can never be legitimate neighbors."""
+    """Keep only rows whose vector is non-NULL, has no NULL element, and
+    has NO non-finite component. Corrupt embeddings (NaN/Inf — real at
+    100 TB) crash pyspark.ml KMeans outright ("Vector values MUST NOT be
+    NaN or Infinity", r8 probe) and poison any assignment argmax, so
+    index construction excludes them at the door; they can never be
+    legitimate neighbors. NULL vectors and NULL elements are excluded
+    EXPLICITLY (r9 advisor): the exists() predicate alone is tri-valued
+    (NULL in → NULL out → row silently dropped by where), which happened
+    to match the intended contract — the isNotNull conjuncts below make
+    that intent survive future edits instead of riding on SQL NULL
+    semantics."""
     return df.where(
-        ~F.exists(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & ~F.exists(
             F.col(vec_col),
             lambda x: F.isnan(x.cast("double"))
             | (x.cast("double") == F.lit(float("inf")))
@@ -253,13 +261,17 @@ def similar_pairs(emb: DataFrame, threshold: float,
     return (
         b.join(F.broadcast(with_va), "id_b")
         .select("id_a", "id_b", d.alias("__c"))
-        # upper bound alongside the threshold: a +Inf dot (corrupt vector
-        # with Inf components) would pass a bare >= threshold and pair the
-        # corrupt row with everything it met in the screen; NaN already
-        # fails the compare. Finite near-dup cosines cannot exceed ~1, so
-        # the 1+eps cap drops only the non-finite/corrupt class (r8).
+        # non-finite guard alongside the threshold: a +Inf dot (corrupt
+        # vector with Inf components) would pass a bare >= threshold and
+        # pair the corrupt row with everything it met in the screen; NaN
+        # already fails the compare. Same abs(c) < Inf form as _finite —
+        # a magnitude cap (r8 used 1+eps) would also drop LEGITIMATE
+        # large finite dots on unnormalized corpora (r9 advisor), and
+        # the threshold itself is only a cosine if inputs are
+        # unit-normalized; the guard must not assume they are.
         .where(
-            (F.col("__c") >= threshold) & (F.col("__c") <= F.lit(1.000001))
+            (F.col("__c") >= threshold)
+            & (F.abs(F.col("__c")) < F.lit(float("inf")))
         )
         .select("id_a", "id_b", F.round("__c", 6).alias("cosine"))
     )

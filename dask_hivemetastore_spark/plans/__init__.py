@@ -49,97 +49,93 @@ from .. import streaming  # noqa: F401,E402
 # the one red row, a driver-canonicalizer array-column failure).
 # Round 7 certified the 12 new/changed keys of that round plus drift
 # re-certification of the r1 window — CORRECTNESS_r07: 50/50 green.
-# Round 8 (this window): VERDICT r7 "What's wrong #1" — ~15 keys had
-# semantic fixes (c0f83b6, b8dd74b) land AFTER the r7 window froze, so
-# their driver rows predate their current answers; the policy's own
-# re-cert rule (above, #2 extended: changed keys re-certify) puts them
-# first. Remaining slots: drift re-certification of the OLDEST
-# surviving certifications — the r2 window's keys (last driver-checked
-# six rounds ago), minus those already re-certified in the r7 window
-# or covered by the changed-keys block.
+# Round 8 certified the 15 keys r7 flagged as driver-stale + 7
+# hostile-corpus-fix keys + drift re-certification of most of the r2
+# window — CORRECTNESS_r08: 50/50 green (see git history of this file
+# for the full r8 list).
+# Round 9 (this window): VERDICT r8 "What's missing #1" — ~11 keys had
+# code land after the r8 window froze (NULL-quantization 4bc5c25,
+# Inf-cap/finite-guard changes, docstring-adjacent edits); the r9
+# advisor-driven guard changes (abs<Inf rescore cap in
+# similar_pairs/semdedup_pairs, explicit NULL exclusion in
+# finite_vectors) touch the same embedding keys, so both re-certify
+# together. Then the 8 r2-block keys the r8 window deferred, the r1
+# window (oldest surviving driver rows, last checked 8 rounds ago),
+# and drift re-certification of the oldest r5-window keys.
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r8 block 1: keys whose ANSWERS changed after the r7 freeze
-    # --- (VERDICT r7 missing-#1 list, verbatim). asof fixes (atomic
-    # --- row-carry), thin-metastore raw-partition reads, hive-serde
-    # --- text path (+ r8's try_element_at/try_cast ANSI hardening),
-    # --- PII hit-count semantics, null-safe rebalance thresholds,
-    # --- span-dedup NULL rows, multimodal NULL/decode-once (+ r8's
-    # --- NULL-payload -> NULL sha_hex), quality grouped report,
-    # --- knn-join/range-join/interval/stratified engine-stability. ---
-    "asof_join_events",
-    "asof_join_tolerance",
-    "thin_metastore_scan",
-    "nations_per_region_csv",
-    "pii_redact_docs",
-    "corpus_rebalance_sources",
-    "corpus_rebalance_temperature",
-    "span_dedup_docs",
-    "multimodal_extract",
-    "multimodal_frame_sample",
-    "quality_report_by_status",
-    "knn_join_batch",
-    "range_join_banded",
-    "interval_overlap_pairs",
-    "stratified_sample_docs",
-    # --- r8 hostile-corpus finds (tests/test_hostile_corpus.py +
-    # --- test_hostile_events.py): NULL-text semantic divergences (pii
-    # --- concat NULL-propagation, chunker size(NULL), span-dedup row
-    # --- drop, multimodal NULL-feature contract), session-gap boundary
-    # --- semantics (Spark session_window MERGES at exactly last+gap;
-    # --- oracles moved >= -> >, streaming twin aligned), and the
-    # --- hostile-JSON contract (get_json_object try_cast, from_json
-    # --- map semantics oracle, parse_json -> try_parse_json crash fix).
-    # --- Three keys above re-certify anyway; these seven join them. ---
-    "doc_chunk_windows",
-    "events_sessionize",
-    "sessionize_dynamic_gap",
-    "stream_sessionize",
-    "json_extract_props",
-    "map_funcs_props",
-    "variant_extract_props",
-    # --- r8 block 2: drift re-certification of the r2 window (oldest
-    # --- surviving driver rows), excluding keys moved to block 1 and
-    # --- keys already re-certified in the r7 window (dedup_near*
-    # --- family, training_corpus_pipeline, embedding_near_pairs,
-    # --- rolling_1h_events). The window is EXACTLY 50 (pinned by
-    # --- test_certification_window_integrity), so the r2 block's last
-    # --- eight keys defer to the r9 window: train_test_split_docs,
-    # --- decontaminate_docs, quality_percentile_gate,
-    # --- stream_tumbling_1h, stream_dedup_users, stream_stateful_counts,
-    # --- stream_filter_to_parquet, python_stream_source_agg. ---
-    "python_datasource_scan",
-    "orc_roundtrip_agg",
-    "jsonl_roundtrip_agg",
-    "merge_upsert_orders",
-    "window_rank_orders",
-    "cumsum_orders",
-    "lag_lead_events",
-    "rolling_avg_value",
-    "topn_parts_per_brand",
-    "events_tumbling_1h",
-    "events_sliding",
-    "range_join_events",
-    "stream_click_attribution",
-    "date_arithmetic",
-    "array_funcs_embeddings",
-    "decimal_money_agg",
-    "pandas_udf_scalar",
-    "custom_agg_geomean",
-    "grouped_map_zscore",
-    "map_partitions_net_price",
-    "cogrouped_map_ratio",
-    "udtf_bigrams",
-    "dedup_exact",
-    "knn_cosine_topk",
-    "text_stats_docs",
-    "xml_parse_orders",
-    "lateral_top_lineitems",
-    "collated_distinct_words",
+    # --- r9 block 1: keys whose code changed after the r8 freeze
+    # --- (VERDICT r8 missing-#1 list) PLUS this round's advisor-driven
+    # --- guard changes on the same embedding pillar (abs<Inf rescore
+    # --- cap replacing the 1+eps cap in similar_pairs/semdedup_pairs;
+    # --- explicit NULL-vector/NULL-element exclusion in
+    # --- finite_vectors). Output contracts touched: NULL scale+qvec
+    # --- quantization (4bc5c25), similar_pairs finite guard. ---
+    "embedding_quantize_roundtrip",
+    "embedding_near_pairs",
+    "dedup_embedding_components",
+    "token_pack_docs",
+    "doc_fingerprint",
+    "interleave_sources_rr",
+    "scd2_user_event_intervals",
+    "csv_roundtrip_agg",
+    "rolling_1h_events",
+    "interval_overlap_longtail",
+    "data_quality_report",
+    # --- r9 block 2: the 8 r2-block keys the r8 window deferred
+    # --- (last driver-checked round 4). ---
+    "train_test_split_docs",
+    "decontaminate_docs",
+    "quality_percentile_gate",
+    "stream_tumbling_1h",
+    "stream_dedup_users",
+    "stream_stateful_counts",
+    "stream_filter_to_parquet",
+    "python_stream_source_agg",
+    # --- r9 block 3: the r1 window's surviving keys — the OLDEST
+    # --- driver rows on record (round 1; csv_roundtrip_agg already
+    # --- re-certifies in block 1). ---
+    "describe_lineitem",
+    "grouping_sets_sql",
+    "parquet_partitioned_roundtrip",
+    "pivot_status_by_segment",
+    "regexp_extract_docs",
+    "salted_join_revenue",
+    "sql_entrypoint",
+    "unpivot_lineitem_metrics",
+    # --- r9 block 4: drift re-certification of the oldest r5-window
+    # --- keys (alphabetical prefix of the 38 r5 stragglers; the
+    # --- remaining 15 — q13/q21/q2/q8/q9, recursive_month_spine, the
+    # --- stream_* r5 four, table_diff_snapshots, try_arithmetic_safety,
+    # --- udtf_polymorphic_firstwords, window_rank_kinds,
+    # --- domain_cap_prefiltered — defer to r10). ---
+    "bm25_rank_docs",
+    "cdc_apply_changes",
+    "compact_small_files",
+    "corpus_shuffle_shards",
+    "decontaminate_digest_docs",
+    "domain_cap_docs",
+    "events_date_parts",
+    "events_hourly_gapfill",
+    "funnel_signup_purchase",
+    "grouped_arrow_minmax",
+    "incremental_agg_merge",
+    "interpolate_hourly_events",
+    "interval_order_span_ym",
+    "interval_user_span",
+    "lang_id_docs",
+    "map_arrow_net_price",
+    "median_mode_agg",
+    "observed_write_metrics",
+    "paginate_orders",
+    "pandas_api_groupby",
+    "parameterized_sql_orders",
+    "parquet_schema_evolution",
+    "persist_cache_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -62,9 +62,24 @@ def main() -> None:
             else:
                 shuffles[key] = shuffle_profile(fn(spark, sf_dir))
         except Exception:  # noqa: BLE001 — warm rep must never kill a sweep
-            fn(spark, sf_dir).count()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001 — a query that fails
+                # DETERMINISTICALLY (the case most likely to have thrown
+                # above) would re-raise here and kill the whole sweep (r9
+                # advisor); record it as failed and keep sweeping.
+                times[key] = -1.0
+                print(json.dumps({"query": key, "error": repr(exc)[:200]}),
+                      flush=True)
+                continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — same no-kill contract
+            times[key] = -1.0
+            print(json.dumps({"query": key, "error": repr(exc)[:200]}),
+                  flush=True)
+            continue
         times[key] = round(time.perf_counter() - t0, 3)
         print(json.dumps({"query": key, "sec": times[key],
                           **shuffles.get(key, {})}), flush=True)
