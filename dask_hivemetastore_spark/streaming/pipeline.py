@@ -128,7 +128,7 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            COUNT(*)              AS n_events,
            ROUND(SUM(value), 2)  AS total_value
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
 def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,6 +140,12 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch tumbling aggregate — hence the exact DuckDB oracle.
     Streaming forbids ``countDistinct``, so unlike batch
     ``events_tumbling_1h`` there is no ``n_users`` column here.
+
+    NULL event times: the watermarked streaming aggregation DROPS rows
+    with a NULL ``ts`` (no event time → no window), same as the batch
+    ``F.window`` twin; both oracles exclude them (r9 hostile-streaming
+    gate — this oracle originally kept a NULL hour group and diverged on
+    the hostile corpus). Applies equally to ``stream_sliding_30m``.
     """
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = (
@@ -445,7 +451,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + CASE WHEN date_part('minute', ts) >= 30
                              THEN INTERVAL 30 MINUTE
                              ELSE INTERVAL 0 MINUTE END AS w1
-               FROM events),
+               FROM events WHERE ts IS NOT NULL),
     b AS (SELECT w1 AS ws FROM g
           UNION ALL
           SELECT w1 - INTERVAL 30 MINUTE FROM g)

@@ -736,7 +736,326 @@ _SHAPES = [
 _SHAPE_POOL = [fn for fn, w in _SHAPES for _ in range(w)]
 
 
+# --------------------------------------------------------------------------
+# v2 families (r9, VERDICT r8 next-round #3): the v1 generator's documented
+# blind spots — engines' own ROUND/AVG, DECIMAL(p,s) arithmetic and
+# cast-down rounding, interval day-second/year-month arithmetic, and
+# window-over-join / window-over-union composites. Engine-pair rules these
+# families bake in (probed r9; each probe is a comment below):
+#
+#   * DuckDB ROUND(double, n) rounds the TRUE BINARY value; Spark F.round
+#     rounds the SHORTEST DECIMAL REPR half-up. On ≤2-decimal data the
+#     oracle form ROUND(CAST(x AS DECIMAL(18,3)), n) reproduces Spark
+#     exactly (cast at scale 3 is exact for 2-decimal reprs; DECIMAL
+#     ROUND is half-away-from-zero == Java HALF_UP for all signs).
+#   * Spark CAST(decimal AS decimal(p,s)) rounds HALF_UP; DuckDB's same
+#     cast rounds HALF_EVEN (probed: 0.025 → 0.03 vs 0.02). The oracle
+#     pin is ROUND(expr, s) BEFORE the cast (DuckDB decimal ROUND is
+#     half-away-from-zero, matching).
+#   * double→decimal casts are only exact when the cast scale EXCEEDS the
+#     data's decimal grain (at the grain, shortest-repr vs true-binary
+#     rounding diverges on .xx5 reprs — probed: 2.675 → 2.68 vs 2.67).
+#   * decimals fetch as Decimal objects from Spark but floats from
+#     DuckDB's fetchdf — every decimal-typed result casts to DOUBLE on
+#     both sides before comparison (exactness already locked upstream).
+#   * timestamp ± day-second intervals, add_months ↔ + INTERVAL n MONTH
+#     (end-of-month clamp included), and datediff ↔ date_diff('day')
+#     are value-identical across the engines (probed); timestamps emit
+#     through date_format/strftime strings (driver canonicalizer rule).
+# --------------------------------------------------------------------------
+
+_FLOAT_TABLES = [n for n, t in TABLES.items() if t.float_cols]
+
+
+def _native_round_spec(rng: random.Random, seed: int) -> Spec:
+    """The engines' OWN round — Spark F.round vs the decimal-cast oracle
+    pin — over real testdata floats, fully ordered."""
+    t = TABLES[rng.choice(_FLOAT_TABLES)]
+    c = rng.choice(t.float_cols)
+    digits = rng.choice([0, 1, 2])
+    limit = rng.choice([50, 100])
+    uniq_sel = ", ".join(f"{u} AS u{i}" for i, u in enumerate(t.uniq))
+    uniq_aliases = [f"u{i}" for i in range(len(t.uniq))]
+    order_tail = ", ".join(f"{a} ASC NULLS FIRST" for a in uniq_aliases)
+    pred_c, pred_s = gen_predicate(t, rng)
+    sql = (f"SELECT CAST(ROUND(CAST({c} AS DECIMAL(18,3)), {digits}) "
+           f"AS DOUBLE) AS r, {uniq_sel} "
+           f"FROM {t.name} WHERE {pred_s} "
+           f"ORDER BY r ASC NULLS FIRST, {order_tail} LIMIT {limit}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].where(pred_c)
+        out = df.select(
+            F.round(F.col(c), digits).alias("r"),
+            *[F.col(u).alias(f"u{i}") for i, u in enumerate(t.uniq)],
+        )
+        order = [F.col("r").asc_nulls_first()] + [
+            F.col(a).asc_nulls_first() for a in uniq_aliases
+        ]
+        return out.orderBy(*order).limit(limit)
+
+    return Spec(seed, f"native round({digits}) over {t.name}", build, sql)
+
+
+def _native_avg_spec(rng: random.Random, seed: int) -> Spec:
+    """The engines' OWN AVG (double and int inputs) per group — the v1
+    generator hand-rolled SUM/COUNT instead; this compares the real
+    aggregate implementations (reassociation noise absorbed by the
+    harness's 9-decimal canonicalization)."""
+    t = TABLES[rng.choice(_FLOAT_TABLES)]
+    c = rng.choice(list(t.float_cols) + list(t.int_cols))
+    kc, ks, kg = _group_key(t, rng, "k")
+    pred_c, pred_s = gen_predicate(t, rng)
+    sql = (f"SELECT {ks}, CAST(AVG({c}) AS DOUBLE) AS a, COUNT({c}) AS n "
+           f"FROM {t.name} WHERE {pred_s} GROUP BY {kg}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].where(pred_c)
+        return df.groupBy(kc).agg(
+            F.avg(c).cast("double").alias("a"),
+            F.count(c).alias("n"),
+        )
+
+    return Spec(seed, f"native AVG({c}) over {t.name}", build, sql)
+
+
+def _decimal_arith_spec(rng: random.Random, seed: int) -> Spec:
+    """DECIMAL(p,s) arithmetic: exact scale-3 ingestion, +/-/* in decimal,
+    then the HALF_UP cast-down edge (oracle pins DuckDB's HALF_EVEN cast
+    with an explicit decimal ROUND). Aggregate variant sums in decimal —
+    exact and order-independent by construction."""
+    t = TABLES[rng.choice(_FLOAT_TABLES)]
+    a = rng.choice(t.float_cols)
+    b = rng.choice(list(t.float_cols) + list(t.int_cols))
+    op = rng.choice(["+", "-", "*"])
+    agg = rng.random() < 0.5
+    pred_c, pred_s = gen_predicate(t, rng)
+    expr_sql = (f"CAST({a} AS DECIMAL(12,3)) {op} "
+                f"CAST({b} AS DECIMAL(12,3))")
+    da = F.col(a).cast("decimal(12,3)")
+    db = F.col(b).cast("decimal(12,3)")
+    dexpr = {"+": da + db, "-": da - db, "*": da * db}[op]
+
+    if agg:
+        sql = (f"SELECT CAST(SUM({expr_sql}) AS DOUBLE) AS s, "
+               f"COUNT(*) AS n FROM {t.name} WHERE {pred_s}")
+
+        def build(tabs: dict) -> DataFrame:
+            df = tabs[t.name].where(pred_c)
+            return df.agg(
+                F.sum(dexpr).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        return Spec(seed, f"decimal SUM {a}{op}{b}", build, sql)
+
+    limit = 100
+    uniq_sel = ", ".join(f"{u} AS u{i}" for i, u in enumerate(t.uniq))
+    uniq_aliases = [f"u{i}" for i in range(len(t.uniq))]
+    order_tail = ", ".join(f"{x} ASC NULLS FIRST" for x in uniq_aliases)
+    # cast-down to scale 2: Spark rounds HALF_UP; the oracle reproduces
+    # it with decimal ROUND (half away from zero) before the cast
+    sql = (f"SELECT CAST(CAST(ROUND({expr_sql}, 2) AS DECIMAL(18,2)) "
+           f"AS DOUBLE) AS d, {uniq_sel} "
+           f"FROM {t.name} WHERE {pred_s} "
+           f"ORDER BY d ASC NULLS FIRST, {order_tail} LIMIT {limit}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].where(pred_c)
+        out = df.select(
+            dexpr.cast("decimal(18,2)").cast("double").alias("d"),
+            *[F.col(u).alias(f"u{i}") for i, u in enumerate(t.uniq)],
+        )
+        order = [F.col("d").asc_nulls_first()] + [
+            F.col(x).asc_nulls_first() for x in uniq_aliases
+        ]
+        return out.orderBy(*order).limit(limit)
+
+    return Spec(seed, f"decimal cast-down {a}{op}{b}", build, sql)
+
+
+def _interval_spec(rng: random.Random, seed: int) -> Spec:
+    """Interval day-second and year-month arithmetic (SURVEY §1.2 row 17):
+    ts + N unit, add_months end-of-month clamping, day diffs. Timestamp
+    results emit as strings (canonicalizer rule)."""
+    t = TABLES[rng.choice(["events", "orders"])]
+    c = t.ts_cols[0]
+    kind = rng.choice(["ds_add", "ds_sub", "month_add", "day_diff"])
+    limit = 100
+    uniq_sel = ", ".join(f"{u} AS u{i}" for i, u in enumerate(t.uniq))
+    uniq_aliases = [f"u{i}" for i in range(len(t.uniq))]
+    order_tail = ", ".join(f"{x} ASC NULLS FIRST" for x in uniq_aliases)
+    pred_c, pred_s = gen_predicate(t, rng)
+
+    if kind in ("ds_add", "ds_sub"):
+        n, unit = rng.choice(
+            [(90, "MINUTE"), (36, "HOUR"), (7, "DAY"), (45, "SECOND")]
+        )
+        sign = "+" if kind == "ds_add" else "-"
+        sval = (f"strftime(CAST({c} AS TIMESTAMP) {sign} "
+                f"INTERVAL {n} {unit}, '%Y-%m-%d %H:%M:%S')")
+        expr = F.col(c).cast("timestamp")
+        delta = F.expr(f"INTERVAL {n} {unit}")
+        sexpr = F.date_format(
+            expr + delta if sign == "+" else expr - delta,
+            "yyyy-MM-dd HH:mm:ss",
+        )
+        desc = f"ts {sign} {n} {unit}"
+    elif kind == "month_add":
+        n = rng.choice([1, 3, 13])
+        # add_months clamps to end-of-month exactly like DuckDB's
+        # + INTERVAL n MONTH (probed on Jan 31 / Feb 29)
+        sval = (f"strftime(CAST(CAST({c} AS TIMESTAMP) + "
+                f"INTERVAL {n} MONTH AS DATE), '%Y-%m-%d')")
+        sexpr = F.date_format(
+            F.add_months(F.col(c).cast("timestamp"), n), "yyyy-MM-dd"
+        )
+        desc = f"add_months {n}"
+    else:
+        anchor = "2024-06-15"
+        sval = (f"CAST(date_diff('day', CAST({c} AS DATE), "
+                f"DATE '{anchor}') AS BIGINT)")
+        sexpr = F.datediff(
+            F.lit(anchor).cast("date"), F.col(c).cast("date")
+        ).cast("long")
+        desc = "day diff"
+
+    sql = (f"SELECT {sval} AS r, {uniq_sel} FROM {t.name} WHERE {pred_s} "
+           f"ORDER BY r ASC NULLS FIRST, {order_tail} LIMIT {limit}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name].where(pred_c)
+        out = df.select(
+            sexpr.alias("r"),
+            *[F.col(u).alias(f"u{i}") for i, u in enumerate(t.uniq)],
+        )
+        order = [F.col("r").asc_nulls_first()] + [
+            F.col(x).asc_nulls_first() for x in uniq_aliases
+        ]
+        return out.orderBy(*order).limit(limit)
+
+    return Spec(seed, f"interval {desc} over {t.name}", build, sql)
+
+
+def _window_over_join_spec(rng: random.Random, seed: int) -> Spec:
+    """Window function OVER a join — the composite the v1 generator never
+    produced (windows ran on base tables only). The join key sides are
+    unique on the right, so left-side uniqueness survives and the window
+    order can be made total."""
+    from pyspark.sql import Window
+
+    lname, rname, lk, rk = rng.choice(
+        [("orders", "customer", "o_custkey", "c_custkey"),
+         ("lineitem", "orders", "l_orderkey", "o_orderkey")]
+    )
+    lt, rt = TABLES[lname], TABLES[rname]
+    how = rng.choice(["inner", "left"])
+    part = rng.choice(lt.cat_cols)
+    # order by a RIGHT-side numeric — NULL-bearing under a left join, so
+    # the window's NULLS FIRST rule is actually exercised
+    rnum = rng.choice(rt.float_cols + rt.int_cols)
+    fn = rng.choice(["row_number", "rank", "dense_rank"])
+    pred_c, pred_s = gen_predicate(lt, rng)
+    limit = 100
+    uniq_sql = ", ".join(f"l.{u}" for u in lt.uniq)
+    uniq_sel = ", ".join(f"l.{u} AS u{i}" for i, u in enumerate(lt.uniq))
+    uniq_aliases = [f"u{i}" for i in range(len(lt.uniq))]
+    order_tail = ", ".join(f"{x} ASC NULLS FIRST" for x in uniq_aliases)
+    joinw = "JOIN" if how == "inner" else "LEFT JOIN"
+    sql = (f"SELECT l.{part} AS p, {uniq_sel}, "
+           f"CAST({fn}() OVER (PARTITION BY l.{part} "
+           f"ORDER BY r.{rnum} ASC NULLS FIRST, {uniq_sql}) AS BIGINT) AS w "
+           f"FROM {lname} l {joinw} {rname} r ON l.{lk} = r.{rk} "
+           f"WHERE {pred_s} "
+           f"ORDER BY p ASC NULLS FIRST, {order_tail} LIMIT {limit}")
+
+    def build(tabs: dict) -> DataFrame:
+        left, right = tabs[lname], tabs[rname]
+        left = left.where(pred_c)
+        j = left.join(right, left[lk] == right[rk], how)
+        w = Window.partitionBy(left[part]).orderBy(
+            right[rnum].asc_nulls_first(),
+            *[left[u].asc() for u in lt.uniq],
+        )
+        wc = {"row_number": F.row_number, "rank": F.rank,
+              "dense_rank": F.dense_rank}[fn]().over(w)
+        out = j.select(
+            left[part].alias("p"),
+            *[left[u].alias(f"u{i}") for i, u in enumerate(lt.uniq)],
+            wc.cast("long").alias("w"),
+        )
+        order = [F.col("p").asc_nulls_first()] + [
+            F.col(x).asc_nulls_first() for x in uniq_aliases
+        ]
+        return out.orderBy(*order).limit(limit)
+
+    return Spec(seed, f"{fn} over {how} join {lname}x{rname}", build, sql)
+
+
+def _union_window_spec(rng: random.Random, seed: int) -> Spec:
+    """Window OVER a set-op: two tagged filtered branches union-all'd,
+    then ranked per category — branch tags keep the union a multiset
+    with a total order."""
+    from pyspark.sql import Window
+
+    t = TABLES[rng.choice(["orders", "customer", "events"])]
+    cat = rng.choice(t.cat_cols)
+    uniq0 = t.uniq[0]
+    p1c, p1s = gen_predicate(t, rng)
+    p2c, p2s = gen_predicate(t, rng)
+    limit = 100
+    branch = (f"SELECT {cat} AS c, {uniq0} AS id, {{tag}} AS tag "
+              f"FROM {t.name} WHERE ")
+    inner = (branch.format(tag=1) + p1s + " UNION ALL "
+             + branch.format(tag=2) + p2s)
+    sql = (f"SELECT c, id, tag, "
+           f"CAST(row_number() OVER (PARTITION BY c "
+           f"ORDER BY tag, id) AS BIGINT) AS w "
+           f"FROM ({inner}) "
+           f"ORDER BY c ASC NULLS FIRST, tag ASC NULLS FIRST, "
+           f"id ASC NULLS FIRST LIMIT {limit}")
+
+    def build(tabs: dict) -> DataFrame:
+        df = tabs[t.name]
+
+        def branch_df(pred, tag):
+            return df.where(pred).select(
+                F.col(cat).alias("c"), F.col(uniq0).alias("id"),
+                F.lit(tag).cast("int").alias("tag"),
+            )
+
+        u = branch_df(p1c, 1).unionByName(branch_df(p2c, 2))
+        w = Window.partitionBy("c").orderBy(
+            F.col("tag").asc(), F.col("id").asc()
+        )
+        out = u.select(
+            "c", "id", "tag", F.row_number().over(w).cast("long").alias("w")
+        )
+        return out.orderBy(
+            F.col("c").asc_nulls_first(), F.col("tag").asc_nulls_first(),
+            F.col("id").asc_nulls_first(),
+        ).limit(limit)
+
+    return Spec(seed, f"row_number over union of {t.name}", build, sql)
+
+
+_SHAPES_V2 = [
+    (_native_round_spec, 3),
+    (_native_avg_spec, 3),
+    (_decimal_arith_spec, 3),
+    (_interval_spec, 3),
+    (_window_over_join_spec, 2),
+    (_union_window_spec, 1),
+]
+_SHAPE_POOL_V2 = [fn for fn, w in _SHAPES_V2 for _ in range(w)]
+
+#: seeds below this use the v1 pool — frozen so every historical seed
+#: number keeps reproducing the exact spec that (maybe) found a bug
+_V2_SEED_BASE = 360
+
+
 def make_spec(seed: int) -> Spec:
     rng = random.Random(seed)
-    shape = rng.choice(_SHAPE_POOL)
+    pool = _SHAPE_POOL if seed < _V2_SEED_BASE else _SHAPE_POOL_V2
+    shape = rng.choice(pool)
     return shape(rng, seed)

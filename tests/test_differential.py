@@ -20,7 +20,10 @@ import pytest
 from .diffgen import make_spec
 from .oracle_harness import compare
 
-N_SPECS = 360
+# 360 v1 seeds (frozen pool — historical seeds reproduce forever) + 150
+# v2 seeds (r9: native ROUND/AVG, decimal arithmetic + cast-down edges,
+# interval day-second/year-month, window-over-join/union composites)
+N_SPECS = 510
 CHUNK = 30
 DIFF_SF = os.environ.get("SPARK_GRAFT_DIFF_SF_DIR", "/root/testdata/sf0.001")
 
