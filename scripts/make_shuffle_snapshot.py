@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""Record the shuffle-volume snapshot that tests/test_shuffle_budget.py
-gates against (VERDICT r7 next-round #4).
+"""Record the shuffle+scan snapshot that tests/test_shuffle_budget.py
+gates against (VERDICT r7 #4; widened r9 #5).
 
 Profiles every BATCH registry query at the correctness scale (sf0.01)
 under the test-suite session config (shuffle_partitions=8 — shuffle
 BYTES depend on partition count via per-partition compression framing,
-so snapshot and replay must match), keeps the 20 heaviest by shuffle
-bytes, and writes ``tests/shuffle_snapshot.json``.
+so snapshot and replay must match). Pinned set (r9): the 20 heaviest by
+shuffle bytes UNION every key whose plan has >= 2 exchanges — a pruning
+or pushdown regression on a mid-weight multi-exchange query is the
+silent 10× at 100 TB that the old top-20 pin could not see. Each pinned
+entry carries shuffle volumes, scan bytes, and the pruned-column
+fingerprint (sorted per-scan output column lists).
 
 Streaming keys are skipped: their returned DataFrame is a memory-sink
 table scan whose executed plan carries none of the stream's shuffles.
@@ -52,6 +56,11 @@ def main() -> None:
     top = dict(
         sorted(profiles.items(), key=lambda kv: -kv[1]["shuffle_bytes"])[:TOP_N]
     )
+    # r9 widening: every multi-exchange key joins the pin — these are the
+    # queries whose plans have room for a mid-plan pushdown regression
+    for key, prof in profiles.items():
+        if prof["n_shuffles"] >= 2:
+            top.setdefault(key, prof)
     out = {
         "sf_dir": SF_DIR,
         "shuffle_partitions": 8,

@@ -1,15 +1,19 @@
-"""Executed-plan shuffle metrics (VERDICT r7 next-round #4).
+"""Executed-plan shuffle + scan metrics (VERDICT r7 #4, widened r9 #5).
 
 The registry-wide plan audit (``scripts/plan_audit.py``) greps operator
 TREES — it cannot see a shuffle-VOLUME regression that keeps the same
 operators (e.g. a filter that stops pushing below an exchange quietly
 10×es the shuffled rows). This module reads the actual SQLMetrics off an
-executed plan: total shuffle bytes/records written and the number of
-ShuffleExchange nodes, exactly what the Spark UI's SQL tab shows.
+executed plan: total shuffle bytes/records written, the number of
+ShuffleExchange nodes, and (r9) per-file-scan bytes read plus the
+PRUNED COLUMN fingerprint — the scan's output attribute list, which IS
+the ReadSchema; a column-pruning regression (scan suddenly reading all
+columns for a 2-column projection) changes the fingerprint even when
+the operator tree is identical. That's the silent 10× at 100 TB.
 
 Used by ``scripts/perf_sweep.py`` (sweep JSON carries bytes per query) and
-``tests/test_shuffle_budget.py`` (pins the top-shuffling queries against a
-committed snapshot at ±50%).
+``tests/test_shuffle_budget.py`` (pins volumes at ±50% and fingerprints
+exactly against a committed snapshot).
 """
 
 from __future__ import annotations
@@ -47,12 +51,23 @@ def shuffle_profile(df: DataFrame) -> dict[str, int]:
     df.collect()
     nodes: list = []
     _walk(df._jdf.queryExecution().executedPlan(), nodes)
-    out = {"n_shuffles": 0, "shuffle_bytes": 0, "shuffle_records": 0}
+    out: dict = {"n_shuffles": 0, "shuffle_bytes": 0, "shuffle_records": 0,
+                 "scan_bytes": 0, "scan_cols": []}
+    scan_cols: list[str] = []
     for n in nodes:
         cname = n.getClass().getSimpleName()
         is_exchange = cname == "ShuffleExchangeExec"
         if is_exchange:
             out["n_shuffles"] += 1
+        is_scan = cname in ("FileSourceScanExec", "BatchScanExec")
+        if is_scan:
+            # the scan's output attribute list IS its pruned ReadSchema
+            # (+ partition columns) — the column-pruning fingerprint
+            cols = []
+            ito = n.output().iterator()
+            while ito.hasNext():
+                cols.append(ito.next().name())
+            scan_cols.append(",".join(sorted(cols)))
         it = n.metrics().iterator()
         while it.hasNext():
             kv = it.next()
@@ -61,4 +76,9 @@ def shuffle_profile(df: DataFrame) -> dict[str, int]:
                 out["shuffle_bytes"] += kv._2().value()
             elif name == _METRIC_KEYS[1]:
                 out["shuffle_records"] += kv._2().value()
+            elif is_scan and name == "filesSize":
+                out["scan_bytes"] += kv._2().value()
+    # sorted: scan discovery order is plan-layout-dependent, the SET of
+    # (table-shaped) column lists is what pruning regressions change
+    out["scan_cols"] = sorted(scan_cols)
     return out

@@ -16,6 +16,13 @@ vectors, written to parquet so both paths pay real scan I/O:
 Query latencies are warm best-of-3 (the index-build cost is reported
 separately — it is a once-per-corpus maintenance pass, like compaction).
 
+r9 (VERDICT r8 #4): a --corrupt-frac block of NaN/Inf-component vectors
+is unioned into the flat corpus (default 1%), and the run FAILS unless
+(a) exclusion accounting is exact — index rows + corrupt == flat rows,
+(b) neither the brute scan nor any probed cell ever ranks a corrupt id,
+and (c) the nprobe=16 top-k cosine multiset equals the brute one (the
+recall floor on the clean subset, tie-proof under 100x replication).
+
 Usage: python scripts/stress_ivf_scale.py [--reps 100] [--n-cells 64]
 """
 
@@ -47,6 +54,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=100)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--n-cells", type=int, default=64)
+    ap.add_argument("--corrupt-frac", type=float, default=0.01)
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -80,7 +88,35 @@ def main() -> None:
     )
     base = tempfile.mkdtemp(prefix="ivf_scale_")
     flat_path, index_path = f"{base}/flat", f"{base}/ivf"
-    big.write.mode("overwrite").parquet(flat_path)
+    # corrupt block (r9): NaN/Inf-component vectors with ids >= 2e9 ride
+    # into the flat corpus; the index build and every ranking must
+    # exclude them with exact accounting
+    import pandas as pd
+
+    n_clean_base = emb.count()
+    n_corrupt = int(n_clean_base * args.reps * args.corrupt_frac)
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+    bad = rng.standard_normal((n_corrupt, dim))
+    poisons = [float("nan"), float("inf"), float("-inf")]
+    for i in range(n_corrupt):
+        bad[i, i % dim] = poisons[i % 3]
+    bad_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": (2_000_000_000 + np.arange(n_corrupt)).astype(
+                    np.int64
+                ),
+                "embedding": [r.astype(np.float32).tolist() for r in bad],
+                "label": np.zeros(n_corrupt, dtype=np.int32),
+            }
+        )
+    ).select(
+        "vec_id",
+        F.col("embedding").cast(big.schema["embedding"].dataType),
+        F.col("label").cast(big.schema["label"].dataType),
+    )
+    big.unionByName(bad_df).write.mode("overwrite").parquet(flat_path)
     flat = spark.read.parquet(flat_path)
     n = flat.count()
     qv = np.asarray(
@@ -88,7 +124,14 @@ def main() -> None:
         dtype=np.float64,
     )
 
-    results: dict = {"n_vectors": n, "n_cells": args.n_cells}
+    results: dict = {"n_vectors": n, "n_cells": args.n_cells,
+                     "n_corrupt": n_corrupt}
+
+    brute_rows = knn_topk(flat, 0, k=10).collect()
+    results["brute_corrupt_free"] = all(
+        r.vec_id < 2_000_000_000 for r in brute_rows
+    ) and len(brute_rows) == 10
+    brute_scores = sorted(round(r.cosine, 6) for r in brute_rows)
 
     results["brute_sec"] = _best(
         3, lambda: knn_topk(flat, 0, k=10).collect()
@@ -100,12 +143,29 @@ def main() -> None:
     )
     results["index_build_sec"] = round(time.time() - t0, 2)
 
+    # exclusion accounting: every corrupt row excluded from the index,
+    # every clean row present — indexed + corrupt == flat, exactly
+    indexed = spark.read.parquet(index_path)
+    n_indexed = indexed.count()
+    results["accounting_ok"] = bool(
+        n_indexed + n_corrupt == n
+        and indexed.where(F.col("vec_id") >= 2_000_000_000).count() == 0
+    )
+
     cell_rows = {
         r.cell: r.n
         for r in spark.read.parquet(index_path)
         .groupBy("cell").agg(F.count("*").alias("n")).collect()
     }
+    probe_corrupt_free = True
+    probe16_scores: list = []
     for nprobe in (4, 8, 16):
+        rows = ivf_probe_indexed(
+            spark, index_path, C, qv, k=10, nprobe=nprobe, exclude_id=0
+        ).collect()
+        probe_corrupt_free &= all(r.vec_id < 2_000_000_000 for r in rows)
+        if nprobe == 16:
+            probe16_scores = sorted(round(r.cosine, 6) for r in rows)
         sec = _best(
             3,
             lambda: ivf_probe_indexed(
@@ -119,7 +179,15 @@ def main() -> None:
             "scan_frac": round(frac, 3),
             "speedup_vs_brute": round(results["brute_sec"] / sec, 1),
         }
+    results["probes_corrupt_free"] = bool(probe_corrupt_free)
+    # recall floor on the clean subset: replicated ids make id-recall
+    # tie-arbitrary, so compare the top-k COSINE multiset instead
+    results["recall_floor_clean"] = probe16_scores == brute_scores
     print(json.dumps(results))
+    ok = (results["accounting_ok"] and results["brute_corrupt_free"]
+          and results["probes_corrupt_free"]
+          and results["recall_floor_clean"])
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

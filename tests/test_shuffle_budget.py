@@ -1,11 +1,16 @@
-"""Quantitative plan-regression gate: shuffle volume (VERDICT r7 #4).
+"""Quantitative plan-regression gate: shuffle + scan volume (VERDICT
+r7 #4; widened r9 #5).
 
 The plan audit greps operator trees; it cannot see a 10× shuffle-volume
 regression that keeps the same operators (a filter no longer pushed below
-an exchange, a projection widened before a shuffle). This gate replays the
-20 heaviest-shuffling registry queries at sf0.01 and compares executed-plan
-shuffle bytes/records against the committed snapshot at ±50%; the exchange
-COUNT must match exactly.
+an exchange, a projection widened before a shuffle). This gate replays
+the pinned registry queries at sf0.01 — the 20 heaviest-shuffling UNION
+every multi-exchange oracle key — and compares executed-plan metrics
+against the committed snapshot: shuffle/scan bytes and records at ±50%,
+the exchange COUNT exactly, and (r9) the pruned-column FINGERPRINT
+(sorted per-scan output column lists) exactly — a scan that starts
+reading all columns for a 2-column projection changes the fingerprint
+even when bytes stay inside the band at sf0.01 (at 100 TB it would not).
 
 If a failure is a deliberate plan change, re-run
 ``python scripts/make_shuffle_snapshot.py`` and commit the diff with the
@@ -53,7 +58,13 @@ def test_shuffle_volume_pinned(key, spark):
         f"{got['n_shuffles']} — a plan-shape change; inspect .explain() "
         "and re-snapshot only if deliberate"
     )
-    for m in ("shuffle_bytes", "shuffle_records"):
+    assert got["scan_cols"] == want["scan_cols"], (
+        f"{key}: pruned-column fingerprint moved\n"
+        f"  want {want['scan_cols']}\n  got  {got['scan_cols']}\n"
+        "— a scan is reading different columns (ReadSchema widening is "
+        "the silent 10× at 100 TB); re-snapshot only if deliberate"
+    )
+    for m in ("shuffle_bytes", "shuffle_records", "scan_bytes"):
         lo, hi = want[m] * 0.5, want[m] * 1.5
         assert lo <= got[m] <= hi, (
             f"{key}: {m} moved {want[m]} -> {got[m]} "
