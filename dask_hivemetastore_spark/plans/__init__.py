@@ -86,12 +86,16 @@ _CERTIFICATION_PRIORITY = [
     "rolling_1h_events",
     "interval_overlap_longtail",
     "data_quality_report",
-    # --- r9 block 2: the 8 r2-block keys the r8 window deferred
-    # --- (last driver-checked round 4). ---
+    # --- r9 block 2: the 8 r2-block keys the r8 window deferred (last
+    # --- driver-checked round 4), plus stream_sliding_30m — its oracle
+    # --- changed this round (NULL-event-time exclusion found by the r9
+    # --- hostile-streaming gate, same fix as stream_tumbling_1h below),
+    # --- so the changed-keys re-cert rule pulls it in. ---
     "train_test_split_docs",
     "decontaminate_docs",
     "quality_percentile_gate",
     "stream_tumbling_1h",
+    "stream_sliding_30m",
     "stream_dedup_users",
     "stream_stateful_counts",
     "stream_filter_to_parquet",
@@ -107,12 +111,35 @@ _CERTIFICATION_PRIORITY = [
     "salted_join_revenue",
     "sql_entrypoint",
     "unpivot_lineitem_metrics",
-    # --- r9 block 4: drift re-certification of the oldest r5-window
+    # --- r9 block 4 (changed-keys re-cert rule): the hostile-NUMERIC
+    # --- gate (tests/test_hostile_numeric.py, new this round) found 10
+    # --- engine/oracle divergences; these 8 fixed keys are not already
+    # --- in the window (pivot_status_by_segment / salted_join_revenue
+    # --- sit in block 3, grouped_arrow_minmax / median_mode_agg below).
+    # --- Contracts pinned: geomean strictly-positive domain, zscore
+    # --- zero-variance → NULL, cogroup NULL-key alignment, struct tie
+    # --- ordering replacing the overflowing BIGINT encoding,
+    # --- deterministic lowest-tie mode, crosstab NULL label 'null',
+    # --- DECIMAL-collapsed rounding for quantile/cov/SUM cent edges. ---
+    "custom_agg_geomean",
+    "grouped_map_zscore",
+    "cogrouped_map_ratio",
+    "argmin_argmax_orders",
+    "agg_misc",
+    "crosstab_status_segment",
+    "quantile_value",
+    "corr_price_qty",
+    # --- r9 block 5: drift re-certification of the oldest r5-window
     # --- keys (alphabetical prefix of the 38 r5 stragglers; the
-    # --- remaining 15 — q13/q21/q2/q8/q9, recursive_month_spine, the
-    # --- stream_* r5 four, table_diff_snapshots, try_arithmetic_safety,
+    # --- remaining 24 — q13/q21/q2/q8/q9, recursive_month_spine, the
+    # --- stream_* r5 four minus sliding (certified above),
+    # --- table_diff_snapshots, try_arithmetic_safety,
     # --- udtf_polymorphic_firstwords, window_rank_kinds,
-    # --- domain_cap_prefiltered — defer to r10). ---
+    # --- domain_cap_prefiltered, persist_cache_agg, and the 8 unchanged
+    # --- drift keys displaced by block 4 (interval_order_span_ym,
+    # --- interval_user_span, lang_id_docs, map_arrow_net_price,
+    # --- observed_write_metrics, paginate_orders, pandas_api_groupby,
+    # --- parameterized_sql_orders) — defer to r10). ---
     "bm25_rank_docs",
     "cdc_apply_changes",
     "compact_small_files",
@@ -125,17 +152,8 @@ _CERTIFICATION_PRIORITY = [
     "grouped_arrow_minmax",
     "incremental_agg_merge",
     "interpolate_hourly_events",
-    "interval_order_span_ym",
-    "interval_user_span",
-    "lang_id_docs",
-    "map_arrow_net_price",
     "median_mode_agg",
-    "observed_write_metrics",
-    "paginate_orders",
-    "pandas_api_groupby",
-    "parameterized_sql_orders",
     "parquet_schema_evolution",
-    "persist_cache_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

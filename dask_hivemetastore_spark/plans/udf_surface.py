@@ -71,7 +71,8 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "custom_agg_geomean",
     oracle="""
     SELECT o_orderstatus,
-           ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price,
+           ROUND(EXP(AVG(CASE WHEN o_totalprice > 0
+                         THEN LN(o_totalprice) END)), 4) AS geomean_price,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus
     """,
@@ -80,16 +81,26 @@ def custom_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4/D11 custom aggregation (the reference's ``dd.Aggregation``
     chunk/agg/finalize triple) as a GROUPED_AGG pandas_udf: geometric mean.
 
+    Domain contract (pinned by the r9 hostile-numeric gate): the geometric
+    mean is defined over STRICTLY POSITIVE values only — NULL, zero and
+    negative prices are excluded from the log-average (NULL if a group has
+    no positive value), while ``n`` still counts every row. Without the
+    guard the engines silently diverge: numpy's ``log`` yields ``-inf``/NaN
+    (pandas ``mean`` then skips the NaN rows), DuckDB's ``LN`` raises.
+
     Note for 100 TB: a GROUPED_AGG udf materializes each group in memory; the
     decomposable form (avg of logs, as the oracle does) is the scalable
     rewrite — partial aggregation stays JVM-side. Certified here: Python path.
     """
 
     @pandas_udf("double")
-    def geomean(v: pd.Series) -> float:
+    def geomean(v: pd.Series) -> float | None:
         import numpy as np
 
-        return float(np.exp(np.log(v).mean()))
+        pos = v[v > 0]  # drops NaN (NULL) too: NaN > 0 is False
+        if len(pos) == 0:
+            return None
+        return float(np.exp(np.log(pos).mean()))
 
     @pandas_udf("long")
     def n_rows(v: pd.Series) -> int:
@@ -108,8 +119,13 @@ def custom_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_map_zscore",
     oracle="""
     SELECT c_custkey,
-           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
-                 / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS z
+           CASE WHEN MIN(c_acctbal) OVER (PARTITION BY c_mktsegment)
+                     = MAX(c_acctbal) OVER (PARTITION BY c_mktsegment)
+                THEN NULL
+                ELSE ROUND(
+                  (c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                  / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment), 6)
+           END AS z
     FROM customer
     """,
 )
@@ -117,11 +133,22 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 grouped map (``groupby().apply``) via applyInPandas: per-segment
     z-score. Each group becomes one pandas DataFrame on an executor — fine
     when groups fit in memory (segments here); for giant groups use the
-    window-function form the oracle uses."""
+    window-function form the oracle uses.
+
+    Degenerate-group contract (pinned by the r9 hostile-numeric gate): a
+    group whose non-null values are all EQUAL has zero variance, so the
+    z-score is undefined → NULL for every row.  Without the explicit
+    ``min == max`` guard the engines diverge on pure float noise: pandas'
+    two-pass std of three copies of 55.55 is a tiny NONZERO residue
+    (yielding z = ±0.816…), DuckDB's STDDEV_SAMP is exactly 0 (yielding
+    NULL).  Single-row groups already agree (ddof=1 → NaN/NULL both)."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf["c_acctbal"]
-        z = (s - s.mean()) / s.std(ddof=1)  # rounding is JVM-side, see pandas_udf_scalar
+        if s.min() == s.max():  # all-equal (NaN-skipping min/max) → undefined
+            z = pd.Series([None] * len(s), dtype="float64")
+        else:
+            z = (s - s.mean()) / s.std(ddof=1)  # rounding is JVM-side, see pandas_udf_scalar
         return pd.DataFrame({"c_custkey": pdf["c_custkey"], "z": z})
 
     cust = load_table(spark, sf_dir, "customer")
@@ -189,25 +216,33 @@ def explode_words_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cogrouped_map_ratio",
     oracle="""
     WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
-                      ROUND(SUM(c_acctbal), 2) AS cust_bal
+                      CAST(ROUND(CAST(SUM(c_acctbal) AS DECIMAL(27,3)), 2)
+                           AS DOUBLE) AS cust_bal
                FROM customer GROUP BY 1),
          s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
     SELECT COALESCE(c.nk, s.nk) AS nationkey,
            COALESCE(n_cust, 0)  AS n_cust,
            COALESCE(n_supp, 0)  AS n_supp,
            COALESCE(cust_bal, 0.0) AS cust_bal
-    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    FROM c FULL OUTER JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
     """,
 )
 def cogrouped_map_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 cogrouped map: align two frames by key, combine each pair of
-    groups in pandas (the reference's align + map pattern)."""
+    groups in pandas (the reference's align + map pattern).
+
+    NULL-key contract (pinned by the r9 hostile-numeric gate): cogroup is
+    GROUP-BY alignment, so the NULL-key customer group and the NULL-key
+    supplier group meet in ONE combined row — the oracle's join must be
+    ``IS NOT DISTINCT FROM`` (a plain ``=`` FULL JOIN emits two half
+    rows).  The NULL key also reaches pandas as NaN, so the int() cast
+    needs the isna guard."""
 
     def combine(cust: pd.DataFrame, supp: pd.DataFrame) -> pd.DataFrame:
         nk = cust["c_nationkey"].iloc[0] if len(cust) else supp["s_nationkey"].iloc[0]
         return pd.DataFrame(
             {
-                "nationkey": [int(nk)],
+                "nationkey": [None if pd.isna(nk) else int(nk)],
                 "n_cust": [len(cust)],
                 "n_supp": [len(supp)],
                 # sql_round, not round(): must match the oracle's SQL
@@ -324,11 +359,15 @@ def grouped_arrow_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def minmax(tbl: pa.Table) -> pa.Table:
         bal = tbl["c_acctbal"]
+        # Every column carries an EXPLICIT arrow type: the NULL-segment
+        # group otherwise infers `null`-typed columns from [None] and
+        # Spark rejects the batch (RESULT_COLUMN_TYPES_MISMATCH) — an
+        # all-NULL group is a certainty at 100 TB (r9 hostile gate).
         return pa.table(
             {
-                "segment": [tbl["c_mktsegment"][0].as_py()],
-                "min_bal": [pc.min(bal).as_py()],
-                "max_bal": [pc.max(bal).as_py()],
+                "segment": pa.array([tbl["c_mktsegment"][0].as_py()], pa.string()),
+                "min_bal": pa.array([pc.min(bal).as_py()], pa.float64()),
+                "max_bal": pa.array([pc.max(bal).as_py()], pa.float64()),
                 "n": pa.array([tbl.num_rows], pa.int64()),
             }
         )
