@@ -47,6 +47,10 @@ def main() -> None:
         if "stream" in key:
             continue
         try:
+            # cold-plan shape: a persist() from an earlier key must not
+            # swap later keys' FileScans for InMemoryTableScan (the
+            # pinning test clears the cache the same way)
+            spark.catalog.clearCache()
             profiles[key] = shuffle_profile(fn(spark, SF_DIR))
         except Exception as exc:  # noqa: BLE001 — diagnostic tool
             print(f"skip {key}: {type(exc).__name__}: {exc}", file=sys.stderr)

@@ -50,6 +50,13 @@ def test_shuffle_volume_pinned(key, spark):
         == _SNAP["shuffle_partitions"]
     ), "snapshot was recorded under a different shuffle partition count"
 
+    # The gate pins COLD-plan shape. A .persist() left behind by an
+    # earlier test swaps FileScans for InMemoryTableScan on any query
+    # sharing that logical subtree (suite-order-dependent: bit r9 on
+    # embedding_group_centroid / semdedup_survivors), which empties the
+    # scan fingerprint and zeroes scan_bytes. Clear it first.
+    spark.catalog.clearCache()
+
     got = shuffle_profile(plans.QUERIES[key](spark, _SNAP["sf_dir"]))
     want = _SNAP["queries"][key]
 
