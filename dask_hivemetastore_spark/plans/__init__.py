@@ -129,17 +129,26 @@ _CERTIFICATION_PRIORITY = [
     "crosstab_status_segment",
     "quantile_value",
     "corr_price_qty",
+    # --- r9 block 4b: the gate's window-family extension (orders/part
+    # --- poison + %19/%101-reachable rows) found the engines' NULL
+    # --- placement defaults disagree under ASC (Spark NULLS FIRST,
+    # --- DuckDB NULLS LAST) and a cent half-edge in the running SUM;
+    # --- both keys now pin ASC NULLS FIRST + DECIMAL-collapsed
+    # --- rounding explicitly on both sides, so they re-certify. ---
+    "cumsum_orders",
+    "window_value_funcs",
     # --- r9 block 5: drift re-certification of the oldest r5-window
     # --- keys (alphabetical prefix of the 38 r5 stragglers; the
     # --- remaining 24 — q13/q21/q2/q8/q9, recursive_month_spine, the
     # --- stream_* r5 four minus sliding (certified above),
     # --- table_diff_snapshots, try_arithmetic_safety,
     # --- udtf_polymorphic_firstwords, window_rank_kinds,
-    # --- domain_cap_prefiltered, persist_cache_agg, and the 8 unchanged
-    # --- drift keys displaced by block 4 (interval_order_span_ym,
+    # --- domain_cap_prefiltered, persist_cache_agg, and the 10 unchanged
+    # --- drift keys displaced by blocks 4/4b (interval_order_span_ym,
     # --- interval_user_span, lang_id_docs, map_arrow_net_price,
     # --- observed_write_metrics, paginate_orders, pandas_api_groupby,
-    # --- parameterized_sql_orders) — defer to r10). ---
+    # --- parameterized_sql_orders, interpolate_hourly_events,
+    # --- parquet_schema_evolution) — defer to r10). ---
     "bm25_rank_docs",
     "cdc_apply_changes",
     "compact_small_files",
@@ -151,9 +160,7 @@ _CERTIFICATION_PRIORITY = [
     "funnel_signup_purchase",
     "grouped_arrow_minmax",
     "incremental_agg_merge",
-    "interpolate_hourly_events",
     "median_mode_agg",
-    "parquet_schema_evolution",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

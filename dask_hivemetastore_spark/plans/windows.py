@@ -72,20 +72,33 @@ def window_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumsum_orders",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER w, 2) AS cum_spend,
-           ROUND(MAX(o_totalprice) OVER w, 2) AS max_so_far
+           CAST(ROUND(CAST(SUM(o_totalprice) OVER w AS DECIMAL(27,3)), 2)
+                AS DOUBLE) AS cum_spend,
+           CAST(ROUND(CAST(MAX(o_totalprice) OVER w AS DECIMAL(27,3)), 2)
+                AS DOUBLE) AS max_so_far
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def cumsum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 cumulative sum/max (Dask's cumsum/cummax partition chain ≙ one
-    running frame per key)."""
+    running frame per key).
+
+    NULL-date contract (pinned by the r9 hostile-numeric window gate):
+    undated orders accumulate FIRST — ``ASC NULLS FIRST`` explicitly on
+    both sides, because the engines' defaults disagree (Spark ASC →
+    NULLS FIRST, DuckDB → NULLS LAST) and a NULL-able ordering column is
+    a certainty at 100 TB. Same pin ``lag_lead_events`` carries. The
+    oracle rounds through DECIMAL(27,3) — the running sum lands on cent
+    half-edges (…602.675) where DuckDB's ROUND(double) and Spark's
+    shortest-repr HALF_UP disagree; the decimal collapse pins both to
+    HALF_UP (the house rule from the aggregate family)."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .orderBy(F.asc_nulls_first("o_orderdate"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -225,12 +238,15 @@ def topn_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LAST_VALUE(o_totalprice)  OVER w, 2) AS last_price,
            ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_price,
            ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus
-                                   ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+                                   ORDER BY o_totalprice NULLS FIRST,
+                                            o_orderkey), 6) AS cd,
            NTILE(4) OVER (PARTITION BY o_orderstatus
-                          ORDER BY o_totalprice, o_orderkey) AS quartile
+                          ORDER BY o_totalprice NULLS FIRST,
+                                   o_orderkey) AS quartile
     FROM orders
     WHERE o_orderkey % 101 = 0
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -238,14 +254,22 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 value/window functions beyond ranking: first_value / last_value /
     nth_value over an unbounded frame, plus cume_dist and ntile. Ties are
     pinned with a secondary orderkey sort — value window functions are
-    nondeterministic under ties otherwise (on every engine)."""
+    nondeterministic under ties otherwise (on every engine).
+
+    NULL-price contract (pinned by the r9 hostile-numeric window gate):
+    ``ASC NULLS FIRST`` explicitly on both sides — the engines' defaults
+    disagree (Spark FIRST, DuckDB LAST), which moves first_value /
+    nth_value / cume_dist / ntile for every row in an affected
+    partition, not just the NULL ones."""
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 101 == 0)
     w_full = (
         Window.partitionBy("o_orderstatus")
-        .orderBy("o_totalprice", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_totalprice"), F.asc("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    w_ord = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_ord = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc_nulls_first("o_totalprice"), F.asc("o_orderkey")
+    )
     return orders.select(
         "o_orderkey",
         "o_orderstatus",

@@ -88,6 +88,40 @@ _ORDERS = [
     (13, 9, "O", 8194.925, None, "1-URGENT"),            # NULL date
     (14, 10, "O", 33.33, _d("1970-01-01"), "5-LOW"),     # epoch date
     (15, 12, "F", 44.44, _d("2024-04-05"), "4-NOT SPECIFIED"),
+    # r9 window-family block: keys divisible by 19/101 reach the
+    # window_value_funcs (%101) and window_price_band (%19) filters;
+    # custkey 9 gets a SECOND order with a real date so the NULL-date
+    # order 13 is no longer alone in its cumsum partition (NULL-position
+    # in ASC ordering is where Spark NULLS FIRST and DuckDB NULLS LAST
+    # defaults diverge); equal prices inside one status exercise the
+    # pinned tiebreaks; a NULL price and NULL status land inside the
+    # %19/%101 subsets too.
+    (19, 1, "O", 500.00, _d("2024-05-01"), "1-URGENT"),
+    (38, 2, "O", 500.00, _d("2024-05-02"), "2-HIGH"),     # price tie
+    (57, 3, "O", None, _d("2024-05-03"), "3-MEDIUM"),     # NULL price
+    (76, 4, None, 750.00, _d("2024-05-04"), "5-LOW"),     # NULL status
+    (95, 9, "F", 1250.50, _d("2024-05-05"), "4-NOT SPECIFIED"),
+    (101, 9, "O", 10.00, _d("2024-05-06"), "1-URGENT"),   # 2nd custkey-9 row
+    (202, 5, "O", None, _d("2024-05-07"), "2-HIGH"),      # NULL price
+    (303, None, "F", 1250.50, _d("2024-05-08"), "3-MEDIUM"),  # NULL custkey
+    (404, 6, "O", 10.00, None, "5-LOW"),                  # NULL date, %101
+]
+
+# part: NULL brand, NULL/tied/negative/zero retailprice — the E5/E6
+# ranking frames order by retailprice DESC with a partkey tiebreak, so
+# the poison probes NULL placement under DESC and tie determinism
+_PART = [
+    # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    (1, "part 1", "Brand#11", "STANDARD", 5, 100.00),
+    (2, "part 2", "Brand#11", "STANDARD", 10, 100.00),   # tie
+    (3, "part 3", "Brand#11", "SMALL", 15, None),        # NULL price
+    (4, "part 4", "Brand#11", "LARGE", 20, -7.25),
+    (5, "part 5", "Brand#11", "MEDIUM", 25, 0.0),
+    (6, "part 6", "Brand#22", "STANDARD", 1, 8194.925),  # cent edge
+    (7, "part 7", "Brand#22", "SMALL", None, 55.55),
+    (8, "part 8", None, "LARGE", 3, 55.55),              # NULL brand
+    (9, "part 9", None, "MEDIUM", 4, None),              # NULL brand+price
+    (10, "part 10", "Brand#33", "STANDARD", 50, 1.005),  # single-part brand
 ]
 
 # lineitem: duplicate (orderkey, linenumber) pairs (a testdata trait the
@@ -171,6 +205,16 @@ def write_hostile_numeric(dirpath) -> None:
     ), os.path.join(base, "orders.parquet"))
     papq.write_table(pa.table(
         {
+            "p_partkey": pa.array([r[0] for r in _PART], pa.int64()),
+            "p_name": pa.array([r[1] for r in _PART], pa.string()),
+            "p_brand": pa.array([r[2] for r in _PART], pa.string()),
+            "p_type": pa.array([r[3] for r in _PART], pa.string()),
+            "p_size": pa.array([r[4] for r in _PART], pa.int32()),
+            "p_retailprice": pa.array([r[5] for r in _PART], pa.float64()),
+        }
+    ), os.path.join(base, "part.parquet"))
+    papq.write_table(pa.table(
+        {
             "l_orderkey": pa.array([r[0] for r in _LINEITEM], pa.int64()),
             "l_partkey": pa.array([r[1] for r in _LINEITEM], pa.int64()),
             "l_suppkey": pa.array([r[2] for r in _LINEITEM], pa.int64()),
@@ -238,6 +282,17 @@ _KEYS = [
     # TPC-H flagship aggregate scans
     "q1_pricing_summary",
     "q6_revenue_delta",
+    # window family (E) — NULL sort keys probe the engines' default
+    # NULL placement (Spark ASC → NULLS FIRST, DuckDB → NULLS LAST),
+    # ties probe the pinned tiebreaks, NULL partition keys group as one
+    "window_rank_orders",
+    "window_rank_kinds",
+    "cumsum_orders",
+    "topn_parts_per_brand",
+    "window_value_funcs",
+    "window_price_band",
+    # join-then-window-then-sort composite over three poisoned tables
+    "q3_top_orders",
 ]
 
 
@@ -248,7 +303,7 @@ def hostile_num_dir(tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("hostile_numeric_sf")
     write_hostile_numeric(d)
     done = {"customer.parquet", "supplier.parquet", "orders.parquet",
-            "lineitem.parquet"}
+            "lineitem.parquet", "part.parquet"}
     for f in os.listdir(SF_SMOKE):
         if f not in done:
             os.symlink(os.path.join(SF_SMOKE, f), d / f)
