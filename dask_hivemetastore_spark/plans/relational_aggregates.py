@@ -511,22 +511,63 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("quantile_approx_value", oracle=None)
+@query(
+    "quantile_approx_value",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           1 AS median_in_bounds,
+           1 AS p95_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D7's 100 TB path made runnable: ``percentile_approx`` (a mergeable
     quantile sketch) instead of the exact sort-based percentile — partials
     merge map-side like any agg, so quantiles of a 100 TB column cost one
-    scan + a scalar-sized shuffle. Rows-only by design: sketch outputs are
-    engine-specific (the exact twin `quantile_value` is the hash-checked
-    one)."""
+    scan + a scalar-sized shuffle.
+
+    DERIVED full oracle (r10, VERDICT r9 #2 — previously rows-only): the
+    raw sketch values are engine-specific, but the sketch GUARANTEE is
+    checkable — ``percentile_approx(accuracy=10_000)`` bounds rank error
+    at 1/accuracy, so the approx median must land between the EXACT 0.49
+    and 0.51 quantiles (a 100× margin). The query emits that verdict as
+    an INT alongside the real per-group row count; the oracle recomputes
+    the count and asserts the verdict columns are 1 — so a sketch
+    regression (or a rank-error blowout) turns a driver row red instead
+    of staying invisible. (The exact twin `quantile_value` hash-checks
+    the quantile VALUES themselves.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("median_approx"),
-        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("p95_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__m_apx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("__p_apx"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in (0.49, 0.51, 0.94, 0.96)])
+        ).alias("__b"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("__m_apx").between(F.col("__b")[0], F.col("__b")[1])
+        .cast("int")
+        .alias("median_in_bounds"),
+        F.col("__p_apx").between(F.col("__b")[2], F.col("__b")[3])
+        .cast("int")
+        .alias("p95_in_bounds"),
     )
 
 
-@query("hll_sketch_merge", oracle=None)
+@query(
+    "hll_sketch_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id)      AS n_exact,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_sketches_merged,
+           1 AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5's production form: Apache DataSketches HLL state persisted and
     re-merged. Per (day, event_type) sketches (``hll_sketch_agg``) land in
@@ -538,9 +579,17 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     day/partition aggregates its own fixed-size sketch once (map-side
     partial, bytes not rows shuffle), and any rollup window — day, month,
     all-time — is a cheap union of stored sketches with NO rescan of the
-    raw events. Rows-only by design: sketch estimates are engine-specific
-    (no DuckDB twin); ``tests/test_operators.py`` asserts the estimates
-    against exact distinct counts instead."""
+    raw events.
+
+    DERIVED full oracle (r10, VERDICT r9 #2 — previously rows-only): the
+    raw estimate is engine-specific, but the sketch GUARANTEE is not —
+    lgConfigK=12 bounds the relative error at ~1.6% (3σ ≈ 5%), so the
+    merged estimate must land within 5% of the exact distinct count. The
+    query emits the exact count (computed Spark-side), the merged-sketch
+    count, and the within-tolerance verdict as an INT; the oracle
+    recomputes both real columns and asserts the verdict is 1. A merge
+    bug (double-merged or dropped sketches) shifts the estimate and
+    turns the driver row red."""
 
     ev = load_table(spark, sf_dir, "events")
     out = scratch_dir("hll_") + "/sketches"
@@ -549,13 +598,23 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
     per_day.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
-    return (
-        back.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_users_est"),
-            F.count("*").alias("n_sketches_merged"),
+    merged = back.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est"),
+        F.count("*").alias("n_sketches_merged"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_sketches_merged",
+        (
+            F.abs(F.col("__est") - F.col("n_exact"))
+            <= F.greatest(F.lit(2), 0.05 * F.col("n_exact"))
         )
-        .orderBy("event_type")
+        .cast("int")
+        .alias("within_tol"),
     )
 
 
