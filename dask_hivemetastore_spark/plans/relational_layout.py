@@ -236,7 +236,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "compact_partition_scoped",
     oracle="""
-    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+    SELECT NULLIF(o_orderstatus, '') AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(o_totalprice), 2) AS total
     FROM orders GROUP BY 1
     """,
@@ -254,7 +255,15 @@ def compact_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoped rewrite lost/duplicated nothing anywhere;
     tests/test_layouts.py pins the scoping contract itself (untouched
     partitions keep byte-identical file lists, target partition reaches
-    its bin-packed file count)."""
+    its bin-packed file count).
+
+    Hive-layout fold (r10 hostile-format gate): a partitioned WRITE
+    stores both NULL and '' partition values as
+    ``__HIVE_DEFAULT_PARTITION__``, so they read back merged as NULL —
+    inherent to the hive-style directory encoding (the dir name cannot
+    carry an empty component). The oracle models it with
+    ``NULLIF(o_orderstatus, '')``; a no-op on real data, where partition
+    columns never hold ''."""
     from ..operators.layout import compact_partitions
 
     orders = load_table(spark, sf_dir, "orders")

@@ -41,15 +41,41 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     every byte of every row.
     """
 
+    # Faithful-round-trip protocol (r10 hostile-format gate; every clause
+    # below is a corruption the gate caught on clean-looking defaults):
+    # - writer univocity defaults TRIM whitespace from unquoted fields
+    #   (' lead-trail ' came back 'lead-trail') → ignore*WhiteSpace=False;
+    # - the default line-split reader shreds records whose quoted fields
+    #   carry embedded newlines → multiLine=True (RFC-4180 quoted
+    #   newlines; the cost is per-FILE input splits — fine for an
+    #   interchange format, and the reason parquet stays the storage path);
+    # - NULL vs '' conflate under the default nullValue='' → Hive's \N
+    #   sentinel on both sides;
+    # - which in turn collides with LITERAL '\N' data → LazySimpleSerDe's
+    #   escape protocol, expressed as pure JVM regexps: double every
+    #   backslash on write, so the bare two-char token \N can only mean
+    #   NULL; undouble after read. Lossless for every string, including
+    #   '\N' and '\\N' themselves.
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
     out = scratch_dir("csv_rt_") + "/lineitem_csv"
-    li.select("l_orderkey", "l_returnflag", "l_quantity").write.mode(
-        "overwrite"
-    ).options(sep="|", header=False).csv(out)
+    li.select(
+        "l_orderkey",
+        F.regexp_replace("l_returnflag", r"\\", r"\\\\").alias("l_returnflag"),
+        "l_quantity",
+    ).write.mode("overwrite").options(
+        sep="|",
+        header=False,
+        nullValue="\\N",
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
+    ).csv(out)
     back = (
-        spark.read.options(sep="|", header=False)
+        spark.read.options(sep="|", header=False, multiLine=True, nullValue="\\N")
         .schema("l_orderkey bigint, l_returnflag string, l_quantity double")
         .csv(out)
+        .withColumn(
+            "l_returnflag", F.regexp_replace("l_returnflag", r"\\\\", r"\\")
+        )
     )
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
@@ -79,10 +105,22 @@ def parquet_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 13 == 0)
     out = scratch_dir("pq_rt_") + "/lineitem_part"
-    li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity").write.mode(
-        "overwrite"
-    ).partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    towrite = li.select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    towrite.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    # explicit schema on the read-back (r10 hostile-numeric gate): a
+    # filter that matches ZERO rows writes an empty table — no data
+    # files, nothing to infer from — and the bare read throws
+    # UNABLE_TO_INFER_SCHEMA. A declared schema (metastore-style) makes
+    # the empty round-trip a plain empty DataFrame, which is what a
+    # 100 TB pipeline wants from an empty partition write, not a crash.
+    back = (
+        spark.read.schema(towrite.schema)
+        .option("basePath", out)
+        .parquet(out)
+        .where(F.col("l_returnflag") == "R")
+    )
     return back.groupBy("l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
     )
@@ -394,7 +432,8 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT k, o_orderstatus, new_price FROM ins)
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           ROUND(SUM(price), 2) AS total_price
+           CAST(ROUND(CAST(SUM(price) AS DECIMAL(27,4)), 2) AS DOUBLE)
+             AS total_price
     FROM applied GROUP BY 1
     """,
 )
@@ -431,9 +470,15 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(ins)
     )
+    # DECIMAL-collapse pin (r10 hostile-format gate): ×1.1 / ÷2 make the
+    # applied prices 3-decimal-grained; a poisoned group summed to an
+    # exact cent half-edge, so collapse at scale 4 before the cent round
+    # (the standing recipe — see quantile_value / q9)
     return applied.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("price"), 2).alias("total_price"),
+        F.round(F.sum("price").cast("decimal(27,4)"), 2)
+        .cast("double")
+        .alias("total_price"),
     )
 
 

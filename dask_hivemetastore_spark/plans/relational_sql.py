@@ -450,10 +450,20 @@ def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "xml_parse_orders",
     oracle="""
-    SELECT o_orderpriority      AS priority,
-           COUNT(*)             AS n,
-           ROUND(SUM(o_totalprice), 2) AS total
-    FROM orders GROUP BY 1
+    WITH src AS (
+        SELECT CASE WHEN o_orderpriority IS NULL THEN NULL
+                    WHEN regexp_matches(o_orderpriority,
+                         '[\\x{01}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')
+                         THEN NULL
+                    ELSE o_orderpriority END AS priority,
+               CASE WHEN o_orderpriority IS NOT NULL
+                         AND regexp_matches(o_orderpriority,
+                             '[\\x{01}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')
+                         THEN NULL
+                    ELSE o_totalprice END AS t
+        FROM orders)
+    SELECT priority, COUNT(*) AS n, ROUND(SUM(t), 2) AS total
+    FROM src GROUP BY 1
     """,
 )
 def xml_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,15 +472,47 @@ def xml_parse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     them back with a declared schema, aggregate on the parsed struct.
     Mirrors ``csv_roundtrip_agg``'s pattern for feeds that arrive as XML
     documents: the parse is JVM-side (StaxXmlParser), stays inside
-    whole-stage codegen's pipeline, and never touches Python. The oracle
-    aggregates the source columns directly — parse-then-aggregate must be
-    lossless."""
+    whole-stage codegen's pipeline, and never touches Python.
+
+    Format contract (r10 hostile-format gate — the naive ``concat`` was
+    silently corrupting every one of these):
+    - ``&``/``<``/``>`` are escaped to entities on serialize (raw, they
+      either break the parse or swallow siblings);
+    - CR is serialized as ``&#13;`` — a compliant XML parser NORMALIZES
+      literal ``\\r`` to ``\\n`` (XML 1.0 §2.11), so only the character
+      reference survives a round-trip;
+    - surrounding whitespace is preserved via
+      ``ignoreSurroundingSpaces=false`` (the parser default trims it);
+    - a NULL field — string OR numeric — is serialized as an ABSENT
+      element (concat would NULL-poison the whole fragment, folding every
+      OTHER field of the row to NULL too) and parses back to NULL;
+    - C0 control characters (except tab/LF/CR) are ILLEGAL in XML 1.0 in
+      any form, entity included: the row's parse fails and both parsed
+      fields come back NULL. The oracle models exactly that class — the
+      one documented lossy residue of the format."""
     orders = load_table(spark, sf_dir, "orders")
+    esc = F.col("o_orderpriority")
+    for pat, rep in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ("\r", "&#13;")):
+        esc = F.replace(esc, F.lit(pat), F.lit(rep))
     xml = F.concat(
-        F.lit("<o><p>"), F.col("o_orderpriority"), F.lit("</p><t>"),
-        F.col("o_totalprice").cast("string"), F.lit("</t></o>"),
+        F.lit("<o>"),
+        F.when(
+            F.col("o_orderpriority").isNotNull(),
+            F.concat(F.lit("<p>"), esc, F.lit("</p>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("o_totalprice").isNotNull(),
+            F.concat(
+                F.lit("<t>"), F.col("o_totalprice").cast("string"), F.lit("</t>")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</o>"),
     )
-    parsed = orders.select(F.from_xml(xml, "p STRING, t DOUBLE").alias("x"))
+    parsed = orders.select(
+        F.from_xml(
+            xml, "p STRING, t DOUBLE", {"ignoreSurroundingSpaces": "false"}
+        ).alias("x")
+    )
     return parsed.groupBy(F.col("x.p").alias("priority")).agg(
         F.count("*").alias("n"), F.round(F.sum("x.t"), 2).alias("total")
     )
@@ -565,7 +607,7 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus                    AS status,
            COUNT(*)                         AS n,
            ROUND(AVG(o_totalprice), 4)      AS avg_price
-    FROM orders GROUP BY 1
+    FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1
     """,
 )
 def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,7 +618,14 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final hash aggregate as the native ``groupBy``; the pandas
     layer adds plan nodes, not a different execution). The escape hatch in
     both directions (`to_spark` / `pandas_api`) means the two dialects mix
-    freely in one pipeline."""
+    freely in one pipeline.
+
+    NULL-key contract (r10 hostile-format gate): pandas ``groupby``
+    defaults to ``dropna=True`` — a NULL group key is DROPPED, unlike
+    SQL GROUP BY which keeps it as a group. That pandas/Dask semantic is
+    the point of this dialect key, so the oracle models it with
+    ``WHERE o_orderstatus IS NOT NULL`` (pass ``dropna=False`` to the
+    pandas groupby when SQL semantics are wanted)."""
     import pyspark.pandas as ps
 
     psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")

@@ -806,8 +806,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)
-                     - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+           CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity) AS DECIMAL(27,5)), 2)
+                AS DOUBLE) AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
     JOIN supplier ON s_suppkey = l_suppkey
@@ -840,7 +841,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), "o_year")
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        # DECIMAL-collapse pin (r10 hostile-format gate): the per-row
+        # profit doubles are engine-identical but the SUM's accumulation
+        # order is not, and a group landed on an exact cent half-edge —
+        # collapse at scale 5 (one past the 4-decimal profit grain)
+        # before the HALF_UP cent round, same recipe as quantile_value
+        .agg(
+            F.round(F.sum(profit).cast("decimal(27,5)"), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
     )
 
 

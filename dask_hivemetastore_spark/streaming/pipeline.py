@@ -31,6 +31,7 @@ Streaming-specific constraints honored here (vs the batch twins):
 
 from __future__ import annotations
 
+import os
 import tempfile
 import time
 
@@ -80,11 +81,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # glob path on purpose: for a non-glob path FileStreamSource force-sets
     # basePath to the (file) path itself, which partition discovery rejects;
     # a glob keeps our explicit directory basePath in effect
-    raw = (
-        spark.readStream.schema(batch.schema)
-        .option("basePath", sf_dir)
-        .parquet(f"{sf_dir}/events.parque[t]")
-    )
+    raw = spark.readStream.schema(batch.schema).option("basePath", sf_dir)
+    # Micro-batch chunking knob (r10): with it unset, a finite fixture
+    # drains in ONE availableNow batch and the multi-batch state machine
+    # (watermark advancement, state carry, late-row eviction) never runs.
+    # tests/test_stream_batching.py splits events.parquet into K part
+    # files and sets this to 1, driving every registered streaming key
+    # through real micro-batch boundaries — the production shape, where
+    # data arrives incrementally. Semantics must be boundary-invariant
+    # (that is what the gate asserts), so the knob is safe to expose.
+    mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if mft:
+        raw = raw.option("maxFilesPerTrigger", int(mft))
+    raw = raw.parquet(f"{sf_dir}/events.parque[t]")
     return raw.select(
         "event_id",
         ts_expr.alias("ts"),

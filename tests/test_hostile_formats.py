@@ -64,22 +64,38 @@ POISON: list[str | None] = [
     "\ufeffbom-prefixed",
     "naïve–café🙂",
     "\x01soh",             # the Hive default field delim as data
+    "xml<&>chars",         # raw XML metacharacters
     "x" * 400,             # long field
 ]
 
+# Partition-column poison: everything above EXCEPT the 400-char monster —
+# a partition value becomes a directory name, and any value longer than
+# the filesystem's 255-byte component limit fails the WRITE itself (a
+# loud, correct error — pinned in test_partition_value_length_cliff
+# below: the documented cliff of partitioning on unbounded user strings).
+# Path metacharacters ('/', '=', '%', ':') go IN: Spark must escape them
+# into the hive-style dir name and recover them on read.
+POISON_PART: list[str | None] = [
+    p for p in POISON if p is None or len(p) <= 100
+] + ["a/b", "k=v", "pct%2Fenc", "c:d", "dot.dot"]
 
-def _cycle(orig: pd.Series, stride: int, extra: list[str] | None = None,
-           offset: int = 0) -> pd.Series:
-    """Overwrite every ``stride``-th value with the poison vocabulary
-    (cycled), leaving the rest of the column's REAL values intact so
-    filter constants like 'R' / 'F' keep matching rows."""
-    vals = list(POISON) + (extra or [])
+
+def _cycle_vals(orig: pd.Series, stride: int, vals: list,
+                offset: int = 0) -> pd.Series:
+    """Overwrite every ``stride``-th value with ``vals`` (cycled), leaving
+    the rest of the column's REAL values intact so filter constants like
+    'R' / 'F' keep matching rows."""
     out = orig.copy()
     j = 0
     for i in range(offset, len(out), stride):
         out.iloc[i] = vals[j % len(vals)]
         j += 1
     return out.astype("object")
+
+
+def _cycle(orig: pd.Series, stride: int, extra: list[str] | None = None,
+           offset: int = 0) -> pd.Series:
+    return _cycle_vals(orig, stride, list(POISON) + (extra or []), offset)
 
 
 def write_hostile_formats(dirpath) -> None:
@@ -90,13 +106,15 @@ def write_hostile_formats(dirpath) -> None:
     li = pd.read_parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
     # 'R '/'r' probe partition-value trimming + case near the
     # parquet_partitioned_roundtrip filter constant 'R'
-    li["l_returnflag"] = _cycle(li["l_returnflag"], 3, extra=["R ", "r"])
+    li["l_returnflag"] = _cycle_vals(
+        li["l_returnflag"], 3, POISON_PART + ["R ", "r"]
+    )
     li["l_linestatus"] = _cycle(li["l_linestatus"], 7, offset=1)
     li.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
 
     orders = pd.read_parquet(os.path.join(SF_SMOKE, "orders.parquet"))
-    orders["o_orderstatus"] = _cycle(
-        orders["o_orderstatus"], 3, extra=["F ", "f"]
+    orders["o_orderstatus"] = _cycle_vals(
+        orders["o_orderstatus"], 3, POISON_PART + ["F ", "f"]
     )
     orders["o_orderpriority"] = _cycle(orders["o_orderpriority"], 4, offset=2)
     orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
@@ -244,17 +262,35 @@ def test_serde_no_quote_handling(spark, tmp_path):
 
 def test_serde_crlf_and_bom(spark, tmp_path):
     """CRLF line endings: Hadoop's line reader strips ``\\r\\n`` and
-    ``\\n`` both, so a CRLF file reads clean. A UTF-8 BOM is NOT
-    stripped (Hive keeps it): it lands in the first field and breaks a
-    numeric cast to NULL — pinned so the silent-corruption mode is the
-    documented one, not an accident."""
+    ``\\n`` both, so a CRLF file reads clean. A file-leading UTF-8 BOM
+    is STRIPPED by Hadoop's TextInputFormat (probed r10 — the same input
+    format Hive's text tables read through, so this matches Hive), while
+    a BOM anywhere else is data; pinned so the behavior is the documented
+    one, not an accident."""
     raw = b"1\x01a\x011.0\r\n2\x01b\x012.0\r\n"
     path = _write_bytes(tmp_path, "crlf.txt", raw)
     assert _read_serde(spark, path) == [(1, "a", 1.0), (2, "b", 2.0)]
 
-    bom = "\ufeff".encode() + b"3\x01c\x013.0\n"
+    bom = ("\ufeff3\x01c\x013.0\n4\x01\ufeffd\x014.0\n").encode()
     path2 = _write_bytes(tmp_path, "bom.txt", bom)
-    assert _read_serde(spark, path2) == [(None, "c", 3.0)]
+    assert _read_serde(spark, path2) == [(3, "c", 3.0), (4, "\ufeffd", 4.0)]
+
+
+def test_partition_value_length_cliff(spark, tmp_path):
+    """Partitioning on an unbounded string column has a hard operational
+    cliff: the value becomes a directory name, and one longer than the
+    filesystem's 255-byte component limit fails the WRITE with a loud
+    TASK_WRITE_FAILED — never silent truncation or corruption (r10
+    hostile-format gate, found via the 400-char poison; that is why the
+    engine's partitioned layouts key on bounded/dictionary columns)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).withColumn("pval", F.lit("x" * 400))
+    with pytest.raises(Py4JJavaError):
+        df.write.mode("overwrite").partitionBy("pval").parquet(
+            str(tmp_path / "cliff")
+        )
 
 
 def test_serde_custom_delim_tab(spark, tmp_path):

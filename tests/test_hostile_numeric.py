@@ -293,6 +293,32 @@ _KEYS = [
     "window_price_band",
     # join-then-window-then-sort composite over three poisoned tables
     "q3_top_orders",
+    # r10 extension (VERDICT r9 "What's wrong #2"): the layout, source
+    # round-trip, and SQL-surface families read the same poisoned tables
+    # but were never replayed here — the string-poison twin
+    # (test_hostile_formats.py) covers them on format garbage; this list
+    # runs them over the NUMERIC edges (NULL keys, cent boundaries, the
+    # isolated 1e12 row, ties)
+    "sorted_layout_roundtrip",
+    "zorder_layout_roundtrip",
+    "compact_small_files",
+    "compact_partition_scoped",
+    "bucketed_join_agg",
+    "csv_roundtrip_agg",
+    "orc_roundtrip_agg",
+    "jsonl_roundtrip_agg",
+    "parquet_partitioned_roundtrip",
+    "parquet_schema_evolution",
+    "thin_metastore_scan",
+    "merge_upsert_orders",
+    "cdc_apply_changes",
+    "table_diff_snapshots",
+    "xml_parse_orders",
+    "lateral_top_lineitems",
+    "recursive_month_spine",
+    "parameterized_sql_orders",
+    "union_mismatched_schemas",
+    "quantile_approx_value",
 ]
 
 
