@@ -165,6 +165,19 @@ def similar_pairs(emb: DataFrame, threshold: float,
     EXPLICIT ``n_blocks`` keeps the function fully lazy — no jobs at
     plan-construction time — and skips both checks: manual sizing means
     the caller owns the skew risk.
+
+    Corrupt-input contract (r9 guard change, r10 ADVICE note): upstream
+    ``finite_vectors`` removes NULL and non-finite vectors, and the
+    rescore keeps only finite dots (``abs(c) < Inf``) — NaN/Inf
+    corruption cannot pair. A corrupt vector with HUGE-BUT-FINITE
+    components is NOT screened here: on an unnormalized corpus a large
+    dot is legitimate data (the r8 ``1+eps`` magnitude cap wrongly
+    dropped such pairs, which is why it was removed), so magnitude
+    screening belongs to the caller's ingest QA (e.g. a norm-band
+    filter) where the corpus's scale contract is actually known.
+    Unit-normalized callers wanting the tight cap back can post-filter
+    ``cosine <= 1 + eps`` on the returned frame — it carries the exact
+    rescored value.
     """
     import math
     import warnings

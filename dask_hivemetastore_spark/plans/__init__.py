@@ -53,114 +53,95 @@ from .. import streaming  # noqa: F401,E402
 # hostile-corpus-fix keys + drift re-certification of most of the r2
 # window — CORRECTNESS_r08: 50/50 green (see git history of this file
 # for the full r8 list).
-# Round 9 (this window): VERDICT r8 "What's missing #1" — ~11 keys had
-# code land after the r8 window froze (NULL-quantization 4bc5c25,
-# Inf-cap/finite-guard changes, docstring-adjacent edits); the r9
-# advisor-driven guard changes (abs<Inf rescore cap in
-# similar_pairs/semdedup_pairs, explicit NULL exclusion in
-# finite_vectors) touch the same embedding keys, so both re-certify
-# together. Then the 8 r2-block keys the r8 window deferred, the r1
-# window (oldest surviving driver rows, last checked 8 rounds ago),
-# and drift re-certification of the oldest r5-window keys.
+# Round 9 certified the post-r8-freeze changed keys, the 8 deferred r2
+# keys, the r1 window, and the first r5 drift block — CORRECTNESS_r09:
+# 50/50 green (see git history of this file for the full list).
+# Round 10 (this window): block 1 = the 13 keys whose contracts changed
+# this round (5 newly-derived full oracles + 8 hostile-FORMAT/extended-
+# NUMERIC gate fixes); block 2 = the ENTIRE remaining r5-vintage drift
+# tail (23 keys, newest driver rows 5 rounds old); block 3 = the 14
+# oldest r6-vintage keys. After r10, no driver row predates r6 and only
+# 17 r6 stragglers remain (named in the block-3 comment) for r11.
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r9 block 1: keys whose code changed after the r8 freeze
-    # --- (VERDICT r8 missing-#1 list) PLUS this round's advisor-driven
-    # --- guard changes on the same embedding pillar (abs<Inf rescore
-    # --- cap replacing the 1+eps cap in similar_pairs/semdedup_pairs;
-    # --- explicit NULL-vector/NULL-element exclusion in
-    # --- finite_vectors). Output contracts touched: NULL scale+qvec
-    # --- quantization (4bc5c25), similar_pairs finite guard. ---
-    "embedding_quantize_roundtrip",
-    "embedding_near_pairs",
-    "dedup_embedding_components",
-    "token_pack_docs",
-    "doc_fingerprint",
-    "interleave_sources_rr",
-    "scd2_user_event_intervals",
+    # --- r10 block 1 (changed-keys re-cert rule): five previously
+    # --- rows-only keys gained DERIVED full oracles this round
+    # --- (sketch-guarantee verdict columns / exact-rerank brute oracle),
+    # --- and the r10 hostile-FORMAT + extended hostile-NUMERIC gates
+    # --- changed eight engine/oracle contracts (CSV escape protocol,
+    # --- XML entity-escape + absent-element NULLs + C0 class, CDC/q9
+    # --- DECIMAL-collapse cent pins, pandas dropna NULL-key contract,
+    # --- crosstab positional rename, __HIVE_DEFAULT_PARTITION__ fold,
+    # --- empty-write declared-schema read-back). ---
+    "quantile_approx_value",
+    "hll_sketch_merge",
+    "cms_heavy_hitters",
+    "knn_ivf_topk",
+    "knn_pq_topk",
     "csv_roundtrip_agg",
-    "rolling_1h_events",
-    "interval_overlap_longtail",
-    "data_quality_report",
-    # --- r9 block 2: the 8 r2-block keys the r8 window deferred (last
-    # --- driver-checked round 4), plus stream_sliding_30m — its oracle
-    # --- changed this round (NULL-event-time exclusion found by the r9
-    # --- hostile-streaming gate, same fix as stream_tumbling_1h below),
-    # --- so the changed-keys re-cert rule pulls it in. ---
-    "train_test_split_docs",
-    "decontaminate_docs",
-    "quality_percentile_gate",
-    "stream_tumbling_1h",
-    "stream_sliding_30m",
-    "stream_dedup_users",
-    "stream_stateful_counts",
-    "stream_filter_to_parquet",
-    "python_stream_source_agg",
-    # --- r9 block 3: the r1 window's surviving keys — the OLDEST
-    # --- driver rows on record (round 1; csv_roundtrip_agg already
-    # --- re-certifies in block 1). ---
-    "describe_lineitem",
-    "grouping_sets_sql",
-    "parquet_partitioned_roundtrip",
-    "pivot_status_by_segment",
-    "regexp_extract_docs",
-    "salted_join_revenue",
-    "sql_entrypoint",
-    "unpivot_lineitem_metrics",
-    # --- r9 block 4 (changed-keys re-cert rule): the hostile-NUMERIC
-    # --- gate (tests/test_hostile_numeric.py, new this round) found 10
-    # --- engine/oracle divergences; these 8 fixed keys are not already
-    # --- in the window (pivot_status_by_segment / salted_join_revenue
-    # --- sit in block 3, grouped_arrow_minmax / median_mode_agg below).
-    # --- Contracts pinned: geomean strictly-positive domain, zscore
-    # --- zero-variance → NULL, cogroup NULL-key alignment, struct tie
-    # --- ordering replacing the overflowing BIGINT encoding,
-    # --- deterministic lowest-tie mode, crosstab NULL label 'null',
-    # --- DECIMAL-collapsed rounding for quantile/cov/SUM cent edges. ---
-    "custom_agg_geomean",
-    "grouped_map_zscore",
-    "cogrouped_map_ratio",
-    "argmin_argmax_orders",
-    "agg_misc",
-    "crosstab_status_segment",
-    "quantile_value",
-    "corr_price_qty",
-    # --- r9 block 4b: the gate's window-family extension (orders/part
-    # --- poison + %19/%101-reachable rows) found the engines' NULL
-    # --- placement defaults disagree under ASC (Spark NULLS FIRST,
-    # --- DuckDB NULLS LAST) and a cent half-edge in the running SUM;
-    # --- both keys now pin ASC NULLS FIRST + DECIMAL-collapsed
-    # --- rounding explicitly on both sides, so they re-certify. ---
-    "cumsum_orders",
-    "window_value_funcs",
-    # --- r9 block 5: drift re-certification of the oldest r5-window
-    # --- keys (alphabetical prefix of the 38 r5 stragglers; the
-    # --- remaining 24 — q13/q21/q2/q8/q9, recursive_month_spine, the
-    # --- stream_* r5 four minus sliding (certified above),
-    # --- table_diff_snapshots, try_arithmetic_safety,
-    # --- udtf_polymorphic_firstwords, window_rank_kinds,
-    # --- domain_cap_prefiltered, persist_cache_agg, and the 10 unchanged
-    # --- drift keys displaced by blocks 4/4b (interval_order_span_ym,
-    # --- interval_user_span, lang_id_docs, map_arrow_net_price,
-    # --- observed_write_metrics, paginate_orders, pandas_api_groupby,
-    # --- parameterized_sql_orders, interpolate_hourly_events,
-    # --- parquet_schema_evolution) — defer to r10). ---
-    "bm25_rank_docs",
+    "xml_parse_orders",
     "cdc_apply_changes",
-    "compact_small_files",
-    "corpus_shuffle_shards",
-    "decontaminate_digest_docs",
-    "domain_cap_docs",
-    "events_date_parts",
-    "events_hourly_gapfill",
-    "funnel_signup_purchase",
-    "grouped_arrow_minmax",
-    "incremental_agg_merge",
-    "median_mode_agg",
+    "q9_product_profit",
+    "pandas_api_groupby",
+    "crosstab_status_segment",
+    "compact_partition_scoped",
+    "parquet_partitioned_roundtrip",
+    # --- r10 block 2: the r5-vintage drift tail — every key whose
+    # --- newest driver row still dates to round 5 (VERDICT r9 missing
+    # --- #1; q9/pandas_api_groupby moved into block 1 above). ---
+    "domain_cap_prefiltered",
+    "interpolate_hourly_events",
+    "interval_order_span_ym",
+    "interval_user_span",
+    "lang_id_docs",
+    "map_arrow_net_price",
+    "observed_write_metrics",
+    "paginate_orders",
+    "parameterized_sql_orders",
+    "parquet_schema_evolution",
+    "persist_cache_agg",
+    "q13_customer_distribution",
+    "q21_suppliers_waiting",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "recursive_month_spine",
+    "stream_foreach_batch_snapshot",
+    "stream_observe_metrics",
+    "stream_static_enrich",
+    "table_diff_snapshots",
+    "try_arithmetic_safety",
+    "udtf_polymorphic_firstwords",
+    "window_rank_kinds",
+    # --- r10 block 3: drift re-certification, oldest r6-vintage keys
+    # --- (alphabetical prefix of the 31 r6 stragglers;
+    # --- compact_partition_scoped re-certifies in block 1). The
+    # --- remaining 17 — q20, quality_score_docs,
+    # --- range_join_longtail_points, regression_price_qty,
+    # --- repetition_score_docs, rollup_grouping_id, row_ids_unique,
+    # --- sample_k_per_group, sorted_layout_roundtrip,
+    # --- statestore_event_counts, tfidf_top_terms,
+    # --- timestamp_parse_roundtrip, token_count_docs,
+    # --- union_mismatched_schemas, weighted_sample_docs,
+    # --- window_price_band, zorder_layout_roundtrip — defer to r11,
+    # --- after which no driver row predates r7. ---
+    "array_set_ops",
+    "cohort_retention_weekly",
+    "dedup_exact_selfunion",
+    "explode_words_top",
+    "fuzzy_match_nations",
+    "lm_quality_score_docs",
+    "mad_robust_outliers",
+    "ngram_freq_top",
+    "null_safe_join",
+    "posexplode_words",
+    "price_histogram",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q16_supplier_count",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -65,6 +65,21 @@ def main() -> None:
     for key, prof in profiles.items():
         if prof["n_shuffles"] >= 2:
             top.setdefault(key, prof)
+    # r10 (ADVICE): a query whose executed plan surfaces NO FileScan
+    # (an internal persist/localCheckpoint boundary hides it) records an
+    # EMPTY fingerprint — the scan gate is blind for it. Mark that
+    # explicitly so the pinning test can assert blindness never spreads
+    # silently: a key losing its fingerprint in a re-snapshot shows up
+    # as a scan_blind:true diff a reviewer must accept, not as a
+    # quietly-vacuous 0 == 0.
+    for key, prof in top.items():
+        if not prof.get("scan_cols"):
+            prof["scan_blind"] = True
+            print(
+                f"WARNING: {key} surfaces no FileScan (persist boundary) — "
+                "scan fingerprint gate is BLIND for it",
+                file=sys.stderr,
+            )
     out = {
         "sf_dir": SF_DIR,
         "shuffle_partitions": 8,

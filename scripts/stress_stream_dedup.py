@@ -66,7 +66,15 @@ def main() -> int:
     )
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    spark = get_spark(app_name="stress_stream_dedup")
+    # 100 replicas × 32 bands ≈ 1.6M state-store keys, all resident in
+    # the single local JVM's heap (HDFSBackedStateStore + its maintenance
+    # snapshots) — the default ~1g driver heap OOMs. Provision for the
+    # harness's scale up front; at production scale this is executor
+    # memory × shard count, or the RocksDB provider (disk-backed state).
+    spark = get_spark(
+        app_name="stress_stream_dedup",
+        extra_confs={"spark.driver.memory": "24g"},
+    )
     t_all = time.time()
 
     # ------------------------------------------------ corpus construction

@@ -14,6 +14,19 @@ SF_CORRECTNESS = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.0
 
 @pytest.fixture(scope="session")
 def spark():
+    """One session-scoped SparkSession for the whole suite.
+
+    SUITE INVARIANT (r10 ADVICE): no test module may rely on a
+    ``persist()``/``cache()`` surviving across module boundaries — the
+    shuffle/scan-fingerprint gate (tests/test_shuffle_budget.py) calls
+    ``spark.catalog.clearCache()`` before each pinned replay to get
+    cold-plan shape, and cache is APPLICATION-wide (a separate
+    ``newSession()`` would not isolate it). Caches are a per-module
+    performance detail here; recomputation after a clear is always
+    correct, so the only cost of violating this is time — but a test
+    ASSERTING on InMemoryTableScan plan shape must create the persist
+    itself in the same module.
+    """
     from dask_hivemetastore_spark.session import get_spark
 
     spark = get_spark(app_name="tests", shuffle_partitions=8)

@@ -800,19 +800,32 @@ def _native_round_spec(rng: random.Random, seed: int) -> Spec:
 def _native_avg_spec(rng: random.Random, seed: int) -> Spec:
     """The engines' OWN AVG (double and int inputs) per group — the v1
     generator hand-rolled SUM/COUNT instead; this compares the real
-    aggregate implementations (reassociation noise absorbed by the
-    harness's 9-decimal canonicalization)."""
+    aggregate implementations.
+
+    Flap pin (r10 ADVICE): the 9-decimal canonicalization alone leaves a
+    residual flake window — a group average landing within reassociation
+    noise (~1e-12 relative) of a 9th-decimal ROUND boundary can
+    canonicalize differently per engine, and the window widens with SF.
+    Both sides therefore double-round through a DECIMAL collapse:
+    cast to scale 8 first (a tie there needs the true average within
+    noise of an exact 1e-8 half — measure ~0 for 2-decimal-grained
+    inputs), then ROUND to 6. A flap now needs simultaneous boundary
+    hits at BOTH scales."""
     t = TABLES[rng.choice(_FLOAT_TABLES)]
     c = rng.choice(list(t.float_cols) + list(t.int_cols))
     kc, ks, kg = _group_key(t, rng, "k")
     pred_c, pred_s = gen_predicate(t, rng)
-    sql = (f"SELECT {ks}, CAST(AVG({c}) AS DOUBLE) AS a, COUNT({c}) AS n "
+    sql = (f"SELECT {ks}, "
+           f"CAST(ROUND(CAST(AVG({c}) AS DECIMAL(27,8)), 6) AS DOUBLE) AS a, "
+           f"COUNT({c}) AS n "
            f"FROM {t.name} WHERE {pred_s} GROUP BY {kg}")
 
     def build(tabs: dict) -> DataFrame:
         df = tabs[t.name].where(pred_c)
         return df.groupBy(kc).agg(
-            F.avg(c).cast("double").alias("a"),
+            F.round(F.avg(c).cast("decimal(27,8)"), 6)
+            .cast("double")
+            .alias("a"),
             F.count(c).alias("n"),
         )
 

@@ -65,6 +65,17 @@ def test_shuffle_volume_pinned(key, spark):
         f"{got['n_shuffles']} — a plan-shape change; inspect .explain() "
         "and re-snapshot only if deliberate"
     )
+    # r10 (ADVICE): an empty fingerprint means the scan gate is BLIND
+    # for this key (persist boundary hides the FileScan). Blindness must
+    # be declared in the snapshot (scan_blind: true, a reviewed diff),
+    # never acquired silently by a plan change.
+    if not want.get("scan_blind"):
+        assert got["scan_cols"], (
+            f"{key}: executed plan surfaces no FileScan — the scan "
+            "fingerprint gate just went blind for this key; if the plan "
+            "change is deliberate, re-snapshot (which marks it "
+            "scan_blind) and commit that diff"
+        )
     assert got["scan_cols"] == want["scan_cols"], (
         f"{key}: pruned-column fingerprint moved\n"
         f"  want {want['scan_cols']}\n  got  {got['scan_cols']}\n"
