@@ -56,19 +56,19 @@ from .. import streaming  # noqa: F401,E402
 # Round 9 certified the post-r8-freeze changed keys, the 8 deferred r2
 # keys, the r1 window, and the first r5 drift block — CORRECTNESS_r09:
 # 50/50 green (see git history of this file for the full list).
-# Round 10 (this window): block 1 = the 13 keys whose contracts changed
-# this round (5 newly-derived full oracles + 8 hostile-FORMAT/extended-
+# Round 10 (this window): block 1 = the 16 keys whose contracts changed
+# this round (8 newly-derived full oracles + 8 hostile-FORMAT/extended-
 # NUMERIC gate fixes); block 2 = the ENTIRE remaining r5-vintage drift
-# tail (23 keys, newest driver rows 5 rounds old); block 3 = the 14
+# tail (23 keys, newest driver rows 5 rounds old); block 3 = the 11
 # oldest r6-vintage keys. After r10, no driver row predates r6 and only
-# 17 r6 stragglers remain (named in the block-3 comment) for r11.
+# 20 r6 stragglers remain (named in the block-3 comment) for r11.
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r10 block 1 (changed-keys re-cert rule): five previously
+    # --- r10 block 1 (changed-keys re-cert rule): eight previously
     # --- rows-only keys gained DERIVED full oracles this round
     # --- (sketch-guarantee verdict columns / exact-rerank brute oracle),
     # --- and the r10 hostile-FORMAT + extended hostile-NUMERIC gates
@@ -82,6 +82,9 @@ _CERTIFICATION_PRIORITY = [
     "cms_heavy_hitters",
     "knn_ivf_topk",
     "knn_pq_topk",
+    "approx_distinct_users",
+    "sample_fraction",
+    "sample_stratified",
     "csv_roundtrip_agg",
     "xml_parse_orders",
     "cdc_apply_changes",
@@ -119,15 +122,17 @@ _CERTIFICATION_PRIORITY = [
     # --- r10 block 3: drift re-certification, oldest r6-vintage keys
     # --- (alphabetical prefix of the 31 r6 stragglers;
     # --- compact_partition_scoped re-certifies in block 1). The
-    # --- remaining 17 — q20, quality_score_docs,
+    # --- remaining 20 — q11, q12, q16, q20, quality_score_docs,
     # --- range_join_longtail_points, regression_price_qty,
     # --- repetition_score_docs, rollup_grouping_id, row_ids_unique,
     # --- sample_k_per_group, sorted_layout_roundtrip,
     # --- statestore_event_counts, tfidf_top_terms,
     # --- timestamp_parse_roundtrip, token_count_docs,
     # --- union_mismatched_schemas, weighted_sample_docs,
-    # --- window_price_band, zorder_layout_roundtrip — defer to r11,
-    # --- after which no driver row predates r7. ---
+    # --- window_price_band, zorder_layout_roundtrip — defer to r11
+    # --- (three were displaced when approx_distinct_users/sample_*
+    # --- gained oracles late in r10), after which no driver row
+    # --- predates r7. ---
     "array_set_ops",
     "cohort_retention_weekly",
     "dedup_exact_selfunion",
@@ -139,9 +144,6 @@ _CERTIFICATION_PRIORITY = [
     "null_safe_join",
     "posexplode_words",
     "price_histogram",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q16_supplier_count",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

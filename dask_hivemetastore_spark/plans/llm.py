@@ -128,7 +128,17 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash")  # rows-only: simhash similarity is not SQL-expressible
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 SimHash variant (64-bit, 4×16 bands, hamming <= 6)."""
+    """K2 SimHash variant (64-bit, 4×16 bands, hamming <= 6).
+
+    Irreducibly rows-only (r10 audit of the oracle-less keys): the pair
+    SET is defined by hamming distance between xxhash64-derived
+    fingerprints — deterministic, but not reproducible in DuckDB 1.0
+    (no xxhash64, and a SQL re-implementation would be the same code,
+    not an independent oracle). Unlike the ANN top-k keys there is no
+    exact-rerank stage whose answer a brute-force oracle could pin:
+    hamming-similarity itself IS the operator's output contract.
+    Invariants (determinism, band-recall vs brute hamming scan,
+    threshold monotonicity) are pytest-pinned instead."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text")
 
@@ -241,7 +251,16 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("knn_lsh_topk")  # rows-only: ANN recall < 1 by construction
 def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 scale path: random-hyperplane LSH bucket restriction before the
-    dot-product scan."""
+    dot-product scan.
+
+    Irreducibly rows-only (r10 audit): unlike IVF/PQ — whose exact
+    rerank recovers the full brute-force top-10 on this fixture and so
+    carries the brute oracle since r10 — sign-LSH recall here is
+    genuinely < 1 (near-orthogonal fixture vectors, P[bit agrees] ≈
+    0.66; see :func:`..operators.similarity.lsh_topk`), so the returned
+    set legitimately differs from brute force and no deterministic SQL
+    twin exists. The recall floor and bucket-restriction invariants are
+    pytest-pinned instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb, query_id=0, k=10, bits=8)
 
@@ -1170,9 +1189,15 @@ def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7 SemDeDup (cluster-bounded embedding dedup): k-means cells bound
     the pair search to within-cell self-joins — the published recall trade
-    for corpus²→Σ|cell|² cost. Rows-only here (k-means cells aren't
-    SQL-reproducible); `tests/test_curation.py` pins the n_cells=1
-    degenerate case to the exact all-pairs oracle answer."""
+    for corpus²→Σ|cell|² cost.
+
+    Irreducibly rows-only (r10 audit): the SURVIVOR SET depends on which
+    pairs fall within one k-means cell — the method's defining recall
+    trade — so unlike the ANN top-k keys there is no exact-rerank stage
+    that converges to a brute-force answer an oracle could pin; a cell
+    boundary legitimately changes the output. `tests/test_curation.py`
+    pins the n_cells=1 degenerate case to the exact all-pairs oracle
+    answer, plus determinism and containment invariants."""
     emb = load_table(spark, sf_dir, "embeddings")
     return curation.semdedup_survivors(
         emb, threshold=0.45, n_cells=8, cache_key=f"semdedup:{sf_dir}"

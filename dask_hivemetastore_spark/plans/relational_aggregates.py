@@ -27,15 +27,40 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users"))
 
 
-@query("approx_distinct_users")  # no oracle: HLL estimates differ per engine
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           1 AS within_rsd
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 approx count-distinct (HyperLogLog++). Registered rows-only by
-    design — sketch estimates are engine-specific (SURVEY.md §7.4 item 5).
-    At 100 TB this is the right default: no expand, fixed-size sketch merge.
-    """
+    """D5 approx count-distinct (HyperLogLog++). At 100 TB this is the
+    right default: no expand, fixed-size sketch merge.
+
+    DERIVED full oracle (r10, VERDICT r9 #2 — previously rows-only, same
+    recipe as ``hll_sketch_merge``): the raw estimate is engine-specific,
+    but rsd=0.01 bounds the relative error; the query emits the exact
+    count (Spark-side) plus a within-5×rsd INT verdict the oracle pins
+    to 1, so an estimator regression turns a driver row red."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    est = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("__est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_exact"))
+            <= F.greatest(F.lit(2), 0.05 * F.col("n_exact"))
+        )
+        .cast("int")
+        .alias("within_rsd"),
     )
 
 

@@ -13,25 +13,102 @@ from ..catalog import load_table
 from .registry import query, scratch_dir
 
 
-@query("sample_fraction")  # rows-only: RNG streams differ per engine by design
+@query(
+    "sample_fraction",
+    oracle="""
+    SELECT COUNT(*) AS n_population, 1 AS subset_ok, 1 AS count_in_ci
+    FROM lineitem
+    """,
+)
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-sample: seeded Bernoulli sample (Dask ``.sample``). Deterministic
-    for a fixed seed+partitioning within Spark, but engine-specific RNG →
-    rows-only check."""
+    for a fixed seed+partitioning within Spark, but the RNG stream is
+    engine-specific, so the sampled ROW SET has no SQL twin.
+
+    DERIVED full oracle (r10, VERDICT r9 #2 — previously rows-only): the
+    checkable contract is statistical, not row-wise — every sampled row
+    must EXIST in the population (anti-join = 0: no invented rows) and
+    the sample size must sit inside a 6σ binomial window around n·p
+    (a seeded sampler grossly off its fraction is broken). Both emit as
+    INT verdicts beside the real population count the oracle recomputes."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    keys = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    sampled = li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    n_pop = F.first("__n_pop")
+    n_smp = F.first("__n_smp")
+    sigma = F.sqrt(n_pop * 0.1 * 0.9)
+    stats = (
+        keys.agg(F.count("*").alias("__n_pop"))
+        .crossJoin(sampled.agg(F.count("*").alias("__n_smp")))
+        .crossJoin(
+            sampled.join(
+                keys, ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+                "left_anti",
+            ).agg(F.count("*").alias("__n_orphan"))
+        )
+    )
+    return stats.agg(
+        F.first("__n_pop").alias("n_population"),
+        (F.first("__n_orphan") == 0).cast("int").alias("subset_ok"),
+        (F.abs(n_smp - n_pop * 0.1) <= 6 * sigma + 1)
+        .cast("int")
+        .alias("count_in_ci"),
+    )
 
 
-@query("sample_stratified")  # rows-only: engine RNG streams differ by design
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_stratum, 1 AS count_in_ci
+    FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')
+    GROUP BY 1
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-sample stratified: ``sampleBy`` with per-stratum fractions (the
     groupby-sample idiom) — seeded and deterministic within Spark for a
-    fixed partitioning; rows-only because RNG streams are engine-specific.
-    Scale: sampling is a map-side filter, no shuffle."""
+    fixed partitioning; the RNG stream is engine-specific so the row set
+    has no SQL twin. Scale: sampling is a map-side filter, no shuffle.
+
+    DERIVED full oracle (r10): per stratum, the real population count
+    (oracle-recomputable) plus an INT verdict that the per-stratum
+    sample size sits inside a 6σ binomial window around its declared
+    fraction — a sampler ignoring its strata turns the row red."""
+    fracs = {"A": 0.05, "N": 0.01, "R": 0.05}
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sampleBy(
-        "l_returnflag", {"A": 0.05, "N": 0.01, "R": 0.05}, seed=7
-    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+    pop = (
+        li.where(F.col("l_returnflag").isin(*fracs))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_stratum"))
+    )
+    smp = (
+        li.sampleBy("l_returnflag", fracs, seed=7)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("__n_smp"))
+    )
+    frac = F.element_at(
+        F.create_map(*[F.lit(x) for kv in fracs.items() for x in kv]),
+        F.col("l_returnflag"),
+    )
+    sigma = F.sqrt(F.col("n_stratum") * frac * (1 - frac))
+    return (
+        pop.join(smp, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "n_stratum",
+            (
+                F.abs(
+                    F.coalesce("__n_smp", F.lit(0))
+                    - F.col("n_stratum") * frac
+                )
+                <= 6 * sigma + 1
+            )
+            .cast("int")
+            .alias("count_in_ci"),
+        )
+    )
 
 
 @query(

@@ -302,3 +302,103 @@ def test_serde_custom_delim_tab(spark, tmp_path):
     path = _write_bytes(tmp_path, "tsv.txt", raw)
     df = read_delimited(spark, path, _HIVE_COLS, sep="\t", hive_serde=True)
     assert [tuple(r) for r in df.collect()] == [(1, "with\x01soh", 9.5)]
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution, raw-JSONL, and CDC-conflict pins (r10, VERDICT r9 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_merge_widens_columns_not_types(spark, tmp_path):
+    """mergeSchema's contract, pinned from both sides: ADDITIVE evolution
+    (new column) merges — the certified `parquet_schema_evolution` key —
+    but a TYPE change for an existing column fails LOUDLY with
+    CANNOT_MERGE_SCHEMAS (probed r10: int→long and int→string both
+    throw; Spark 4 parquet merge does not type-widen). Silent coercion
+    would be the corruption; the loud error is the documented behavior —
+    a 100 TB table changes a column's type by rewrite or by view-level
+    cast, never in-place."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    spark.range(3).select(F.col("id").cast("int").alias("v")).write.parquet(
+        f"{d}/t/v1"
+    )
+    spark.range(3).select(F.col("id").cast("long").alias("v")).write.parquet(
+        f"{d}/t/v2"
+    )
+    with pytest.raises(Py4JJavaError, match="CANNOT_MERGE_SCHEMAS"):
+        spark.read.option("mergeSchema", True).option(
+            "recursiveFileLookup", True
+        ).parquet(f"{d}/t").collect()
+
+
+def test_jsonl_hostile_records_declared_schema(spark, tmp_path):
+    """Raw JSONL with a DECLARED schema (the metastore path — no
+    inference), PERMISSIVE mode, pinned behaviors (probed r10):
+    duplicate keys in one object → LAST value wins; a non-JSON line →
+    all data columns NULL and the raw line lands in _corrupt_record; a
+    missing field → NULL; a TYPE-mismatched field → the whole row is
+    nulled and the original text preserved in _corrupt_record (partial
+    results would silently mix good and garbage)."""
+    p = str(tmp_path / "j.jsonl")
+    with open(p, "w") as f:
+        f.write(
+            '{"k":1,"s":"a","s":"b"}\n'
+            '{"k":2,"s":"ok"}\n'
+            "NOT_JSON\n"
+            '{"k":3}\n'
+            '{"k":"oops","s":"t"}\n'
+        )
+    back = spark.read.schema("k bigint, s string, _corrupt_record string").json(p)
+    rows = sorted(
+        [tuple(r) for r in back.collect()],
+        key=lambda t: (t[0] is None, t[0], str(t[2])),
+    )
+    assert rows == [
+        (1, "b", None),            # duplicate key: last wins
+        (2, "ok", None),
+        (3, None, None),           # missing field -> NULL
+        (None, None, "NOT_JSON"),  # bad record -> corrupt column
+        (None, "t", '{"k":"oops","s":"t"}'),  # type clash -> row nulled
+    ]
+
+
+def test_cdc_conflicting_updates_contract(spark):
+    """A change feed with MULTIPLE updates for one key: the bare
+    full-outer merge join DUPLICATES the base row (pinned — this is the
+    silent row-inflation failure mode, and why Delta's MERGE raises on
+    multiple source matches), and the documented remedy — latest-wins
+    row_number dedupe on (key ORDER BY version DESC) BEFORE the merge —
+    restores exact-row semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    upd = spark.createDataFrame(
+        [(1, 11.0, 1), (1, 12.0, 2), (2, 21.0, 1)], "k long, v double, ver int"
+    )
+    naive = base.join(upd, "k", "full_outer")
+    assert naive.count() == 4  # key 1 duplicated — the inflation, pinned
+
+    latest = (
+        upd.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("k").orderBy(F.desc("ver"))),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "ver")
+    )
+    merged = (
+        base.alias("b")
+        .join(latest.alias("u"), "k", "full_outer")
+        .select("k", F.coalesce("u.v", "b.v").alias("v"))
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == [
+        (1, 12.0),
+        (2, 21.0),
+        (3, 30.0),
+    ]
