@@ -42,40 +42,26 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     # Faithful-round-trip protocol (r10 hostile-format gate; every clause
-    # below is a corruption the gate caught on clean-looking defaults):
-    # - writer univocity defaults TRIM whitespace from unquoted fields
-    #   (' lead-trail ' came back 'lead-trail') → ignore*WhiteSpace=False;
-    # - the default line-split reader shreds records whose quoted fields
-    #   carry embedded newlines → multiLine=True (RFC-4180 quoted
-    #   newlines; the cost is per-FILE input splits — fine for an
-    #   interchange format, and the reason parquet stays the storage path);
-    # - NULL vs '' conflate under the default nullValue='' → Hive's \N
-    #   sentinel on both sides;
-    # - which in turn collides with LITERAL '\N' data → LazySimpleSerDe's
-    #   escape protocol, expressed as pure JVM regexps: double every
-    #   backslash on write, so the bare two-char token \N can only mean
-    #   NULL; undouble after read. Lossless for every string, including
-    #   '\N' and '\\N' themselves.
+    # is a corruption the gate caught on clean-looking defaults —
+    # writer whitespace trim, newline record-shredding, NULL/'' fold,
+    # \N-sentinel collision). Lives in sources.readers as the engine's
+    # delimited interchange API; fuzz-pinned on seeded hostile frames in
+    # tests/test_hostile_formats.py.
+    from ..sources.readers import (
+        read_delimited_lossless,
+        write_delimited_lossless,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 11 == 0)
     out = scratch_dir("csv_rt_") + "/lineitem_csv"
-    li.select(
-        "l_orderkey",
-        F.regexp_replace("l_returnflag", r"\\", r"\\\\").alias("l_returnflag"),
-        "l_quantity",
-    ).write.mode("overwrite").options(
-        sep="|",
-        header=False,
-        nullValue="\\N",
-        ignoreLeadingWhiteSpace=False,
-        ignoreTrailingWhiteSpace=False,
-    ).csv(out)
-    back = (
-        spark.read.options(sep="|", header=False, multiLine=True, nullValue="\\N")
-        .schema("l_orderkey bigint, l_returnflag string, l_quantity double")
-        .csv(out)
-        .withColumn(
-            "l_returnflag", F.regexp_replace("l_returnflag", r"\\\\", r"\\")
-        )
+    write_delimited_lossless(
+        li.select("l_orderkey", "l_returnflag", "l_quantity"), out
+    )
+    back = read_delimited_lossless(
+        spark,
+        out,
+        [("l_orderkey", "bigint"), ("l_returnflag", "string"),
+         ("l_quantity", "double")],
     )
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")

@@ -88,6 +88,96 @@ def read_delimited(
     )
 
 
+def write_delimited_lossless(df: DataFrame, location: str,
+                             sep: str = "|") -> None:
+    r"""A6-text, LOSSLESS: delimited-text sink whose output
+    :func:`read_delimited_lossless` reconstructs exactly — NULL vs empty
+    string vs literal ``\N`` vs embedded newlines/quotes/delimiters all
+    survive (each was a silent corruption under Spark-CSV write/read
+    defaults; found by tests/test_hostile_formats.py r10 and first fixed
+    inline in the ``csv_roundtrip_agg`` key, extracted here as the
+    engine's interchange API).
+
+    Protocol (LazySimpleSerDe's escape idea on RFC-4180 quoting):
+    - every backslash in a string column is DOUBLED on write, so the
+      bare two-char token ``\N`` can only mean NULL (``nullValue``);
+    - carriage returns are written as the two-char escape ``\r`` — the
+      multiLine reader NORMALIZES raw ``\r``/``\r\n`` inside quoted
+      fields to ``\n`` (found by the r10 round-trip fuzzer; the same
+      line-ending normalization class XML 1.0 mandates), so only an
+      escape survives;
+    - NUL is written as ``\0`` so the reader can use raw NUL as its
+      decode placeholder;
+    - writer whitespace trimming disabled (univocity trims by default);
+    - fields carrying sep/quote/newline are quoted by the writer and
+      re-parsed by the multiLine reader.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    def enc(name: str):
+        c = F.replace(F.col(name), F.lit("\\"), F.lit("\\\\"))
+        c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+        c = F.replace(c, F.lit("\x00"), F.lit("\\0"))
+        return c.alias(name)
+
+    cols = [
+        enc(f.name) if isinstance(f.dataType, StringType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df.select(*cols).write.mode("overwrite").options(
+        sep=sep,
+        header=False,
+        nullValue="\\N",
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
+    ).csv(location)
+
+
+def read_delimited_lossless(spark: SparkSession, location: str,
+                            hive_cols: list[tuple[str, str]],
+                            sep: str = "|") -> DataFrame:
+    r"""Scan of a :func:`write_delimited_lossless` table: declared schema
+    (no inference), ``\N`` → NULL, backslashes un-doubled, quoted
+    newlines re-assembled (``multiLine`` — per-file input splits, the
+    interchange-format cost; parquet stays the storage path)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    schema = hive_schema_to_struct(hive_cols)
+    df = (
+        spark.read.options(
+            sep=sep, header=False, multiLine=True, nullValue="\\N"
+        )
+        .schema(schema)
+        .csv(location)
+    )
+    # Escape decode. A naive sequence of literal replaces is ambiguous
+    # ("\\0" = escaped-backslash-then-zero vs NUL-escape), so step 1 is
+    # ONE left-to-right regex pass turning every escape pair "\X" into
+    # the two chars MARKER+X — the regex engine's non-overlapping scan
+    # gives exactly one-pass decode semantics. MARKER is raw NUL, which
+    # the writer guarantees absent (it escapes data NULs as "\0").
+    # The marker pairs then decode independently; the NUL pair LAST,
+    # because its decoded output re-creates a raw NUL that an earlier
+    # data char ('r', '\\') must never be re-scanned against.
+    _M = "\x00"
+
+    def dec(name: str):
+        c = F.regexp_replace(F.col(name), r"\\(.|\n)", _M + "$1")
+        c = F.replace(c, F.lit(_M + "\\"), F.lit("\\"))
+        c = F.replace(c, F.lit(_M + "r"), F.lit("\r"))
+        c = F.replace(c, F.lit(_M + "N"), F.lit("\\N"))
+        c = F.replace(c, F.lit(_M + "0"), F.lit(_M))
+        return c.alias(name)
+
+    cols = [
+        dec(f.name) if isinstance(f.dataType, StringType) else F.col(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
+
+
 def read_partitioned_parquet(
     spark: SparkSession,
     base_path: str,

@@ -37,7 +37,7 @@ import pandas as pd
 import pytest
 
 from .conftest import SF_SMOKE
-from .oracle_harness import compare
+from .oracle_harness import canon_frame, compare
 
 # ---------------------------------------------------------------------------
 # the poison vocabulary
@@ -402,3 +402,61 @@ def test_cdc_conflicting_updates_contract(spark):
         (2, 21.0),
         (3, 30.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# seeded round-trip fuzz of the lossless delimited protocol (r10)
+# ---------------------------------------------------------------------------
+
+# alphabet biased toward protocol metacharacters: separators, quotes,
+# backslashes, newlines, the NULL sentinel's letters, whitespace, unicode
+_FUZZ_ALPHABET = list('|,"\\\n\r\t N\x01\x00;ab 0ré🙂') + ["\\N", '""', "  ", "\\0", "\\r"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_delimited_lossless_roundtrip_fuzz(spark, tmp_path, seed):
+    """Property: write_delimited_lossless ∘ read_delimited_lossless is
+    the IDENTITY on any frame — seeded random strings drawn from a
+    metacharacter-heavy alphabet (every combination of backslashes,
+    sentinels, quotes, newlines, delimiters adjacency), plus NULLs,
+    empties, ints and doubles. 8 seeds × 60 rows; exact canonical-frame
+    equality."""
+    import random
+
+    from dask_hivemetastore_spark.sources.readers import (
+        read_delimited_lossless,
+        write_delimited_lossless,
+    )
+
+    rng = random.Random(seed)
+
+    def rand_str():
+        r = rng.random()
+        if r < 0.08:
+            return None
+        if r < 0.16:
+            return ""
+        return "".join(
+            rng.choice(_FUZZ_ALPHABET)
+            for _ in range(rng.randint(1, 12))
+        )
+
+    rows = [
+        (
+            i,
+            rand_str(),
+            rand_str(),
+            None if rng.random() < 0.1 else round(rng.uniform(-1e4, 1e4), 2),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s1 string, s2 string, v double")
+    out = str(tmp_path / "fuzz_csv")
+    write_delimited_lossless(df, out)
+    back = read_delimited_lossless(
+        spark, out,
+        [("k", "bigint"), ("s1", "string"), ("s2", "string"), ("v", "double")],
+    )
+    want = canon_frame(df.toPandas())
+    got = canon_frame(back.toPandas())
+    assert got == want
