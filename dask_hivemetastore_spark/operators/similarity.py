@@ -43,9 +43,11 @@ ORACLE_DOT = (
 )
 
 
-def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Keep only rows whose vector is non-NULL, has no NULL element, and
-    has NO non-finite component. Corrupt embeddings (NaN/Inf — real at
+def finite_vectors(df: DataFrame, vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """Keep only rows whose vector is non-NULL, has no NULL element, has
+    NO non-finite component, and — when ``dim`` is declared — has exactly
+    that many components. Corrupt embeddings (NaN/Inf — real at
     100 TB) crash pyspark.ml KMeans outright ("Vector values MUST NOT be
     NaN or Infinity", r8 probe) and poison any assignment argmax, so
     index construction excludes them at the door; they can never be
@@ -54,8 +56,18 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     (NULL in → NULL out → row silently dropped by where), which happened
     to match the intended contract — the isNotNull conjuncts below make
     that intent survive future edits instead of riding on SQL NULL
-    semantics."""
-    return df.where(
+    semantics.
+
+    ``dim`` (r10 hostile-embeddings gate): a WRONG-DIMENSION vector —
+    one truncated or concatenated row in a 100 TB corpus — crashes
+    ``np.stack`` in every Arrow-batched kernel it reaches, and where it
+    doesn't crash it silently NULL-pads ``zip_with`` (Spark) while
+    DuckDB's ``list_sum`` SKIPS the pad NULLs — a cross-engine
+    divergence. The model dimension is table metadata the pipeline
+    always knows; declaring it makes exclusion explicit on both the
+    engine and oracle sides. ``dim=None`` keeps the legacy trust-the-
+    corpus behavior for callers with schema-enforced fixed-size arrays."""
+    cond = (
         F.col(vec_col).isNotNull()
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
         & ~F.exists(
@@ -65,6 +77,18 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             | (x.cast("double") == F.lit(float("-inf"))),
         )
     )
+    if dim is not None:
+        cond = cond & (F.size(F.col(vec_col)) == dim)
+    return df.where(cond)
+
+
+#: DuckDB twin of :func:`finite_vectors` with a declared dim — splice
+#: into oracle SQL as ``WHERE {ORACLE_FINITE.format(v='embedding', d=64)}``
+ORACLE_FINITE = (
+    "({v} IS NOT NULL AND len({v}) = {d} AND len(list_filter({v}, "
+    "x -> x IS NULL OR isnan(CAST(x AS DOUBLE)) OR "
+    "isinf(CAST(x AS DOUBLE)))) = 0)"
+)
 
 
 def _finite(df: DataFrame, col: str = "cosine") -> DataFrame:
@@ -105,16 +129,21 @@ def _empty_topk(emb: DataFrame, id_col: str, label_col: str) -> DataFrame:
 
 
 def knn_topk(emb: DataFrame, query_id: int, k: int = 10,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
     """Brute-force cosine top-k of one query vector against the corpus.
 
     The single query row broadcasts; every partition computes dots locally;
     ``orderBy(...).limit(k)`` lowers to TakeOrderedAndProject (per-partition
     top-k, then a k-row merge on the driver) — no shuffle of the corpus.
+    Only eligible vectors rank (``finite_vectors`` with the declared
+    ``dim`` — r10 hostile-embeddings gate); a corrupt QUERY vector yields
+    an empty result (no-answer, never wrong-answer).
     """
-    q = emb.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    src = finite_vectors(emb, vec_col, dim)
+    q = src.where(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
     return (
-        emb.where(F.col(id_col) != query_id)
+        src.where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(id_col, "label", F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6).alias("cosine"))
         .transform(_finite)
@@ -126,7 +155,8 @@ def knn_topk(emb: DataFrame, query_id: int, k: int = 10,
 def similar_pairs(emb: DataFrame, threshold: float,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   n_blocks: int | None = None,
-                  target_block_bytes: int = 64 << 20) -> DataFrame:
+                  target_block_bytes: int = 64 << 20,
+                  dim: int | None = None) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup, K2-cosine).
 
     Fully distributed block×block tiling — NO driver-side materialization
@@ -182,7 +212,10 @@ def similar_pairs(emb: DataFrame, threshold: float,
     import math
     import warnings
 
-    src = emb.select(id_col, vec_col)
+    # eligibility at the door (r10 hostile-embeddings gate): one
+    # wrong-dimension row would crash the screen's np.stack; one
+    # NaN/Inf/NULL row would poison its BLAS tile
+    src = finite_vectors(emb.select(id_col, vec_col), vec_col, dim)
     margin = 1e-9
 
     # Eager sizing/skew work happens ONLY on the auto path (n_blocks
@@ -193,8 +226,8 @@ def similar_pairs(emb: DataFrame, threshold: float,
         stats = src.agg(
             F.count("*").alias("n"), F.max(F.size(vec_col)).alias("d")
         ).first()
-        n_vec, dim = stats["n"] or 0, stats["d"] or 0
-        total_bytes = n_vec * max(1, dim * 8)
+        n_vec, d_max = stats["n"] or 0, stats["d"] or 0
+        total_bytes = n_vec * max(1, d_max * 8)
         n_blocks = max(1, math.ceil(total_bytes / target_block_bytes))
         if total_bytes > 2 * target_block_bytes:
             # corpora small enough that the WHOLE corpus fits the 2×
@@ -310,12 +343,14 @@ def lsh_bucket_ids(emb: DataFrame, dim: int = 64, bits: int = 12,
             ids = (signs * (1 << np.arange(bits))).sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "bucket": ids.astype(np.int64)})
 
-    return emb.select(id_col, vec_col).mapInPandas(bucketize, f"{id_col} long, bucket long")
+    return finite_vectors(
+        emb.select(id_col, vec_col), vec_col, dim
+    ).mapInPandas(bucketize, f"{id_col} long, bucket long")
 
 
 def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             multiprobe: bool = True) -> DataFrame:
+             multiprobe: bool = True, dim: int = 64) -> DataFrame:
     """ANN top-k: restrict the dot-product scan to the query's LSH bucket
     plus (multiprobe) every bucket at hamming distance 1 — flipping each
     sign bit once. Single-bucket probing with B buckets scans ~n/B vectors,
@@ -331,7 +366,8 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
     For this data shape the IVF variant (:func:`ivf_topk`, full top-10
     recall at 8/16 probes) is the right scale path.
     """
-    buckets = lsh_bucket_ids(emb, bits=bits, id_col=id_col, vec_col=vec_col)
+    buckets = lsh_bucket_ids(emb, dim=dim, bits=bits, id_col=id_col,
+                             vec_col=vec_col)
     with_b = emb.join(buckets, id_col)
     probes = F.array(
         F.col("__qb"),
@@ -351,7 +387,8 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
 
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int | None = None) -> DataFrame:
     """Assign every FINITE vector to its nearest centroid cell (max dot
     product — vectors and centroids are unit-normalized). Vectorized numpy
     per Arrow batch; centroids ride along as a task broadcast. Corrupt
@@ -367,7 +404,7 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
             cells = (vecs @ C.T).argmax(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "cell": cells.astype(np.int64)})
 
-    return finite_vectors(emb.select(id_col, vec_col), vec_col).mapInPandas(
+    return finite_vectors(emb.select(id_col, vec_col), vec_col, dim).mapInPandas(
         assign, f"{id_col} long, cell long"
     )
 
@@ -384,7 +421,8 @@ _CENTROID_CACHE: dict[tuple, np.ndarray] = {}
 def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
                         vec_col: str = "embedding",
                         max_train_rows: int = 100_000,
-                        cache_key: str | None = None) -> np.ndarray:
+                        cache_key: str | None = None,
+                        dim: int | None = None) -> np.ndarray:
     """Train IVF coarse centroids with pyspark.ml KMeans (seeded), on a
     bounded sample, with cross-call caching.
 
@@ -398,7 +436,7 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
     both use dot products.
     """
     key = (
-        (cache_key, n_cells, seed, vec_col, max_train_rows)
+        (cache_key, n_cells, seed, vec_col, max_train_rows, dim)
         if cache_key is not None else None
     )
     if key is not None and key in _CENTROID_CACHE:
@@ -408,7 +446,7 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
     from pyspark.ml.functions import array_to_vector
 
     # corrupt vectors crash KMeans outright — exclude before sampling
-    train_src = finite_vectors(emb.select(vec_col), vec_col)
+    train_src = finite_vectors(emb.select(vec_col), vec_col, dim)
     n = train_src.count()
     if n > max_train_rows:
         # slight oversample so the post-filter row count lands near the cap
@@ -432,7 +470,8 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
 
 
 def ivf_assign_full(emb: DataFrame, centroids: np.ndarray,
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """All input columns + their nearest-centroid ``cell`` (the index row
     shape). Vectorized numpy per Arrow batch; other columns pass through.
     Corrupt (non-finite) vectors are excluded — they must not be written
@@ -453,12 +492,13 @@ def ivf_assign_full(emb: DataFrame, centroids: np.ndarray,
             pdf["cell"] = (vecs @ C.T).argmax(axis=1).astype(np.int32)
             yield pdf
 
-    return finite_vectors(emb, vec_col).mapInPandas(assign, schema)
+    return finite_vectors(emb, vec_col, dim).mapInPandas(assign, schema)
 
 
 def ivf_build_index(emb: DataFrame, index_path: str, n_cells: int = 16,
                     seed: int = 42, vec_col: str = "embedding",
-                    cache_key: str | None = None) -> np.ndarray:
+                    cache_key: str | None = None,
+                    dim: int | None = None) -> np.ndarray:
     """Materialize the IVF index: the corpus written ONCE, hive-partitioned
     by ``cell``. A probe then reads only its ``nprobe`` directories —
     partition pruning (PartitionFilters in the scan) does the candidate
@@ -466,9 +506,10 @@ def ivf_build_index(emb: DataFrame, index_path: str, n_cells: int = 16,
     work at 100 TB. Returns the (normalized) centroids to probe with.
     """
     C = ivf_train_centroids(
-        emb, n_cells=n_cells, seed=seed, vec_col=vec_col, cache_key=cache_key
+        emb, n_cells=n_cells, seed=seed, vec_col=vec_col, cache_key=cache_key,
+        dim=dim,
     )
-    ivf_assign_full(emb, C, vec_col).write.mode("overwrite").partitionBy(
+    ivf_assign_full(emb, C, vec_col, dim=dim).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(index_path)
     return C
@@ -499,7 +540,8 @@ def ivf_probe_indexed(spark, index_path: str, centroids: np.ndarray,
 def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
              nprobe: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             cache_key: str | None = None) -> DataFrame:
+             cache_key: str | None = None,
+             dim: int | None = None) -> DataFrame:
     """IVF ANN top-k (K3 scale path, the k-means sibling of :func:`lsh_topk`):
     partition the corpus into ``n_cells`` Voronoi cells, probe only the
     ``nprobe`` cells nearest the query, exact-score inside them.
@@ -514,10 +556,17 @@ def ivf_topk(emb: DataFrame, query_id: int, k: int = 10, n_cells: int = 16,
     at-scale layout: written once partitioned by cell, probes read only
     their directories (plan-asserted in tests/test_plans.py).
     """
-    centroids = ivf_train_centroids(emb, n_cells=n_cells, cache_key=cache_key)
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    centroids = ivf_train_centroids(
+        emb, n_cells=n_cells, cache_key=cache_key, dim=dim
+    )
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, dim=dim)
 
-    qrow = emb.where(F.col(id_col) == query_id).select(vec_col).first()
+    qrow = (
+        finite_vectors(emb, vec_col, dim)
+        .where(F.col(id_col) == query_id)
+        .select(vec_col)
+        .first()
+    )
     if qrow is None:
         # match knn_topk's contract: unknown query id -> empty result,
         # not a NoneType crash (r7 review)
@@ -564,11 +613,18 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
     for downstream filtering without losing it).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    corrupt = F.exists(
-        v,
-        lambda x: F.isnan(x)
-        | (x == F.lit(float("inf")))
-        | (x == F.lit(float("-inf"))),
+    # explicit NULL-vector / NULL-element conjuncts (r10 — same rationale
+    # as finite_vectors: the bare exists() is tri-valued and only
+    # ACCIDENTALLY marked NULL rows corrupt)
+    corrupt = (
+        F.col(vec_col).isNull()
+        | F.exists(v, lambda x: x.isNull())
+        | F.exists(
+            v,
+            lambda x: F.isnan(x)
+            | (x == F.lit(float("inf")))
+            | (x == F.lit(float("-inf"))),
+        )
     )
     scale_val = F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
@@ -599,7 +655,8 @@ def dequantize_expr(qvec_col: str = "qvec",
 
 def knn_join(emb: DataFrame, query_ids: list, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             label_col: str = "label", overfetch: int = 16) -> DataFrame:
+             label_col: str = "label", overfetch: int = 16,
+             dim: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for EVERY query in a bounded batch —
     the "knn join" shape (retrieval-augment a batch of prompts, label a
     batch of eval vectors) that a single-query :func:`knn_topk` loop would
@@ -632,8 +689,12 @@ def knn_join(emb: DataFrame, query_ids: list, k: int = 5,
 
     Returns (q_id, id_col, label_col, cosine), k rows per query.
     """
+    # eligibility applies to BOTH sides (r10 hostile-embeddings gate):
+    # a corrupt/wrong-dim QUERY vector would crash the closure-shipped
+    # GEMM matrix; such queries simply return no rows (no-answer)
+    src = finite_vectors(emb, vec_col, dim)
     qrows = (
-        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        src.where(F.col(id_col).isin([int(q) for q in query_ids]))
         .select(id_col, vec_col)
         .collect()  # bounded: len(query_ids) rows by construction
     )
@@ -675,11 +736,11 @@ def knn_join(emb: DataFrame, query_ids: list, k: int = 5,
                 parts.append(sel)
             yield pd.concat(parts, ignore_index=True)
 
-    cands = emb.select(id_col, label_col, vec_col).mapInPandas(
+    cands = src.select(id_col, label_col, vec_col).mapInPandas(
         prune, schema=out_fields
     )
     queries = (
-        emb.where(F.col(id_col).isin([int(q) for q in query_ids]))
+        src.where(F.col(id_col).isin([int(q) for q in query_ids]))
         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv"))
     )
     from pyspark.sql import Window
@@ -707,7 +768,8 @@ def pq_train_codebooks(emb: DataFrame, m: int = 16, ksub: int = 32,
                        sample_n: int = 2048, iters: int = 25, seed: int = 42,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       cache_key: str | None = None) -> np.ndarray:
+                       cache_key: str | None = None,
+                       dim: int | None = None) -> np.ndarray:
     """Train product-quantization codebooks (Jégou et al. 2011): split the
     d-dim space into ``m`` contiguous subspaces of d/m dims and run a
     deterministic seeded Lloyd k-means (``ksub`` centroids, fixed ``iters``,
@@ -724,13 +786,13 @@ def pq_train_codebooks(emb: DataFrame, m: int = 16, ksub: int = 32,
     repeat queries pay only the ADC scan, never the k-means (r7 review).
     """
     key = (
-        (cache_key, m, ksub, sample_n, iters, seed, id_col, vec_col)
+        (cache_key, m, ksub, sample_n, iters, seed, id_col, vec_col, dim)
         if cache_key is not None else None
     )
     if key is not None and key in _PQ_BOOKS_CACHE:
         return _PQ_BOOKS_CACHE[key]
     rows = (
-        finite_vectors(emb, vec_col)  # corrupt rows poison k-means means
+        finite_vectors(emb, vec_col, dim)  # corrupt rows poison k-means
         .orderBy(id_col).limit(int(sample_n)).select(vec_col).collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
@@ -760,7 +822,8 @@ def pq_train_codebooks(emb: DataFrame, m: int = 16, ksub: int = 32,
 
 def pq_encode(emb: DataFrame, codebooks: np.ndarray,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              label_col: str = "label") -> DataFrame:
+              label_col: str = "label",
+              dim: int | None = None) -> DataFrame:
     """Encode each vector to ``m`` one-byte centroid ids — the PQ code
     column. 64-dim float32 (256 B) → 16 B/vector: at 100 TB of embeddings
     the code table is the thing that fits in cluster memory and the thing
@@ -788,7 +851,9 @@ def pq_encode(emb: DataFrame, codebooks: np.ndarray,
             out["pq_code"] = [c.tolist() for c in codes]
             yield out
 
-    return emb.select(id_col, label_col, vec_col).mapInPandas(
+    return finite_vectors(
+        emb.select(id_col, label_col, vec_col), vec_col, dim
+    ).mapInPandas(
         encode, schema=f"{id_col} long, {label_col} int, pq_code array<tinyint>"
     )
 
@@ -835,7 +900,8 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
                      shortlist: int = 50, m: int = 16, ksub: int = 32,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      label_col: str = "label",
-                     cache_key: str | None = None) -> DataFrame:
+                     cache_key: str | None = None,
+                     dim: int | None = None) -> DataFrame:
     """The standard PQ serving shape: ADC over the code table shortlists
     ``shortlist`` candidates, then the exact JVM-fold dot re-scores only
     those against the raw vectors (a broadcast semi-join back — the float
@@ -851,12 +917,13 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
     which only helps.
     """
     books = pq_train_codebooks(emb, m=m, ksub=ksub, id_col=id_col,
-                               vec_col=vec_col, cache_key=cache_key)
-    qrow = emb.where(F.col(id_col) == query_id).select(vec_col).collect()
+                               vec_col=vec_col, cache_key=cache_key, dim=dim)
+    src = finite_vectors(emb, vec_col, dim)
+    qrow = src.where(F.col(id_col) == query_id).select(vec_col).collect()
     if not qrow:
         return _empty_topk(emb, id_col, label_col)
     qv = np.asarray(qrow[0][0], dtype=np.float64)
-    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col,
+    codes = pq_encode(src, books, id_col=id_col, vec_col=vec_col,
                       label_col=label_col)
     # k = shortlist + 1: the query's own row tops the ADC ranking and is
     # filtered below — without the +1 it would silently consume one
@@ -865,11 +932,11 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
         codes, books, qv, k=shortlist + 1, id_col=id_col,
         label_col=label_col
     ).where(F.col(id_col) != query_id).select(id_col).limit(shortlist)
-    q = emb.where(F.col(id_col) == query_id).select(
+    q = src.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qv")
     )
     return (
-        emb.join(F.broadcast(short), id_col)
+        src.join(F.broadcast(short), id_col)
         .crossJoin(F.broadcast(q))
         .select(
             id_col, label_col,

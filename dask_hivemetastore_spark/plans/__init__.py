@@ -56,12 +56,13 @@ from .. import streaming  # noqa: F401,E402
 # Round 9 certified the post-r8-freeze changed keys, the 8 deferred r2
 # keys, the r1 window, and the first r5 drift block — CORRECTNESS_r09:
 # 50/50 green (see git history of this file for the full list).
-# Round 10 (this window): block 1 = the 16 keys whose contracts changed
-# this round (8 newly-derived full oracles + 8 hostile-FORMAT/extended-
-# NUMERIC gate fixes); block 2 = the ENTIRE remaining r5-vintage drift
-# tail (23 keys, newest driver rows 5 rounds old); block 3 = the 11
-# oldest r6-vintage keys. After r10, no driver row predates r6 and only
-# 20 r6 stragglers remain (named in the block-3 comment) for r11.
+# Round 10 (this window): blocks 1/1b = the 21 keys whose contracts
+# changed this round (8 newly-derived full oracles, 8 hostile-FORMAT/
+# extended-NUMERIC gate fixes, 5 hostile-EMBEDDINGS declared-dim
+# eligibility keys); block 2 = the ENTIRE remaining r5-vintage drift
+# tail (23 keys, newest driver rows 5 rounds old); block 3 = the 6
+# oldest r6-vintage keys. After r10, no driver row predates r6 and 25
+# r6 stragglers remain (named in the block-3 comment) for r11.
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
@@ -93,6 +94,16 @@ _CERTIFICATION_PRIORITY = [
     "crosstab_status_segment",
     "compact_partition_scoped",
     "parquet_partitioned_roundtrip",
+    # --- r10 block 1b (changed-keys rule, late r10): the hostile-
+    # --- EMBEDDINGS gate gave the vector family its declared-dim
+    # --- eligibility contract — engine finite_vectors(dim) + explicit
+    # --- oracle predicate — and the quantize oracle its unquantizable-
+    # --- row CASE. knn_ivf/pq re-certify above; these five changed too. ---
+    "embedding_near_pairs",
+    "dedup_embedding_components",
+    "knn_cosine_topk",
+    "knn_join_batch",
+    "embedding_quantize_roundtrip",
     # --- r10 block 2: the r5-vintage drift tail — every key whose
     # --- newest driver row still dates to round 5 (VERDICT r9 missing
     # --- #1; q9/pandas_api_groupby moved into block 1 above). ---
@@ -122,7 +133,9 @@ _CERTIFICATION_PRIORITY = [
     # --- r10 block 3: drift re-certification, oldest r6-vintage keys
     # --- (alphabetical prefix of the 31 r6 stragglers;
     # --- compact_partition_scoped re-certifies in block 1). The
-    # --- remaining 20 — q11, q12, q16, q20, quality_score_docs,
+    # --- remaining 25 — mad_robust_outliers, ngram_freq_top,
+    # --- null_safe_join, posexplode_words, price_histogram (displaced
+    # --- by the five late embedding-contract keys), q11, q12, q16, q20, quality_score_docs,
     # --- range_join_longtail_points, regression_price_qty,
     # --- repetition_score_docs, rollup_grouping_id, row_ids_unique,
     # --- sample_k_per_group, sorted_layout_roundtrip,
@@ -139,11 +152,6 @@ _CERTIFICATION_PRIORITY = [
     "explode_words_top",
     "fuzzy_match_nations",
     "lm_quality_score_docs",
-    "mad_robust_outliers",
-    "ngram_freq_top",
-    "null_safe_join",
-    "posexplode_words",
-    "price_histogram",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -10,6 +10,18 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import curation, dedup, multimodal, similarity, text
+
+#: Declared embedding dimension of the corpus (TESTDATA.md: embeddings is
+#: 64-dim unit-normalized array<float>). The model dim is table metadata;
+#: every vector operator call and every oracle below states eligibility
+#: with it explicitly (r10 hostile-embeddings gate): a vector enters
+#: similarity/ANN math iff non-NULL, fully finite, and exactly this dim.
+EMB_DIM = 64
+
+#: DuckDB predicate of that same eligibility rule — derived from the one
+#: source of truth next to finite_vectors itself.
+_ELIG = similarity.ORACLE_FINITE.format(v="embedding", d=EMB_DIM)
+
 from .registry import query, scratch_dir
 
 # ---------------------------------------------------------------- K1: exact
@@ -145,11 +157,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_near_pairs",
-    oracle="""
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0.45
     """,
@@ -159,7 +172,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's max pairwise cosine is ~0.51 — no planted dups, so the
     threshold is set where real pairs exist to certify the math)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.similar_pairs(emb, threshold=0.45)
+    return similarity.similar_pairs(emb, threshold=0.45, dim=EMB_DIM)
 
 
 # ------------------------------------------------------- K3: similarity search
@@ -167,12 +180,13 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_cosine_topk",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
     SELECT vec_id, label,
            ROUND(list_sum(list_transform(list_zip(embedding, qv),
                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
-    FROM embeddings, q
+    FROM e, q
     WHERE vec_id <> 0
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
@@ -182,19 +196,20 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 brute-force cosine top-10 for query vector vec_id=0 (unit-norm ⇒
     cosine = dot). Map-side dot + TakeOrderedAndProject — no corpus shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_topk(emb, query_id=0, k=10)
+    return similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
 
 
 @query(
     "knn_join_batch",
-    oracle="""
-    WITH q AS (SELECT vec_id AS q_id, embedding AS qv
-               FROM embeddings WHERE vec_id < 16),
+    oracle=f"""
+    WITH el AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM el WHERE vec_id < 16),
     s AS (SELECT q.q_id, e.vec_id, e.label,
             ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
               AS cosine
-          FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+          FROM el e, q WHERE e.vec_id <> q.q_id),
     r AS (SELECT *, row_number() OVER
             (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM s)
     SELECT q_id, vec_id, label, cosine FROM r WHERE rn <= 5
@@ -209,17 +224,18 @@ def knn_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle brute-forces all Q×N pairs and must agree on every one of
     the 80 returned rows. See :func:`..operators.similarity.knn_join`."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_join(emb, list(range(16)), k=5)
+    return similarity.knn_join(emb, list(range(16)), k=5, dim=EMB_DIM)
 
 
 @query(
     "knn_pq_topk",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
     SELECT vec_id, label,
            ROUND(list_sum(list_transform(list_zip(embedding, qv),
                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
-    FROM embeddings, q
+    FROM e, q
     WHERE vec_id <> 0
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
@@ -244,7 +260,7 @@ def knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver row red instead of hiding behind rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_topk_reranked(
-        emb, query_id=0, k=10, shortlist=50, cache_key=sf_dir
+        emb, query_id=0, k=10, shortlist=50, cache_key=sf_dir, dim=EMB_DIM
     )
 
 
@@ -336,17 +352,30 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             GREATEST(list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
-      FROM embeddings)
+             CASE WHEN embedding IS NULL
+                       OR len(list_filter(embedding, x -> x IS NULL
+                              OR isnan(CAST(x AS DOUBLE))
+                              OR isinf(CAST(x AS DOUBLE)))) > 0
+                  THEN NULL
+                  ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+             END AS v
+      FROM embeddings),
+    sc AS (
+      SELECT vec_id, v,
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE GREATEST(list_max(list_transform(v,
+                       x -> abs(x))) / 127.0, 1e-12)
+             END AS scale
+      FROM s)
     SELECT vec_id,
            ROUND(scale, 9) AS scale_r,
-           CAST(list_sum(list_transform(v,
-               x -> CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_checksum,
+           CAST(CASE WHEN v IS NULL THEN NULL
+                ELSE COALESCE(list_sum(list_transform(v,
+                     x -> CAST(round(x / scale) AS BIGINT))), 0)
+           END AS BIGINT) AS q_checksum,
            ROUND(list_max(list_transform(v,
                x -> abs(x - round(x / scale) * scale))), 6) AS max_abs_err
-    FROM s
+    FROM sc
     """,
 )
 def embedding_quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,12 +660,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_ivf_topk",
-    oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
     SELECT vec_id, label,
            ROUND(list_sum(list_transform(list_zip(embedding, qv),
                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
-    FROM embeddings, q
+    FROM e, q
     WHERE vec_id <> 0
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
@@ -659,15 +689,18 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only. (`knn_lsh_topk` stays rows-only: sign-LSH recall on this
     near-orthogonal fixture is genuinely < 1.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, query_id=0, k=10, cache_key=sf_dir)
+    return similarity.ivf_topk(
+        emb, query_id=0, k=10, cache_key=sf_dir, dim=EMB_DIM
+    )
 
 
 @query(
     "dedup_embedding_components",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
+    el AS (SELECT * FROM embeddings WHERE {_ELIG}),
     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          FROM el a JOIN el b ON a.vec_id < b.vec_id
           WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) >= 0.45),
     edges AS (SELECT id_a AS a, id_b AS b FROM p
@@ -695,7 +728,7 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     path uses; the oracle recomputes components via recursive transitive
     closure."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.similar_pairs(emb, threshold=0.45).select(
+    pairs = similarity.similar_pairs(emb, threshold=0.45, dim=EMB_DIM).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     comps = dedup.connected_components(pairs, emb.select("vec_id"), "vec_id")

@@ -43,6 +43,8 @@ ALLOW: dict[str, str] = {
     "embedding_near_pairs": "block x block tiling joins on range predicates"
     " after a BLAS screen; candidate volume bounded by tile size",
     "interleave_sources_rr": "broadcast 1-row per-source counts",
+    "sample_fraction": "r10 derived-oracle verdict: crossJoin of three"
+    " 1-row aggregates (population count, sample count, orphan count)",
     "corpus_rebalance_sources": "broadcast per-source count row",
     "corpus_rebalance_temperature": "broadcast per-source count row",
     "bm25_rank_docs": "broadcast 1-row corpus stats (N, avgdl)",

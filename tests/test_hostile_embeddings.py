@@ -1,0 +1,199 @@
+"""Adversarial EMBEDDINGS corpus over the vector/ANN family (r10).
+
+The r9 work injected corrupt vectors into the STRESS harnesses
+(operator-level, exit-code invariants) and unit-tested ``finite_vectors``
+— but the embeddings TABLE itself was never poisoned and replayed
+through the REGISTERED keys against their REGISTERED oracles, the gate
+every other table family has (documents r8, events r8, numerics r9,
+strings/format r10). This closes that last family.
+
+Poison classes, each a distinct failure mode:
+- NULL vector cell / empty list / vector with NULL elements;
+- NaN / +Inf / −Inf components (non-finite dots);
+- WRONG-DIMENSION vectors (32 and 96 against the corpus's 64) — the
+  class that crashes ``np.stack`` in every Arrow-batched kernel if it
+  reaches one, and silently NULL-pads ``zip_with``/``list_zip`` if it
+  doesn't;
+- the zero vector (norm 0 — a legal row whose cosine against anything
+  is 0, must not be excluded);
+- large-but-finite components (norm ~8000) — the documented
+  PASS-THROUGH class (magnitude screening is ingest QA, not the
+  operator's job);
+- an exact duplicate of a real vector under a new id (a legitimate
+  planted pair the gate must still find);
+- NULL label.
+
+Contract encoded by the fixes this gate forced: a vector participates in
+similarity/ANN math iff it is non-NULL, fully finite, and has the
+DECLARED dimension (the embedding pipeline always knows its model dim —
+it is table metadata, like a schema). Excluded rows vanish from vector
+results; both each key's engine path and its DuckDB oracle state that
+same rule explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from .conftest import SF_SMOKE
+from .oracle_harness import compare
+
+DIM = 64
+
+_FULL_ORACLE_KEYS = [
+    "array_funcs_embeddings",
+    "dedup_embedding_components",
+    "embedding_group_centroid",
+    "embedding_near_pairs",
+    "embedding_quantize_roundtrip",
+    "knn_cosine_topk",
+    "knn_join_batch",
+    "knn_pq_topk",
+]
+# knn_ivf_topk is NOT replayed against its brute-force oracle here: its
+# oracle equality holds on the REAL corpus (nprobe=8/16 recovers the full
+# top-10 there, deterministically — verified across fresh processes), but
+# this poisoned corpus retrains the coarse quantizer on a different
+# eligible set, scattering true neighbors across unprobed cells — the
+# recall trade that makes IVF an ANN, not a bug. Its hostile-corpus
+# contract is the property test below instead. (knn_pq_topk stays in the
+# replay: its 10%-of-corpus shortlist keeps recall 1.0 here too.)
+
+
+def write_hostile_embeddings(dirpath) -> None:
+    pdf = pd.read_parquet(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    emb = pdf["embedding"].tolist()
+    labels = pdf["label"].astype("object").tolist()
+
+    def vec(fill):
+        return np.asarray(fill, dtype=np.float32)
+
+    nan_v = np.array(emb[20], dtype=np.float32).copy()
+    nan_v[7] = np.nan
+    inf_v = np.array(emb[21], dtype=np.float32).copy()
+    inf_v[3] = np.inf
+    ninf_v = np.array(emb[22], dtype=np.float32).copy()
+    ninf_v[0] = -np.inf
+
+    poison = {
+        10: None,                                  # NULL vector
+        11: vec([]),                               # empty list
+        12: np.array([v if i != 5 else None for i, v in enumerate(emb[12])],
+                     dtype=object),                # NULL element
+        20: nan_v,
+        21: inf_v,
+        22: ninf_v,
+        30: vec(np.zeros(DIM)),                    # zero vector (legal)
+        31: vec(np.ones(32) * 0.1),                # wrong dim: short
+        32: vec(np.ones(96) * 0.1),                # wrong dim: long
+        # large-but-finite (legal pass-through: magnitude screening is
+        # ingest QA, not the operator's job). 1e3 per component ≈ norm
+        # 8000 — unambiguously unnormalized, while keeping dot products
+        # small enough (~1e4) that the engines' different summation
+        # orders still agree at the canonicalizer's 9-decimal grain;
+        # truly astronomical magnitudes (1e30) differ at the ULP level
+        # between ANY two independent float implementations.
+        33: vec(np.full(DIM, 1e3)),
+    }
+    for i, v in poison.items():
+        emb[i] = v
+    labels[40] = None                              # NULL label
+
+    # planted exact duplicate of row 2's vector under a fresh id
+    pdf2 = pd.DataFrame(
+        {
+            "vec_id": pd.array(list(pdf["vec_id"]) + [9000], dtype="int64"),
+            "embedding": emb + [np.array(emb[2], dtype=np.float32)],
+            "label": pd.array(labels + [labels[2]], dtype="Int32"),
+        }
+    )
+    pdf2.to_parquet(os.path.join(str(dirpath), "embeddings.parquet"),
+                    index=False)
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("hostile_emb_sf")
+    write_hostile_embeddings(d)
+    for f in os.listdir(SF_SMOKE):
+        if f != "embeddings.parquet":
+            os.symlink(os.path.join(SF_SMOKE, f), d / f)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_duck(hostile_emb_dir):
+    import duckdb
+
+    from dask_hivemetastore_spark.catalog import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{hostile_emb_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", _FULL_ORACLE_KEYS)
+def test_embedding_keys_on_hostile_corpus(spark, key, hostile_emb_dir,
+                                          hostile_emb_duck):
+    from dask_hivemetastore_spark import plans
+
+    sdf = plans.QUERIES[key](spark, hostile_emb_dir)
+    problems = compare(key, sdf, hostile_emb_duck.sql(plans.ORACLES[key]))
+    assert not problems, "\n".join(problems)
+
+
+def test_ivf_on_hostile_corpus_properties(spark, hostile_emb_dir):
+    """IVF on the poisoned corpus: the index must RUN (no KMeans crash on
+    NaN/Inf, no ragged np.stack), return only eligible finite ids, and
+    keep useful recall against the exact brute-force top-10 computed on
+    the same corpus (deterministic: seeded KMeans, fixed data)."""
+    from dask_hivemetastore_spark import plans
+    from dask_hivemetastore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
+    brute = [r.vec_id for r in similarity.knn_topk(
+        emb, query_id=0, k=10, dim=DIM).collect()]
+    ivf = plans.QUERIES["knn_ivf_topk"](spark, hostile_emb_dir).collect()
+    assert 0 < len(ivf) <= 10
+    assert all(np.isfinite(r.cosine) for r in ivf)
+    corrupt_ids = {10, 11, 12, 20, 21, 22, 31, 32}
+    assert not corrupt_ids & {r.vec_id for r in ivf}
+    recall = len({r.vec_id for r in ivf} & set(brute)) / 10
+    assert recall >= 0.5, (recall, [r.vec_id for r in ivf], brute)
+
+
+def test_planted_duplicate_still_found(spark, hostile_emb_dir):
+    """The gate must not only exclude garbage — the legitimate planted
+    exact-duplicate pair (vec 2 ≡ vec 9000, cosine 1.0) must survive all
+    the filtering and be reported by the near-pair operator."""
+    from dask_hivemetastore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.similar_pairs(
+            emb, threshold=0.99, dim=DIM
+        ).collect()
+    }
+    assert (2, 9000) in pairs, sorted(pairs)[:5]
+
+
+def test_rows_only_ann_paths_survive_corruption(spark, hostile_emb_dir):
+    """The rows-only ANN paths (LSH buckets, IVF cells, PQ codes) must
+    RUN on the poisoned corpus — no np.stack crash from a ragged batch —
+    and return only finite, real ids."""
+    from dask_hivemetastore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
+    lsh = similarity.lsh_topk(emb, query_id=0, k=10, bits=8, dim=DIM).collect()
+    assert 0 < len(lsh) <= 10
+    assert all(np.isfinite(r.cosine) for r in lsh)
