@@ -149,8 +149,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     not an independent oracle). Unlike the ANN top-k keys there is no
     exact-rerank stage whose answer a brute-force oracle could pin:
     hamming-similarity itself IS the operator's output contract.
-    Invariants (determinism, band-recall vs brute hamming scan,
-    threshold monotonicity) are pytest-pinned instead."""
+    Pinned instead (tests/test_operators.py): determinism across
+    partitionings, NULL-text tolerance, planted-pair recall vs the exact
+    Jaccard operator, and an EXACT brute twin — a scalar Python
+    reimplementation of the signature + all-pairs hamming + band check
+    reproduces the operator's pair set verbatim
+    (test_simhash_pairs_exact_contract_vs_scalar_reimpl, r10)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text")
 

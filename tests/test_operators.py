@@ -885,3 +885,60 @@ def test_ivf_pq_training_excludes_corrupt_vectors(spark):
     # the corrupt rows never enter an index
     assigned = S.ivf_assign(emb, cents).collect()
     assert all(r.vec_id not in (40, 41) for r in assigned)
+
+
+def test_simhash_pairs_exact_contract_vs_scalar_reimpl(spark):
+    """Exact pin of `simhash_pairs` (r10 — the docstring's claimed brute
+    twin, now real): an independent SCALAR reimplementation of the
+    signature (per-word xxhash64 from the JVM, then a plain Python ±1
+    bit-vote per position) plus a brute all-pairs hamming scan must
+    reproduce the operator's pair set EXACTLY under its contract —
+    a pair is emitted iff hamming <= 6 AND the two signatures agree on
+    at least one 16-bit band. Pins the numpy reduceat vectorization, the
+    signed-long storage convention, and the band-candidate semantics in
+    one compare."""
+    from dask_hivemetastore_spark.operators.dedup import simhash_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_pairs(docs, "doc_id", "text").collect()
+    }
+
+    # independent signature: JVM word hashes, scalar Python bit votes
+    wh = (
+        docs.select(
+            "doc_id",
+            F.transform(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda w: F.xxhash64(w),
+            ).alias("wh"),
+        )
+        .collect()
+    )
+    sigs = {}
+    for r in wh:
+        votes = [0] * 64
+        for h in r.wh:
+            u = h & 0xFFFFFFFFFFFFFFFF  # two's-complement -> uint64
+            for b in range(64):
+                votes[b] += 1 if (u >> b) & 1 else -1
+        sigs[r.doc_id] = sum(1 << b for b in range(64) if votes[b] > 0)
+
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            x = sigs[a] ^ sigs[b]
+            if bin(x).count("1") > 6:
+                continue
+            if any(
+                ((sigs[a] >> (16 * j)) & 0xFFFF) == ((sigs[b] >> (16 * j)) & 0xFFFF)
+                for j in range(4)
+            ):
+                want.add((a, b))
+    assert got == want, (len(got), len(want), sorted(got ^ want)[:5])
