@@ -67,16 +67,19 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding",
     always knows; declaring it makes exclusion explicit on both the
     engine and oracle sides. ``dim=None`` keeps the legacy trust-the-
     corpus behavior for callers with schema-enforced fixed-size arrays."""
-    cond = (
-        F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
-        & ~F.exists(
-            F.col(vec_col),
-            lambda x: F.isnan(x.cast("double"))
-            | (x.cast("double") == F.lit(float("inf")))
-            | (x.cast("double") == F.lit(float("-inf"))),
-        )
+    # ONE exists() pass (r10 perf note: three separate exists() meant
+    # three full array traversals per corpus row on every vector scan —
+    # the predicate sits on the hot path of every ANN/similarity key).
+    # Inside the lambda, `x.isNull() | <check on x>` is NULL-safe by OR
+    # short-circuit semantics: a NULL element makes the first disjunct
+    # TRUE before the tri-valued checks can return NULL.
+    bad_elem = F.exists(
+        F.col(vec_col),
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
     )
+    cond = F.col(vec_col).isNotNull() & ~bad_elem
     if dim is not None:
         cond = cond & (F.size(F.col(vec_col)) == dim)
     return df.where(cond)
