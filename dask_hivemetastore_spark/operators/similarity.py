@@ -70,9 +70,11 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding",
     # ONE exists() pass (r10 perf note: three separate exists() meant
     # three full array traversals per corpus row on every vector scan —
     # the predicate sits on the hot path of every ANN/similarity key).
-    # Inside the lambda, `x.isNull() | <check on x>` is NULL-safe by OR
-    # short-circuit semantics: a NULL element makes the first disjunct
-    # TRUE before the tri-valued checks can return NULL.
+    # Inside the lambda, `x.isNull() | <check on x>` is NULL-safe by
+    # three-valued OR semantics (not short-circuit — SQL OR has none):
+    # a NULL element makes the first disjunct TRUE, and TRUE OR NULL
+    # evaluates to TRUE, so the tri-valued checks can never turn the
+    # whole disjunction NULL.
     bad_elem = F.exists(
         F.col(vec_col),
         lambda x: x.isNull()
@@ -331,7 +333,7 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def lsh_bucket_ids(emb: DataFrame, dim: int = 64, bits: int = 12,
+def lsh_bucket_ids(emb: DataFrame, dim: int, bits: int = 12,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane (sign) LSH: bucket id = sign-bit pattern of `bits`
     projections. Vectorized pandas UDF; deterministic (seeded) planes."""
@@ -353,7 +355,7 @@ def lsh_bucket_ids(emb: DataFrame, dim: int = 64, bits: int = 12,
 
 def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             multiprobe: bool = True, dim: int = 64) -> DataFrame:
+             multiprobe: bool = True, *, dim: int) -> DataFrame:
     """ANN top-k: restrict the dot-product scan to the query's LSH bucket
     plus (multiprobe) every bucket at hamming distance 1 — flipping each
     sign bit once. Single-bucket probing with B buckets scans ~n/B vectors,
@@ -368,6 +370,12 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
     table; real clustered embeddings (θ small) are the regime it serves.
     For this data shape the IVF variant (:func:`ivf_topk`, full top-10
     recall at 8/16 probes) is the right scale path.
+
+    ``dim`` is REQUIRED (keyword-only, r10 advisor): the hyperplanes are
+    drawn at ``dim`` and the eligibility filter drops every vector of any
+    other length, so a defaulted 64 on a non-64-dim corpus returned a
+    silently EMPTY top-k where the old code failed loudly in the matmul.
+    The model dimension is table metadata the caller always has.
     """
     buckets = lsh_bucket_ids(emb, dim=dim, bits=bits, id_col=id_col,
                              vec_col=vec_col)
@@ -926,8 +934,12 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
     if not qrow:
         return _empty_topk(emb, id_col, label_col)
     qv = np.asarray(qrow[0][0], dtype=np.float64)
-    codes = pq_encode(src, books, id_col=id_col, vec_col=vec_col,
-                      label_col=label_col)
+    # Encode from the RAW corpus with the declared dim: pq_encode runs
+    # finite_vectors itself, so feeding the already-filtered `src` would
+    # stack a second full eligibility traversal on the corpus scan
+    # (r10 advisor — redundant right after the traversal-fusing fix).
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col,
+                      label_col=label_col, dim=dim)
     # k = shortlist + 1: the query's own row tops the ADC ranking and is
     # filtered below — without the +1 it would silently consume one
     # shortlist slot and deliver the recall of shortlist-1 (r7 review)

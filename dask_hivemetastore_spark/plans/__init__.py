@@ -35,7 +35,7 @@ from .. import streaming  # noqa: F401,E402
 #   4. Rows-only keys stay outside — the driver's rows-only check adds
 #      nothing over the local suite.
 #   5. Pre-flight before committing a reorder: the full parity suite at
-#      sf0.01 plus a driver-sim run (.claude/skills/verify) so oracle
+#      sf0.01 plus the local driver-sim pre-flight script so oracle
 #      dialect bugs surface locally, never in the driver.
 #
 # History: r1 certified keys 1–50 of module order (TPC-H + relational);

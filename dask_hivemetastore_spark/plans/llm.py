@@ -282,7 +282,7 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin exists. The recall floor and bucket-restriction invariants are
     pytest-pinned instead."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, query_id=0, k=10, bits=8)
+    return similarity.lsh_topk(emb, query_id=0, k=10, bits=8, dim=EMB_DIM)
 
 
 # ----------------------------------------------------------- K4: text analysis

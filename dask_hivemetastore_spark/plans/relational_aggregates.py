@@ -618,7 +618,9 @@ def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id)      AS n_exact,
-           COUNT(DISTINCT CAST(ts AS DATE)) AS n_sketches_merged,
+           COUNT(DISTINCT CAST(ts AS DATE))
+             + CASE WHEN COUNT(CASE WHEN ts IS NULL THEN 1 END) > 0
+                    THEN 1 ELSE 0 END AS n_sketches_merged,
            1 AS within_tol
     FROM events GROUP BY event_type
     """,
@@ -644,7 +646,14 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and the within-tolerance verdict as an INT; the oracle
     recomputes both real columns and asserts the verdict is 1. A merge
     bug (double-merged or dropped sketches) shifts the estimate and
-    turns the driver row red."""
+    turns the driver row red.
+
+    NULL-ts contract (r11, r10 advisor): the engine's per-day sketch job
+    keeps ``to_date(ts) = NULL`` as a REAL group — one persisted sketch —
+    while the oracle's ``COUNT(DISTINCT CAST(ts AS DATE))`` skips NULL,
+    so the oracle adds ``CASE WHEN COUNT(CASE WHEN ts IS NULL ...)>0 THEN
+    1`` to count that sketch. Pinned by the hostile-events replay (its
+    corpus carries a NULL event time)."""
 
     ev = load_table(spark, sf_dir, "events")
     out = scratch_dir("hll_") + "/sketches"

@@ -453,12 +453,12 @@ def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH src AS (
         SELECT CASE WHEN o_orderpriority IS NULL THEN NULL
                     WHEN regexp_matches(o_orderpriority,
-                         '[\\x{01}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')
+                         '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')
                          THEN NULL
                     ELSE o_orderpriority END AS priority,
                CASE WHEN o_orderpriority IS NOT NULL
                          AND regexp_matches(o_orderpriority,
-                             '[\\x{01}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')
+                             '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]')
                          THEN NULL
                     ELSE o_totalprice END AS t
         FROM orders)

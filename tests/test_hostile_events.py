@@ -126,6 +126,14 @@ _KEYS = [
     "rolling_1h_events",
     "distinct_users",
     "value_counts_events",
+    # r11 (r10 advisor): the sketch/partial-state aggregate keys over
+    # events were never replayed on this corpus — the NULL-ts row is
+    # exactly what diverges hll_sketch_merge's n_sketches_merged (engine
+    # keeps to_date(ts)=NULL as a real per-day sketch group; COUNT
+    # (DISTINCT ...) skips it).
+    "hll_sketch_merge",
+    "approx_distinct_users",
+    "incremental_agg_merge",
 ]
 
 

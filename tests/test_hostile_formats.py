@@ -64,6 +64,8 @@ POISON: list[str | None] = [
     "\ufeffbom-prefixed",
     "naïve–café🙂",
     "\x01soh",             # the Hive default field delim as data
+    "nul\x00byte",         # NUL — illegal in XML 1.0 even as an entity;
+                           # DuckDB strings carry it fine (r10 advisor)
     "xml<&>chars",         # raw XML metacharacters
     "x" * 400,             # long field
 ]
@@ -76,8 +78,13 @@ POISON: list[str | None] = [
 # Path metacharacters ('/', '=', '%', ':') go IN: Spark must escape them
 # into the hive-style dir name and recover them on read.
 POISON_PART: list[str | None] = [
-    p for p in POISON if p is None or len(p) <= 100
+    p for p in POISON
+    if p is None or (len(p) <= 100 and "\x00" not in p)
 ] + ["a/b", "k=v", "pct%2Fenc", "c:d", "dot.dot"]
+# NUL joins the long-string exclusion (r11): Hive path-escaping does not
+# %-encode \x00 and the filesystem rejects it in a component, so a NUL
+# partition value fails the WRITE loudly — same operational cliff, pinned
+# in test_partition_value_nul_cliff below. As DATA it stays in POISON.
 
 
 def _cycle_vals(orig: pd.Series, stride: int, vals: list,
@@ -290,6 +297,23 @@ def test_partition_value_length_cliff(spark, tmp_path):
     with pytest.raises(Py4JJavaError):
         df.write.mode("overwrite").partitionBy("pval").parquet(
             str(tmp_path / "cliff")
+        )
+
+
+def test_partition_value_nul_cliff(spark, tmp_path):
+    """NUL is the other partition-value cliff (r11, r10 advisor): Hive
+    path-escaping does not %-encode \\x00 and no POSIX filesystem accepts
+    it inside a path component, so the WRITE fails loudly — never a
+    silently mangled directory name. NUL as ordinary column DATA is fine
+    (covered by POISON in the main corpus); only the value-becomes-a-path
+    use hits this."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).withColumn("pval", F.lit("nul\x00byte"))
+    with pytest.raises(Py4JJavaError):
+        df.write.mode("overwrite").partitionBy("pval").parquet(
+            str(tmp_path / "nulcliff")
         )
 
 

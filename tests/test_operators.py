@@ -90,7 +90,7 @@ def test_lsh_topk_subset_of_brute(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     brute = {r.vec_id: r.cosine for r in knn_topk(emb, 0, k=10).collect()}
-    ann = lsh_topk(emb, 0, k=10, bits=8).collect()
+    ann = lsh_topk(emb, 0, k=10, bits=8, dim=64).collect()
     assert len(ann) >= 1
     for r in ann:
         assert -1.001 <= r.cosine <= 1.001
