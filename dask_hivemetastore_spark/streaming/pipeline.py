@@ -245,10 +245,10 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESS_STATE = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n", LongType()),
-        StructField("sum_v", DoubleType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("sums", ArrayType(DoubleType())),
     ]
 )
 _SESS_OUT = StructType(
@@ -263,19 +263,59 @@ _GAP_US = 30 * 60 * 1_000_000
 
 
 def _sessionize_fn(key, pdf_iter, state: GroupState):
-    """Per-user gap sessionizer. State = the one open session (4 scalars).
+    """Per-user gap sessionizer, ORDER-INDEPENDENT across micro-batches
+    (r11, VERDICT r10 missing #3 / next #5).
 
-    Closes a session when the next event is STRICTLY more than 30 min
-    after the last — an arrival at exactly last+gap still merges, matching
-    batch ``F.session_window`` (touching windows coalesce; boundary pinned
-    by the hostile-events corpus, r8 — this operator and its oracle
-    previously used >=, diverging from the batch twin on exact-gap
-    arrivals); emits
-    closed sessions (final) AND the still-open session (re-emitted each
-    batch it grows — downstream upserts by (user_id, session_start)). Value
-    sums accumulate sequentially in event-time order, matching the oracle's
-    summation order.
+    The r8–r10 version kept only the one OPEN session (4 scalars) and
+    finalized earlier sessions eagerly, which made it exact only under
+    in-order batch arrival — random micro-batch splits were documented
+    out-of-contract. The fix drops the in-order assumption instead of
+    buffering raw rows: state = the user's full set of GAP-COMPONENTS
+    (disjoint session intervals, 4 scalars each — start/last/n/sum).
+    Sessionizing a SET of timestamps into >30-min-gap components is a
+    pure function of the set, so inserting events one at a time with
+    interval merging reproduces it under ANY arrival order:
+
+    - event within the gap of the component on its left → extend it;
+    - within the gap of the component on its right → that component's
+      start moves EARLIER (the superseded start gets a tombstone row —
+      n_events NULL — so an upsert sink keyed on (user_id,
+      session_start) can retract it);
+    - bridging both → merge the two components (+1 event);
+    - neither → a new 1-event component.
+
+    Merge boundary stays STRICTLY-greater-than (exact last+gap arrivals
+    coalesce, matching batch ``F.session_window``; pinned by the
+    hostile-events corpus, r8). Value sums keep SQL-SUM semantics (NaN =
+    sum-of-nothing; NULL values counted in n but skipped by the sum, r8
+    NULL probe); merging adds component partial sums, so summation
+    association under out-of-order arrival differs from strict
+    event-time order by at most float reassociation — inside the
+    ROUND(,2) grain on every gate corpus.
+
+    Update-mode emission = changed/new components only, plus tombstones
+    for vanished starts. The sink's upsert key is the SECONDS-granularity
+    start string, so tombstones are keyed there too: one is emitted only
+    when the vanished µs-start's string has NO live component left (two
+    µs-starts in the same second otherwise retract each other — r11 fuzz
+    find, seed 9). Applied sequentially in batch order — update the key
+    on a real row, delete it on a tombstone — the sink converges to the
+    exact component set under any batching; a tombstoned string KEY can
+    be legitimately reborn by a later batch (a new component opening in
+    that same second), which sequential upsert handles naturally.
+
+    100 TB state bound: with a watermark configured, components whose
+    ``last + gap`` precedes the watermark can never change again (any
+    event that could extend them is older than the watermark and gets
+    dropped upstream) — they are evicted from state WITHOUT a tombstone
+    (their last emission is already final). The registered finite-drain
+    query runs unwatermarked (exactness over eviction), so state holds
+    all of a user's sessions — at production scale the watermark keeps
+    it to the recent window per user.
     """
+    import bisect as _bisect
+    import math as _math
+
     rows: list[tuple[int, float]] = []
     for pdf in pdf_iter:
         # drop NULL event-times, matching batch session_window (which
@@ -286,43 +326,98 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
         rows.extend(zip(ts_us.tolist(), pdf["value"].tolist()))
     rows.sort()
     if state.exists:
-        start, last, n, s = state.get
+        starts, lasts, ns, sums = (list(c) for c in state.get)
     else:
-        start = None
-    closed: list[tuple[int, int, float]] = []
-    import math as _math
+        starts, lasts, ns, sums = [], [], [], []
+    old = dict(zip(starts, zip(lasts, ns, sums)))
+
+    def _add(sm: float, v) -> float:
+        if v is not None and not _math.isnan(float(v)):
+            return float(v) if _math.isnan(sm) else sm + float(v)
+        return sm
 
     for ts, v in rows:
-        if start is None:
-            start, last, n, s = ts, ts, 0, float("nan")
-        elif ts - last > _GAP_US:
-            closed.append((start, n, s))
-            start, last, n, s = ts, ts, 0, float("nan")
-        n += 1
-        # SQL-SUM semantics (r8 NULL probe): NULL values (NaN after
-        # Arrow) count in n_events but are skipped by the sum — a bare
-        # += would poison the session total. s starts as NaN ("no
-        # values yet", SQL's SUM-of-nothing-is-NULL) so an all-NULL
-        # session emits NULL, matching the oracle; NaN round-trips the
-        # Arrow state schema unchanged.
-        if v is not None and not _math.isnan(float(v)):
-            s = float(v) if _math.isnan(s) else s + float(v)
-        last = ts
-    out = list(closed)
-    if start is not None:
-        state.update((start, last, n, s))
-        out.append((start, n, s))
+        i = _bisect.bisect_right(starts, ts) - 1
+        j = i + 1
+        joins_left = i >= 0 and ts - lasts[i] <= _GAP_US
+        joins_right = j < len(starts) and starts[j] - ts <= _GAP_US
+        if joins_left and joins_right:
+            lasts[i] = max(lasts[i], lasts[j], ts)
+            ns[i] += ns[j] + 1
+            if _math.isnan(sums[i]):
+                sums[i] = sums[j]
+            elif not _math.isnan(sums[j]):
+                sums[i] += sums[j]
+            sums[i] = _add(sums[i], v)
+            del starts[j], lasts[j], ns[j], sums[j]
+        elif joins_left:
+            lasts[i] = max(lasts[i], ts)
+            ns[i] += 1
+            sums[i] = _add(sums[i], v)
+        elif joins_right:
+            starts[j] = ts
+            ns[j] += 1
+            sums[j] = _add(sums[j], v)
+        else:
+            starts.insert(j, ts)
+            lasts.insert(j, ts)
+            ns.insert(j, 1)
+            sums.insert(j, _add(float("nan"), v))
+
+    def _fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    out: list[tuple[int, float | None, float | None]] = []
+    for st, la, n, sm in zip(starts, lasts, ns, sums):
+        if old.get(st) != (la, n, sm):
+            out.append((st, n, sm))
+    live = set(starts)
+    # Tombstone key = the FORMATTED start (the sink's upsert key is the
+    # seconds-granularity string). A vanished µs-start whose string still
+    # has a live component — the absorbing component starts in the same
+    # second — must NOT retract it: the live component's own update this
+    # batch overwrites the key (r11 fuzz find, seed 9 of
+    # tests/test_sessionize_components.py).
+    live_strs = {_fmt(st) for st in starts}
+    tombstones = [
+        st for st in old if st not in live and _fmt(st) not in live_strs
+    ]
+
+    # production state bound: finalize-evict components sealed by the
+    # watermark (the unwatermarked registered finite drain takes the
+    # no-eviction branch — getCurrentWatermarkMs RAISES without a
+    # configured watermark rather than returning 0)
+    try:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+    except Exception:
+        wm_us = 0
+    if wm_us > 0:
+        keep = [k for k, la in enumerate(lasts) if la + _GAP_US >= wm_us]
+        starts = [starts[k] for k in keep]
+        lasts = [lasts[k] for k in keep]
+        ns = [ns[k] for k in keep]
+        sums = [sums[k] for k in keep]
+    if starts:
+        state.update((starts, lasts, ns, sums))
+    elif state.exists:
+        state.remove()
+
     yield pd.DataFrame(
         {
-            "user_id": [key[0]] * len(out),
-            "session_start": [
-                pd.Timestamp(st, unit="us").strftime("%Y-%m-%d %H:%M:%S") for st, _, _ in out
-            ],
-            "n_events": [n_ for _, n_, _ in out],
+            "user_id": pd.array(
+                [key[0]] * (len(out) + len(tombstones)), dtype="object"
+            ),
+            "session_start": [_fmt(st) for st, _, _ in out]
+            + [_fmt(st) for st in tombstones],
+            "n_events": pd.array(
+                [n_ for _, n_, _ in out] + [None] * len(tombstones),
+                dtype="object",
+            ),
             "total_value": [
                 None if _math.isnan(s_) else sql_round(s_)
                 for _, _, s_ in out
-            ],
+            ]
+            + [None] * len(tombstones),
         }
     )
 
@@ -355,12 +450,17 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot express once you need per-session custom logic (e.g. different
     emission policies for closed vs open sessions).
 
-    One open session = 4 scalars of state per user, independent of session
-    length; the finite stream drains in one batch, so closed + open
-    emissions together equal the batch gaps-and-islands answer — the same
-    oracle as ``events_sessionize``. At 100 TB: RocksDB state store, a
-    watermark-based GroupStateTimeout to flush idle users, and an upsert
-    sink keyed on (user_id, session_start).
+    State = the user's gap-component set (4 scalars per session,
+    independent of session LENGTH — never raw events), which makes the
+    operator order-independent across micro-batches: random batch splits
+    are in-contract since r11 (tests/test_stream_batching.py asserts
+    exactness under both ordered and random splits; superseded session
+    starts emit tombstone rows — NULL n_events — for the upsert sink).
+    On the single-batch drain each session emits exactly once, so the
+    sink equals the batch gaps-and-islands answer — the same oracle as
+    ``events_sessionize``. At 100 TB: RocksDB state store, a watermark
+    (see ``_sessionize_fn``'s eviction path) to seal and evict old
+    components, and an upsert sink keyed on (user_id, session_start).
     """
     ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
     sessions = ev.groupBy("user_id").applyInPandasWithState(

@@ -26,12 +26,14 @@ for exactly this gate) so every file is its own micro-batch. Then:
 - stream_stateful_counts (update mode): every micro-batch re-emits the
   running count, so the memory sink holds a HISTORY; the derived
   invariant is max-per-user == exact group count, any split shape.
-- stream_sessionize (update mode): closed sessions emit once, the open
-  session re-emits as it grows; last-emission-per-(user, session_start)
-  must equal the single-batch answer under event-time-ordered splits.
-  (Random splits are OUT of contract: the gap sessionizer — like any
-  event-time sessionizer without a reorder buffer — requires in-order
-  arrival across batches; within-batch disorder is handled by its sort.)
+- stream_sessionize (update mode): components re-emit as they change;
+  superseded session starts emit tombstones (NULL n_events). Since r11
+  the sessionizer's state is the full gap-component set (order-
+  independent insertion with interval merging), so BOTH ordered and
+  RANDOM splits are in-contract: max-n_events emission per (user,
+  session_start) group, minus tombstoned groups, must equal the
+  single-batch answer exactly. (The r10 version kept only the open
+  session and required in-order arrival across batches.)
 - stream_dedup_users (dropDuplicatesWithinWatermark): the WITHIN-
   WATERMARK contract allows re-emission of duplicates separated by more
   than the delay, so multi-batch output is legitimately a SUPERSET of
@@ -184,25 +186,50 @@ def test_stateful_counts_last_update_wins(spark, split, split_dirs,
     assert got == exact
 
 
-def test_sessionize_ordered_last_emission(spark, split_dirs, one_file_per_batch):
-    """Sessions spanning micro-batch boundaries must merge through state:
-    the last emission per (user_id, session_start) equals the single-batch
-    gaps-and-islands answer."""
+def _sessionize_final_state(sink: pd.DataFrame) -> set[tuple]:
+    """Reconstruct the final upsert-sink state from the update-mode
+    emission history by SEQUENTIAL upsert — the documented sink
+    contract (operator docstring): rows arrive in batch order (the
+    memory sink appends committed batches in sequence, and toPandas
+    preserves it); a real row updates its (user_id, session_start) key,
+    a tombstone (NULL n_events) deletes it. Within one batch a key never
+    receives both — the operator suppresses tombstones for start strings
+    that still have a live component — so intra-batch row order is
+    immaterial."""
+    state: dict[tuple, tuple] = {}
+    for r in sink.itertuples(index=False):
+        key = (r.user_id, r.session_start)
+        if pd.isna(r.n_events):
+            state.pop(key, None)
+        else:
+            state[key] = (r.n_events, r.total_value)
+    return {(u, s, n, tv) for (u, s), (n, tv) in state.items()}
+
+
+@pytest.mark.parametrize("split", _SPLITS + [("random", 7)],
+                         ids=["ordered3", "ordered5", "random4", "random7"])
+def test_sessionize_batching_exact(spark, split, split_dirs,
+                                   one_file_per_batch, tmp_path_factory):
+    """Sessions spanning micro-batch boundaries must merge through state
+    — in EVERY arrival order (r11: the component-set sessionizer made
+    random splits in-contract; VERDICT r10 #5). The reconstructed final
+    sink state equals the single-batch gaps-and-islands answer exactly,
+    tombstones excluded."""
     from dask_hivemetastore_spark import plans
 
+    if split not in split_dirs:
+        d = tmp_path_factory.mktemp(f"split_{split[0]}_{split[1]}b")
+        _split_events(str(d), split[1], split[0], seed=23)
+        split_dirs = {**split_dirs, split: str(d)}
+
     base = plans.QUERIES["stream_sessionize"](spark, SF_SMOKE).toPandas()
+    assert not base["n_events"].isna().any()  # single batch: no tombstones
     base_set = set(map(tuple, base.itertuples(index=False, name=None)))
 
     sink = plans.QUERIES["stream_sessionize"](
-        spark, split_dirs[("ordered", 5)]
+        spark, split_dirs[split]
     ).toPandas()
-    last = (
-        sink.sort_values("n_events", kind="stable")
-        .groupby(["user_id", "session_start"], as_index=False)
-        .last()
-    )[base.columns.tolist()]
-    got_set = set(map(tuple, last.itertuples(index=False, name=None)))
-    assert got_set == base_set
+    assert _sessionize_final_state(sink) == base_set, split
 
 
 @pytest.mark.parametrize("split", [("ordered", 5), ("random", 4)],

@@ -588,3 +588,99 @@ def test_stateful_checkpoint_recovery_restores_custom_state(spark, tmp_path):
     # state restored: first session ends at n=3/6.0 (NOT a fresh n=1 at
     # +15min, which is what a lost-state restart would emit)
     assert final == {(1, s0): (3, 6.0), (1, s1): (1, 4.0)}, final
+
+
+def test_sessionize_watermark_evicts_sealed_components(spark, tmp_path):
+    """r11 eviction path on the REAL engine (the FakeState unit test can't
+    prove ``state.getCurrentWatermarkMs()`` wiring): with a 30-min
+    watermark, a component whose last+gap precedes the watermark is
+    sealed — removed from the state store WITHOUT a tombstone — and a
+    late event that could have extended it is dropped upstream by the
+    watermark filter, so the sealed emission stands as final. Eviction
+    is verified by reading the state store back (the I10 source): the
+    user's state must hold ONLY the young component."""
+    import os as _os
+
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from dask_hivemetastore_spark.streaming.pipeline import (
+        _SESS_OUT,
+        _SESS_STATE,
+        _sessionize_fn,
+    )
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    t0 = 1_600_000_000_000_000
+    m = 60 * 1_000_000
+    batches = [
+        # old session (t0, t0+5m) + a far-future clock event pushing the
+        # watermark to t0+5h-30m at the NEXT batch
+        [(1, t0, 1.0), (1, t0 + 5 * m, 2.0), (2, t0 + 300 * m, 9.0)],
+        # young user-1 session; invoking user 1 runs its eviction sweep
+        [(1, t0 + 300 * m, 3.0)],
+        # LATE event inside the old session's gap window: upstream
+        # watermark filter must drop it (old session stays n=2)
+        [(1, t0 + 10 * m, 7.0)],
+    ]
+    for seq, rows in enumerate(batches, start=1):
+        pdf = pd.DataFrame(
+            {"user_id": [r[0] for r in rows], "ts_us": [r[1] for r in rows],
+             "value": [r[2] for r in rows]}
+        )
+        p = str(src / f"b{seq}.parquet")
+        pdf.to_parquet(p)
+        _os.utime(p, (1_700_000_000 + seq * 60,) * 2)
+
+    schema = StructType([
+        StructField("user_id", LongType()), StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    ckpt = str(tmp_path / "wm_ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", F.timestamp_micros("ts_us").alias("ts"), "value")
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("test_sess_wm")
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    sink = spark.table("test_sess_wm").toPandas()
+    u1 = sink[sink["user_id"] == 1]
+    # no tombstones anywhere: eviction is silent, nothing superseded
+    assert not sink["n_events"].isna().any()
+    s_old = pd.Timestamp(t0, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    s_new = pd.Timestamp(t0 + 300 * m, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    final = {}
+    for r in u1.itertuples(index=False):
+        final[r.session_start] = (r.n_events, r.total_value)
+    # old session sealed at n=2 (the late 7.0 event was dropped upstream)
+    assert final[s_old] == (2, 3.0)
+    assert final[s_new] == (1, 3.0)
+
+    # the state store holds ONLY the young component for user 1
+    state = (
+        spark.read.format("statestore").load(ckpt)
+        .select("key.user_id", "value.groupState.starts")
+        .collect()
+    )
+    by_user = {r.user_id: list(r.starts) for r in state}
+    assert by_user[1] == [t0 + 300 * m], by_user
