@@ -34,6 +34,18 @@ BASELINE_KEY_MAP = {
 }
 
 RUNS = 3
+# Sub-second cells sit in the box's ±10-30% noise regime (PERF.md r10:
+# same-day solo controls swung 4.378->4.812 s on unchanged code, and the
+# knn cell alone read 0.31-0.39 s across minutes). For those, best-of-3
+# is a 3-draw sample of a noisy tail — one bad day pushes a 0.22 s
+# baseline cell over the 2x gate with zero code change. Queries whose
+# best is still under EXTRA_RUNS_BELOW_SEC after the first 3 runs get
+# EXTRA_RUNS more draws; best-of-N converges to the true floor and the
+# added cost is bounded by N x 0.5 s. (The structural protection against
+# real regressions is the shuffle/scan-fingerprint gate, which is
+# wall-clock-immune; this only de-noises the REPORTED number.)
+EXTRA_RUNS_BELOW_SEC = 0.5
+EXTRA_RUNS = 4
 
 
 def main() -> None:
@@ -67,6 +79,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
+        if best < EXTRA_RUNS_BELOW_SEC:
+            for _ in range(EXTRA_RUNS):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
         results[bench_key] = round(best, 4)
 
     out = {

@@ -22,7 +22,7 @@ EMB_DIM = 64
 #: source of truth next to finite_vectors itself.
 _ELIG = similarity.ORACLE_FINITE.format(v="embedding", d=EMB_DIM)
 
-from .registry import query, scratch_dir
+from .registry import query, scratch_dir, verify_enabled
 
 # ---------------------------------------------------------------- K1: exact
 
@@ -456,7 +456,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: per-shard sketches persist like the HLL sketches and any
     rollup is a cell-wise merge with no rescan; eps sizes the memory
-    (w = ⌈e/eps⌉ counters/row) independent of corpus size."""
+    (w = ⌈e/eps⌉ counters/row) independent of corpus size.
+
+    The eps·N bound verdict (and its N-total scan) is gated by
+    ``registry.verify_enabled()`` (default ON — the driver contract;
+    ``SPARK_GRAFT_VERIFY=0`` serves sketch point-queries only; r11 #7)."""
 
     docs = load_table(spark, sf_dir, "documents")
     words = docs.where(F.col("text").isNotNull()).select(
@@ -469,10 +473,18 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     top_rows = top.collect()  # 10 rows — bounded driver work
-    n_total = words.count()
     eps = 0.0001
     sketch = text.cms_word_sketch(docs, eps=eps, confidence=0.99)
     est = text.cms_estimate_counts(spark, sketch, [r.word for r in top_rows])
+    if not verify_enabled():
+        # serving path (r11 #7): candidate list + sketch point-queries
+        # only — the N-total scan exists solely for the eps·N bound
+        # verdict; cms_ok NULL, schema unchanged
+        return spark.createDataFrame(
+            [(r.word, r.n_exact, None) for r in top_rows],
+            "word string, n_exact bigint, cms_ok int",
+        )
+    n_total = words.count()
     bound = eps * n_total
     return spark.createDataFrame(
         [

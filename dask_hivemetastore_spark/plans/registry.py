@@ -53,6 +53,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def verify_enabled() -> bool:
+    """Whether the sketch/sample keys run their exact-twin VERDICT pass
+    (r11, VERDICT r10 #7).
+
+    The r10 derived oracles work by computing an exact counterpart
+    beside each sketch (count_distinct beside HLL, a conditional-
+    aggregate rank pass beside the quantile sketch, population count +
+    anti-join beside the samplers) so the driver can hash-check real
+    columns and pin INT verdicts. That twin exists for CERTIFICATION;
+    at 100 TB it is the difference between a sketch query (one scan,
+    fixed-size state) and a second exact scan. Default ON — the
+    registered contract and every driver row are unchanged — and the
+    perf sweep / A/B harness (scripts/ab_verify_overhead.py) flips
+    ``SPARK_GRAFT_VERIFY=0`` to measure the sketch-only serving cost.
+    With the flag off the verdict/exact columns emit NULL (same schema,
+    no oracle validity)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_VERIFY", "1") != "0"
+
+
 _SCRATCH_BASE: str | None = None
 
 

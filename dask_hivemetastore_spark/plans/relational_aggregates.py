@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import query, scratch_dir
+from .registry import query, scratch_dir, verify_enabled
 
 
 @query(
@@ -44,11 +44,23 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe as ``hll_sketch_merge``): the raw estimate is engine-specific,
     but rsd=0.01 bounds the relative error; the query emits the exact
     count (Spark-side) plus a within-5×rsd INT verdict the oracle pins
-    to 1, so an estimator regression turns a driver row red."""
+    to 1, so an estimator regression turns a driver row red.
+
+    The exact-twin verdict pass is gated by ``registry.verify_enabled()``
+    (default ON — the driver contract; ``SPARK_GRAFT_VERIFY=0`` serves the
+    sketch-only path with NULL verdict columns; r11 #7)."""
     ev = load_table(spark, sf_dir, "events")
     est = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("__est")
     )
+    if not verify_enabled():
+        # sketch-only serving path (r11 #7): one scan, no exact twin —
+        # verdict columns NULL, schema unchanged
+        return est.select(
+            "event_type",
+            F.lit(None).cast("long").alias("n_exact"),
+            F.lit(None).cast("int").alias("within_rsd"),
+        )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
     )
@@ -577,7 +589,11 @@ def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the real count column and pins the INT verdicts
     to 1 — a sketch regression turns a driver row red instead of staying
     invisible. (The exact twin `quantile_value` hash-checks quantile
-    VALUES.)"""
+    VALUES.)
+
+    The exact-twin verdict pass is gated by ``registry.verify_enabled()``
+    (default ON — the driver contract; ``SPARK_GRAFT_VERIFY=0`` serves the
+    sketch-only path with NULL verdict columns; r11 #7)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
@@ -587,6 +603,15 @@ def quantile_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("__m_apx"),
         F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("__p_apx"),
     )
+    if not verify_enabled():
+        # sketch-only serving path (r11 #7): one scan, no rank-verdict
+        # second pass — verdicts NULL, schema unchanged
+        return apx.select(
+            "l_returnflag",
+            "n_rows",
+            F.lit(None).cast("int").alias("median_in_bounds"),
+            F.lit(None).cast("int").alias("p95_in_bounds"),
+        )
     # eqNullSafe: a NULL group key is a real group in both engines; a
     # bare equi-join would silently drop it from the verdict pass
     j = li.join(
@@ -653,7 +678,11 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the oracle's ``COUNT(DISTINCT CAST(ts AS DATE))`` skips NULL,
     so the oracle adds ``CASE WHEN COUNT(CASE WHEN ts IS NULL ...)>0 THEN
     1`` to count that sketch. Pinned by the hostile-events replay (its
-    corpus carries a NULL event time)."""
+    corpus carries a NULL event time).
+
+    The exact-twin verdict pass is gated by ``registry.verify_enabled()``
+    (default ON — the driver contract; ``SPARK_GRAFT_VERIFY=0`` serves the
+    sketch-only path with NULL verdict columns; r11 #7)."""
 
     ev = load_table(spark, sf_dir, "events")
     out = scratch_dir("hll_") + "/sketches"
@@ -666,6 +695,16 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est"),
         F.count("*").alias("n_sketches_merged"),
     )
+    if not verify_enabled():
+        # sketch-only serving path (r11 #7): union the stored sketches,
+        # never rescan raw events for an exact twin — exactly the 100 TB
+        # rollup shape this key exists to demonstrate
+        return merged.select(
+            "event_type",
+            F.lit(None).cast("long").alias("n_exact"),
+            "n_sketches_merged",
+            F.lit(None).cast("int").alias("within_tol"),
+        )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
     )

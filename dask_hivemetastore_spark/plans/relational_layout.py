@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .registry import query, scratch_dir
+from .registry import query, scratch_dir, verify_enabled
 
 
 @query(
@@ -30,12 +30,24 @@ def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     must EXIST in the population (anti-join = 0: no invented rows) and
     the sample size must sit inside a 6σ binomial window around n·p
     (a seeded sampler grossly off its fraction is broken). Both emit as
-    INT verdicts beside the real population count the oracle recomputes."""
+    INT verdicts beside the real population count the oracle recomputes.
+
+    The exact-twin verdict pass is gated by ``registry.verify_enabled()``
+    (default ON — the driver contract; ``SPARK_GRAFT_VERIFY=0`` serves the
+    sketch-only path with NULL verdict columns; r11 #7)."""
     li = load_table(spark, sf_dir, "lineitem")
     keys = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     sampled = li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
+    if not verify_enabled():
+        # serving path (r11 #7): just the map-side Bernoulli filter —
+        # no population rescan, no anti-join; verdicts NULL
+        return sampled.agg(F.count("*").alias("__n_smp")).select(
+            F.lit(None).cast("long").alias("n_population"),
+            F.lit(None).cast("int").alias("subset_ok"),
+            F.lit(None).cast("int").alias("count_in_ci"),
+        )
     n_pop = F.first("__n_pop")
     n_smp = F.first("__n_smp")
     sigma = F.sqrt(n_pop * 0.1 * 0.9)
@@ -75,7 +87,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     DERIVED full oracle (r10): per stratum, the real population count
     (oracle-recomputable) plus an INT verdict that the per-stratum
     sample size sits inside a 6σ binomial window around its declared
-    fraction — a sampler ignoring its strata turns the row red."""
+    fraction — a sampler ignoring its strata turns the row red.
+
+    The exact-twin verdict pass is gated by ``registry.verify_enabled()``
+    (default ON — the driver contract; ``SPARK_GRAFT_VERIFY=0`` serves the
+    sketch-only path with NULL verdict columns; r11 #7)."""
     fracs = {"A": 0.05, "N": 0.01, "R": 0.05}
     li = load_table(spark, sf_dir, "lineitem")
     pop = (
@@ -88,6 +104,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("__n_smp"))
     )
+    if not verify_enabled():
+        # serving path (r11 #7): sampleBy filter + per-stratum count
+        # only — no population pass; verdicts NULL
+        return smp.select(
+            "l_returnflag",
+            F.lit(None).cast("long").alias("n_stratum"),
+            F.lit(None).cast("int").alias("count_in_ci"),
+        )
     frac = F.element_at(
         F.create_map(*[F.lit(x) for kv in fracs.items() for x in kv]),
         F.col("l_returnflag"),
