@@ -52,6 +52,8 @@ def main() -> int:
     ap.add_argument("--boilerplate", type=int, default=200)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--rocksdb", action="store_true")
+    ap.add_argument("--driver-mem", default=None)
     args = ap.parse_args()
 
     from dask_hivemetastore_spark.operators.dedup import (
@@ -71,10 +73,20 @@ def main() -> int:
     # snapshots) — the default ~1g driver heap OOMs. Provision for the
     # harness's scale up front; at production scale this is executor
     # memory × shard count, or the RocksDB provider (disk-backed state).
+    # --rocksdb (r11) runs that production path: state spills to local
+    # RocksDB instances instead of the JVM heap, so the heap need drops
+    # from 24g to the sink/shuffle working set (--driver-mem 8g passes).
     spark = get_spark(
         app_name="stress_stream_dedup",
-        extra_confs={"spark.driver.memory": "24g"},
+        extra_confs={"spark.driver.memory": args.driver_mem
+                     or ("8g" if args.rocksdb else "24g")},
     )
+    if args.rocksdb:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     t_all = time.time()
 
     # ------------------------------------------------ corpus construction
@@ -253,6 +265,7 @@ def main() -> int:
 
     out = {
         "metric": "stress_stream_dedup",
+        "provider": "rocksdb" if args.rocksdb else "hdfs",
         "reps": reps,
         "n_docs": n_docs,
         "cap": args.cap,
