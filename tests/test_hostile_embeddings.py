@@ -197,3 +197,21 @@ def test_rows_only_ann_paths_survive_corruption(spark, hostile_emb_dir):
     lsh = similarity.lsh_topk(emb, query_id=0, k=10, bits=8, dim=DIM).collect()
     assert 0 < len(lsh) <= 10
     assert all(np.isfinite(r.cosine) for r in lsh)
+
+
+def test_arrow_knn_variant_identical_on_hostile_corpus(spark,
+                                                       hostile_emb_dir):
+    """The pre-armed Arrow/NumPy brute-force variant (r11) must equal the
+    JVM path row-for-row ON THE POISONED CORPUS too: its eligibility
+    filter runs before np.stack (a ragged/NaN batch would crash or poison
+    the GEMV), and the exact rescore pins values. This is the fallback's
+    license to ever be flipped in."""
+    from dask_hivemetastore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
+    jvm = [(r.vec_id, r.label, r.cosine) for r in
+           similarity.knn_topk(emb, query_id=0, k=10, dim=DIM).collect()]
+    arrow = [(r.vec_id, r.label, r.cosine) for r in
+             similarity.knn_topk_arrow(emb, query_id=0, k=10,
+                                       dim=DIM).collect()]
+    assert jvm == arrow
