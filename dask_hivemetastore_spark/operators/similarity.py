@@ -583,6 +583,34 @@ def ivf_build_index(emb: DataFrame, index_path: str, n_cells: int = 16,
     return C
 
 
+def ivf_append(new_emb: DataFrame, index_path: str, centroids: np.ndarray,
+               vec_col: str = "embedding", dim: int | None = None) -> None:
+    """Incremental IVF maintenance (r11): assign ONLY the arriving batch
+    to the EXISTING centroids and append its rows into the
+    hive-partitioned cell layout — no retrain, no rewrite of resident
+    cells.
+
+    This is how an ANN index keeps up with ingest at 100 TB: the coarse
+    quantizer is a tiny model trained once (quality saturates on a
+    bounded sample — :func:`ivf_train_centroids`), so a new batch costs
+    one |batch|-sized assignment pass plus an append of |batch| rows
+    spread over the cell directories. Because assignment is a pure
+    function of (vector, centroids), an index grown by appends is
+    CONTENT-IDENTICAL to a one-shot :func:`ivf_build_index` over the
+    union (pinned in tests/test_layouts.py), and probes are oblivious
+    to how the index was grown — the same partition-pruned scan serves
+    both. Centroid DRIFT is the real-world caveat: when the embedding
+    distribution shifts, recall decays and the answer is a periodic
+    retrain+rebuild, not per-batch retraining (which would invalidate
+    every resident cell assignment). Appends also accumulate small files
+    per cell — the maintenance pair is the registered
+    ``compact_partition_scoped`` pattern applied per hot cell.
+    """
+    ivf_assign_full(new_emb, centroids, vec_col, dim=dim).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(index_path)
+
+
 def ivf_probe_indexed(spark, index_path: str, centroids: np.ndarray,
                       query_vec: np.ndarray, k: int = 10, nprobe: int = 8,
                       id_col: str = "vec_id", vec_col: str = "embedding",

@@ -66,10 +66,13 @@ from .. import streaming  # noqa: F401,E402
 # engine changed this round (hll_sketch_merge NULL-ts oracle,
 # xml_parse_orders \x00 class, stream_sessionize component-set state,
 # the six verify_enabled()-gated sketch/sample keys, knn_pq_topk
-# encode path); block 2 = the ENTIRE r6-vintage drift tail (25 keys,
+# encode path) plus the round's ONE new key (knn_ivf_append_probe —
+# incremental materialized-IVF ingest, policy #2); block 2 = the
+# ENTIRE r6-vintage drift tail (25 keys,
 # VERDICT r10 next #1) — after r11 no driver row predates r7; block 3
-# = the 16 alphabetically-first r7-vintage keys (28 r7 stragglers
-# remain for r12: intersect_nations, join_indicator,
+# = the 15 alphabetically-first r7-vintage keys (29 r7 stragglers
+# remain for r12: full_outer_nation_presence — displaced by the
+# round's new knn_ivf_append_probe key — intersect_nations, join_indicator,
 # join_orders_customer, left_join_customer_orders, null_handling,
 # q10/q14/q15/q17/q18/q19/q1/q22/q3/q4/q5/q6/q7,
 # rollup_nation_region, scan_project_filter, semi_join_customers,
@@ -99,6 +102,9 @@ _CERTIFICATION_PRIORITY = [
     "sample_fraction",
     "sample_stratified",
     "knn_pq_topk",
+    # --- plus the round's one NEW key (policy #2): the incremental
+    # --- materialized-IVF ingest path. ---
+    "knn_ivf_append_probe",
     # --- r11 block 2: the ENTIRE r6-vintage drift tail (VERDICT r10
     # --- missing #1 / next #1 — the 25 keys the r10 block-3 comment
     # --- named). After r11 no driver row predates r7. ---
@@ -127,7 +133,7 @@ _CERTIFICATION_PRIORITY = [
     "weighted_sample_docs",
     "window_price_band",
     "zorder_layout_roundtrip",
-    # --- r11 block 3: drift re-certification, the 16 alphabetically-
+    # --- r11 block 3: drift re-certification, the 15 alphabetically-
     # --- first r7-vintage keys (their newest driver rows are now 4
     # --- rounds old; the remaining 28 are listed in the history note
     # --- above for r12). dedup_near doubles as the key whose scan-
@@ -147,7 +153,6 @@ _CERTIFICATION_PRIORITY = [
     "embedding_group_centroid",
     "except_returned_items",
     "filter_in_list",
-    "full_outer_nation_presence",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -711,6 +711,67 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivf_append_probe",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 ingestion path (r11): the MATERIALIZED IVF index grown
+    INCREMENTALLY — initial load (even vec_ids) written hive-partitioned
+    by cell, then two arriving batches (odd vec_ids split by %4)
+    appended via :func:`..operators.similarity.ivf_append` with NO
+    retrain — assignment against the fixed coarse quantizer is a pure
+    function, so the grown index is content-identical to a one-shot
+    build (pinned in tests/test_layouts.py) and the probe is oblivious
+    to ingest history. The probe itself is the at-scale shape: ``cell IN
+    (probes)`` is a partition-key predicate, so only the 8 probed
+    directories are listed (plan-asserted).
+
+    FULL brute-force oracle, same argument as ``knn_ivf_topk``: the
+    centroids are THE SAME cached model (identical cache key:
+    n_cells=16, seed 42, full-corpus sample), so the probed candidate
+    set is identical and the exact dot decides — fixture recall 1.0,
+    deterministic. At 100 TB this key is the one that matters: a daily
+    embedding batch costs one |batch| assignment pass + an append,
+    never a corpus rewrite; drift is handled by periodic retrain, small
+    files by per-cell compaction (``compact_partition_scoped``)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = scratch_dir("ivfappend_") + "/index"
+    C = similarity.ivf_train_centroids(
+        emb, n_cells=16, cache_key=sf_dir, dim=EMB_DIM
+    )
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    similarity.ivf_assign_full(base, C, dim=EMB_DIM).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(idx)
+    for parity in (1, 3):
+        similarity.ivf_append(
+            emb.where(F.col("vec_id") % 4 == parity), idx, C, dim=EMB_DIM
+        )
+    qrow = (
+        similarity.finite_vectors(emb, "embedding", EMB_DIM)
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    qv = np.asarray(qrow[0], dtype=np.float64)  # 1-row fetch, bounded
+    return similarity.ivf_probe_indexed(
+        spark, idx, C, qv, k=10, nprobe=8, exclude_id=0
+    )
+
+
+@query(
     "dedup_embedding_components",
     oracle=f"""
     WITH RECURSIVE

@@ -127,3 +127,52 @@ def test_streaming_reader_identical_across_layouts(layout_dirs, spark):
         out[k] = sorted(batch.collect(), key=lambda r: r.event_id)
     assert out["micros"] == out["nanos"]
     assert len(out["micros"]) == N_ROWS
+
+
+def test_ivf_append_content_identical_to_rebuild(spark, tmp_path):
+    """r11 incremental IVF maintenance: an index grown by ivf_append
+    batches against FIXED centroids must be content-identical (every
+    row, including its cell assignment) to a one-shot ivf_build_index
+    over the union — assignment is a pure function of (vector,
+    centroids), so ingest history cannot leak into the index. Also pins
+    that the appended layout stays partition-prunable: the probe scan
+    lists only the probed cell directories."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign_full,
+        ivf_build_index,
+        ivf_probe_indexed,
+        ivf_train_centroids,
+    )
+    from pyspark.sql import functions as F
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    C = ivf_train_centroids(emb, n_cells=8, cache_key=str(tmp_path))
+
+    grown = str(tmp_path / "grown")
+    ivf_assign_full(emb.where(F.col("vec_id") % 2 == 0), C).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(grown)
+    for parity in (1, 3):
+        ivf_append(emb.where(F.col("vec_id") % 4 == parity), grown, C)
+
+    oneshot = str(tmp_path / "oneshot")
+    ivf_build_index(emb, oneshot, n_cells=8, cache_key=str(tmp_path))
+
+    a = spark.read.parquet(grown).select("vec_id", "cell")
+    b = spark.read.parquet(oneshot).select("vec_id", "cell")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == b.count()
+
+    qv = emb.where("vec_id = 0").select("embedding").first()[0]
+    top = ivf_probe_indexed(spark, grown, C, qv, k=5, nprobe=3, exclude_id=0)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in part_filters, plan
+    ref = ivf_probe_indexed(spark, oneshot, C, qv, k=5, nprobe=3,
+                            exclude_id=0)
+    assert [tuple(r) for r in top.collect()] == [tuple(r) for r in ref.collect()]
