@@ -183,10 +183,53 @@ def main() -> None:
     # recall floor on the clean subset: replicated ids make id-recall
     # tie-arbitrary, so compare the top-k COSINE multiset instead
     results["recall_floor_clean"] = probe16_scores == brute_scores
+
+    # --- r11 incremental-append arm: maintenance cost of ingest.
+    # Resident index = 90% of the corpus written once; the arriving 10%
+    # batch (with its share of the corrupt block — append-time exclusion
+    # must hold too) is assigned against the SAME centroids and appended.
+    # Invariants: grown index content-identical to the one-shot build,
+    # and the nprobe=16 probe answer identical. The measured point is
+    # append_batch_sec vs index_build_sec — what a daily embedding batch
+    # costs against a corpus rewrite.
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign_full,
+    )
+
+    grown_path = f"{base}/ivf_grown"
+    resident = flat.where(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = flat.where(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    ivf_assign_full(resident, C).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(grown_path)
+    t0 = time.time()
+    ivf_append(batch, grown_path, C)
+    results["append_batch_sec"] = round(time.time() - t0, 2)
+    results["append_vs_rebuild_speedup"] = round(
+        results["index_build_sec"] / max(results["append_batch_sec"], 1e-9), 1
+    )
+    g = spark.read.parquet(grown_path).select("vec_id", "cell")
+    o = spark.read.parquet(index_path).select("vec_id", "cell")
+    results["append_identical_to_rebuild"] = bool(
+        g.count() == n_indexed
+        and g.exceptAll(o).count() == 0
+        and o.exceptAll(g).count() == 0
+    )
+    ap_scores = sorted(
+        round(r.cosine, 6)
+        for r in ivf_probe_indexed(
+            spark, grown_path, C, qv, k=10, nprobe=16, exclude_id=0
+        ).collect()
+    )
+    results["append_probe_equals_oneshot"] = ap_scores == probe16_scores
+
     print(json.dumps(results))
     ok = (results["accounting_ok"] and results["brute_corrupt_free"]
           and results["probes_corrupt_free"]
-          and results["recall_floor_clean"])
+          and results["recall_floor_clean"]
+          and results["append_identical_to_rebuild"]
+          and results["append_probe_equals_oneshot"])
     sys.exit(0 if ok else 1)
 
 
