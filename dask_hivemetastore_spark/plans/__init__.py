@@ -66,13 +66,14 @@ from .. import streaming  # noqa: F401,E402
 # engine changed this round (hll_sketch_merge NULL-ts oracle,
 # xml_parse_orders \x00 class, stream_sessionize component-set state,
 # the six verify_enabled()-gated sketch/sample keys, knn_pq_topk
-# encode path) plus the round's ONE new key (knn_ivf_append_probe —
-# incremental materialized-IVF ingest, policy #2); block 2 = the
+# encode path) plus the round's TWO new keys (knn_ivf_append_probe and
+# stream_ivf_ingest — incremental materialized-IVF ingest, batch and
+# streaming; policy #2); block 2 = the
 # ENTIRE r6-vintage drift tail (25 keys,
 # VERDICT r10 next #1) — after r11 no driver row predates r7; block 3
-# = the 15 alphabetically-first r7-vintage keys (29 r7 stragglers
-# remain for r12: full_outer_nation_presence — displaced by the
-# round's new knn_ivf_append_probe key — intersect_nations, join_indicator,
+# = the 14 alphabetically-first r7-vintage keys (30 r7 stragglers
+# remain for r12: filter_in_list and full_outer_nation_presence —
+# displaced by the round's two new keys — intersect_nations, join_indicator,
 # join_orders_customer, left_join_customer_orders, null_handling,
 # q10/q14/q15/q17/q18/q19/q1/q22/q3/q4/q5/q6/q7,
 # rollup_nation_region, scan_project_filter, semi_join_customers,
@@ -102,9 +103,10 @@ _CERTIFICATION_PRIORITY = [
     "sample_fraction",
     "sample_stratified",
     "knn_pq_topk",
-    # --- plus the round's one NEW key (policy #2): the incremental
-    # --- materialized-IVF ingest path. ---
+    # --- plus the round's TWO new keys (policy #2): the incremental
+    # --- materialized-IVF ingest path, batch and streaming. ---
     "knn_ivf_append_probe",
+    "stream_ivf_ingest",
     # --- r11 block 2: the ENTIRE r6-vintage drift tail (VERDICT r10
     # --- missing #1 / next #1 — the 25 keys the r10 block-3 comment
     # --- named). After r11 no driver row predates r7. ---
@@ -133,9 +135,9 @@ _CERTIFICATION_PRIORITY = [
     "weighted_sample_docs",
     "window_price_band",
     "zorder_layout_roundtrip",
-    # --- r11 block 3: drift re-certification, the 15 alphabetically-
+    # --- r11 block 3: drift re-certification, the 14 alphabetically-
     # --- first r7-vintage keys (their newest driver rows are now 4
-    # --- rounds old; the remaining 28 are listed in the history note
+    # --- rounds old; the remaining 30 are listed in the history note
     # --- above for r12). dedup_near doubles as the key whose scan-
     # --- fingerprint blindness r11 closed. ---
     "agg_collect",
@@ -152,7 +154,6 @@ _CERTIFICATION_PRIORITY = [
     "distinct_users",
     "embedding_group_centroid",
     "except_returned_items",
-    "filter_in_list",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

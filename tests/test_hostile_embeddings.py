@@ -215,3 +215,32 @@ def test_arrow_knn_variant_identical_on_hostile_corpus(spark,
              similarity.knn_topk_arrow(emb, query_id=0, k=10,
                                        dim=DIM).collect()]
     assert jvm == arrow
+
+
+def test_ivf_ingest_keys_on_hostile_corpus_properties(spark,
+                                                      hostile_emb_dir):
+    """The two r11 IVF ingest keys (knn_ivf_append_probe,
+    stream_ivf_ingest) on the poisoned corpus — same contract as
+    knn_ivf_topk's property test (full-oracle replay is excluded for the
+    same retrained-quantizer recall reason, documented above): the
+    append/stream paths must RUN, exclude every corrupt id AT APPEND
+    TIME, return only finite cosines, and keep useful recall vs the
+    exact brute top-10. They must also agree with EACH OTHER exactly —
+    same centroids, same index content, same probe."""
+    from dask_hivemetastore_spark import plans
+    from dask_hivemetastore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
+    brute = [r.vec_id for r in similarity.knn_topk(
+        emb, query_id=0, k=10, dim=DIM).collect()]
+    corrupt_ids = {10, 11, 12, 20, 21, 22, 31, 32}
+    results = {}
+    for key in ("knn_ivf_append_probe", "stream_ivf_ingest"):
+        rows = plans.QUERIES[key](spark, hostile_emb_dir).collect()
+        assert 0 < len(rows) <= 10, key
+        assert all(np.isfinite(r.cosine) for r in rows), key
+        assert not corrupt_ids & {r.vec_id for r in rows}, key
+        recall = len({r.vec_id for r in rows} & set(brute)) / 10
+        assert recall >= 0.5, (key, recall)
+        results[key] = [(r.vec_id, r.label, r.cosine) for r in rows]
+    assert results["knn_ivf_append_probe"] == results["stream_ivf_ingest"]

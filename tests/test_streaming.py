@@ -684,3 +684,80 @@ def test_sessionize_watermark_evicts_sealed_components(spark, tmp_path):
     )
     by_user = {r.user_id: list(r.starts) for r in state}
     assert by_user[1] == [t0 + 300 * m], by_user
+
+
+def test_stream_ivf_ingest_batching_invariant_with_fixed_centroids(
+        spark, tmp_path):
+    """The streaming ANN ingest's split-invariance claim, pinned at the
+    honest level: with the coarse quantizer FIXED (the production shape —
+    centroids are a trained artifact, not re-derived per arrival), a
+    foreachBatch ivf_append drain over a 3-file embedding stream yields
+    an index content-identical to a one-shot assignment write, and the
+    pruned probe answers identically. (The registered key retrains
+    centroids from its sf_dir; k-means|| init is data-order-sensitive, so
+    a RESHUFFLED corpus may train different cells — that is centroid
+    drift, handled by retrain policy, not an append bug.)"""
+    import os as _os
+
+    import numpy as _np
+    import pandas as _pd
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign_full,
+        ivf_probe_indexed,
+        ivf_train_centroids,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    C = ivf_train_centroids(emb, n_cells=8, cache_key=str(tmp_path))
+
+    src = tmp_path / "emb_stream"
+    ed = src / "embeddings.parquet"
+    ed.mkdir(parents=True)
+    pdf = _pd.read_parquet(_os.path.join(SF_SMOKE, "embeddings.parquet"))
+    n = len(pdf)
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        p = str(ed / f"part-{i}.parquet")
+        pdf.iloc[lo:hi].to_parquet(p, index=False)
+        _os.utime(p, (1_000_000_000 + 60 * i,) * 2)
+
+    idx = str(tmp_path / "grown_idx")
+    schema = spark.read.parquet(str(ed)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: ivf_append(bdf, idx, C)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    oneshot = str(tmp_path / "oneshot_idx")
+    ivf_assign_full(emb, C).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(oneshot)
+
+    a = spark.read.parquet(idx).select("vec_id", "cell")
+    b = spark.read.parquet(oneshot).select("vec_id", "cell")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    qv = _np.asarray(
+        emb.where("vec_id = 0").select("embedding").first()[0],
+        dtype=_np.float64,
+    )
+    got = [tuple(r) for r in ivf_probe_indexed(
+        spark, idx, C, qv, k=5, nprobe=3, exclude_id=0).collect()]
+    ref = [tuple(r) for r in ivf_probe_indexed(
+        spark, oneshot, C, qv, k=5, nprobe=3, exclude_id=0).collect()]
+    assert got == ref
