@@ -176,3 +176,62 @@ def test_ivf_append_content_identical_to_rebuild(spark, tmp_path):
     ref = ivf_probe_indexed(spark, oneshot, C, qv, k=5, nprobe=3,
                             exclude_id=0)
     assert [tuple(r) for r in top.collect()] == [tuple(r) for r in ref.collect()]
+
+
+def test_ivf_hot_cell_compaction_preserves_probe(spark, tmp_path):
+    """The maintenance pair the r11 append docstrings promise: appends
+    accumulate small files per cell directory, and the partition-scoped
+    compactor (OPTIMIZE ... WHERE cell=k) must rewrite a hot cell
+    in-place — fewer files, byte-identical rows — without touching
+    other cells or changing any probe answer."""
+    import os as _os
+
+    import numpy as _np
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.layout import compact_partitions
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_append,
+        ivf_assign_full,
+        ivf_probe_indexed,
+        ivf_train_centroids,
+    )
+    from pyspark.sql import functions as F
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    C = ivf_train_centroids(emb, n_cells=4, cache_key=str(tmp_path))
+    idx = str(tmp_path / "hot_idx")
+    ivf_assign_full(emb.where(F.col("vec_id") % 4 == 0), C).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(idx)
+    for parity in (1, 2, 3):  # three appends -> several files per cell
+        ivf_append(emb.where(F.col("vec_id") % 4 == parity), idx, C)
+
+    qv = _np.asarray(
+        emb.where("vec_id = 0").select("embedding").first()[0],
+        dtype=_np.float64,
+    )
+    hot = int((C @ qv).argmax())
+    before = [tuple(r) for r in ivf_probe_indexed(
+        spark, idx, C, qv, k=5, nprobe=2, exclude_id=0).collect()]
+
+    def _nfiles(cell: int) -> int:
+        d = _os.path.join(idx, f"cell={cell}")
+        return len([f for f in _os.listdir(d) if f.endswith(".parquet")])
+
+    n_before = _nfiles(hot)
+    assert n_before >= 3  # the appends really fragmented the hot cell
+    other = next(c for c in range(4) if c != hot and
+                 _os.path.isdir(_os.path.join(idx, f"cell={c}")))
+    other_files = sorted(_os.listdir(_os.path.join(idx, f"cell={other}")))
+
+    stats = compact_partitions(spark, idx, {"cell": hot})
+    assert stats["n_files_out"] < stats["n_files_in"] == n_before
+
+    # untouched sibling cell keeps its exact file listing
+    assert sorted(_os.listdir(_os.path.join(idx, f"cell={other}"))) \
+        == other_files
+    after = [tuple(r) for r in ivf_probe_indexed(
+        spark, idx, C, qv, k=5, nprobe=2, exclude_id=0).collect()]
+    assert after == before
