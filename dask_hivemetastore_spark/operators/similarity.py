@@ -584,7 +584,8 @@ def ivf_build_index(emb: DataFrame, index_path: str, n_cells: int = 16,
 
 
 def ivf_append(new_emb: DataFrame, index_path: str, centroids: np.ndarray,
-               vec_col: str = "embedding", dim: int | None = None) -> None:
+               vec_col: str = "embedding", dim: int | None = None,
+               mode: str = "append") -> None:
     """Incremental IVF maintenance (r11): assign ONLY the arriving batch
     to the EXISTING centroids and append its rows into the
     hive-partitioned cell layout — no retrain, no rewrite of resident
@@ -605,9 +606,17 @@ def ivf_append(new_emb: DataFrame, index_path: str, centroids: np.ndarray,
     every resident cell assignment). Appends also accumulate small files
     per cell — the maintenance pair is the registered
     ``compact_partition_scoped`` pattern applied per hot cell.
+
+    ``mode`` (r12): an at-least-once caller (foreachBatch) keys each
+    batch to its own ``ingest_batch=<id>`` subdirectory and passes
+    ``mode="overwrite"`` — a replayed batch then truncates-and-rewrites
+    ONLY its own directory instead of duplicating rows, making the
+    append idempotent per batch id. Reading the index root discovers
+    ``ingest_batch`` as one more partition column; ``cell`` pruning is
+    unaffected. Default stays plain ``append`` for exactly-once callers.
     """
     ivf_assign_full(new_emb, centroids, vec_col, dim=dim).write.mode(
-        "append"
+        mode
     ).partitionBy("cell").parquet(index_path)
 
 

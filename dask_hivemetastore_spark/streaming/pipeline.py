@@ -370,7 +370,18 @@ def _sessionize_fn(key, pdf_iter, state: GroupState):
 
     out: list[tuple[int, float | None, float | None]] = []
     for st, la, n, sm in zip(starts, lasts, ns, sums):
-        if old.get(st) != (la, n, sm):
+        # NaN-aware change detection (r12 ADVICE): a component whose sum
+        # is NaN (all-NULL-value session) must compare EQUAL to its prior
+        # self — tuple != would see nan != nan and re-emit the untouched
+        # component every batch, violating the changed/new-only contract.
+        prev = old.get(st)
+        unchanged = (
+            prev is not None
+            and prev[0] == la
+            and prev[1] == n
+            and (prev[2] == sm or (_math.isnan(prev[2]) and _math.isnan(sm)))
+        )
+        if not unchanged:
             out.append((st, n, sm))
     live = set(starts)
     # Tombstone key = the FORMATTED start (the sink's upsert key is the
@@ -850,10 +861,15 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per micro-batch at |batch| cost (measured 11.9× cheaper than a
     rebuild for a 10% batch — PERF.md r11), and the index is ALWAYS
     queryable mid-ingest because appends add files to cell directories
-    without touching resident ones. foreachBatch is at-least-once, so a
-    production sink keys appends on batch_id (e.g. one subdirectory per
-    batch, or a MERGE on vec_id) — the finite availableNow drain here
-    delivers each batch exactly once.
+    without touching resident ones. foreachBatch is at-least-once, so
+    this key WRITES IDEMPOTENTLY (r12 ADVICE fix): each micro-batch
+    lands under its own ``ingest_batch=<batch_id>`` hive subdirectory
+    with ``mode="overwrite"`` — a task/batch retry truncates-and-
+    rewrites ONLY that batch's directory instead of duplicating rows,
+    so a replayed batch leaves the index content byte-identical
+    (pinned in tests/test_hostile_embeddings.py). Partition discovery
+    sees ``ingest_batch`` as one more partition column above ``cell``;
+    cell pruning at probe time is unaffected.
 
     FULL brute-force oracle, same argument as ``knn_ivf_append_probe``:
     assignment is a pure function of (vector, centroids) — ingest
@@ -882,7 +898,14 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = raw.parquet(f"{sf_dir}/embeddings.parque[t]")
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        similarity.ivf_append(batch_df, idx, C, dim=_IVF_DIM)
+        # batch-id-keyed subdirectory + overwrite = replay-idempotent
+        similarity.ivf_append(
+            batch_df,
+            f"{idx}/ingest_batch={batch_id}",
+            C,
+            dim=_IVF_DIM,
+            mode="overwrite",
+        )
 
     q = (
         stream.writeStream.foreachBatch(append_batch)

@@ -244,3 +244,92 @@ def test_ivf_ingest_keys_on_hostile_corpus_properties(spark,
         assert recall >= 0.5, (key, recall)
         results[key] = [(r.vec_id, r.label, r.cosine) for r in rows]
     assert results["knn_ivf_append_probe"] == results["stream_ivf_ingest"]
+
+def test_ivf_append_replay_idempotent(spark, tmp_path):
+    """r12 ADVICE fix pin: foreachBatch is at-least-once, so
+    ``stream_ivf_ingest`` keys each micro-batch to its own
+    ``ingest_batch=<id>`` subdirectory and writes it with overwrite
+    (streaming/pipeline.py append_batch). A REPLAYED batch (same id,
+    same rows) must leave the index content-identical — same row count,
+    same probe answer — where the r11 plain-append scheme duplicated
+    every row. Both arms pinned here."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    C = similarity.ivf_train_centroids(
+        emb, n_cells=16, cache_key=SF_SMOKE, dim=DIM
+    )
+    qv = np.asarray(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    batch = emb.where(F.col("vec_id") % 7 == 0)
+
+    idx = str(tmp_path / "keyed_index")
+    similarity.ivf_append(
+        batch, f"{idx}/ingest_batch=0", C, dim=DIM, mode="overwrite"
+    )
+    n1 = spark.read.parquet(idx).count()
+    p1 = [tuple(r) for r in similarity.ivf_probe_indexed(
+        spark, idx, C, qv, k=10, nprobe=8, exclude_id=0).collect()]
+    # replay the SAME batch id — a retry after a mid-drain failure
+    similarity.ivf_append(
+        batch, f"{idx}/ingest_batch=0", C, dim=DIM, mode="overwrite"
+    )
+    assert spark.read.parquet(idx).count() == n1
+    p2 = [tuple(r) for r in similarity.ivf_probe_indexed(
+        spark, idx, C, qv, k=10, nprobe=8, exclude_id=0).collect()]
+    assert p1 == p2
+
+    # contrast arm: the default un-keyed append DOES duplicate on replay
+    # — the documented hazard the batch-id keying exists to remove
+    plain = str(tmp_path / "plain_index")
+    similarity.ivf_append(batch, plain, C, dim=DIM)
+    n_plain = spark.read.parquet(plain).count()
+    similarity.ivf_append(batch, plain, C, dim=DIM)
+    assert spark.read.parquet(plain).count() == 2 * n_plain
+    assert n_plain == n1
+
+
+def test_ivf_append_wrong_dim_batch_excluded(spark, hostile_emb_dir,
+                                             tmp_path):
+    """Declared-dim eligibility applies at APPEND time (VERDICT r11 next
+    #7): a batch carrying wrong-dimension vectors (truncated dim-32 /
+    concatenated dim-96 rows — ids 31/32 of the poisoned corpus) appends
+    ONLY its conforming rows; an all-wrong-dim batch appends nothing and
+    leaves the resident index untouched."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
+    C = similarity.ivf_train_centroids(
+        emb, n_cells=16, cache_key=hostile_emb_dir, dim=DIM
+    )
+    idx = str(tmp_path / "index")
+
+    resident = emb.where(F.col("vec_id").between(100, 199))
+    similarity.ivf_append(
+        resident, f"{idx}/ingest_batch=0", C, dim=DIM, mode="overwrite"
+    )
+    n_resident = spark.read.parquet(idx).count()
+    assert n_resident == resident.count()  # ids 100-199 are clean rows
+
+    # all-wrong-dim batch: nothing may land, resident rows untouched
+    bad = emb.where(F.col("vec_id").isin(31, 32))
+    similarity.ivf_append(
+        bad, f"{idx}/ingest_batch=1", C, dim=DIM, mode="overwrite"
+    )
+    assert spark.read.parquet(idx).count() == n_resident
+
+    # mixed batch: only the conforming rows append
+    mixed = emb.where(F.col("vec_id").isin(31, 32, 200, 201))
+    similarity.ivf_append(
+        mixed, f"{idx}/ingest_batch=2", C, dim=DIM, mode="overwrite"
+    )
+    grown = spark.read.parquet(idx)
+    assert grown.count() == n_resident + 2
+    ids = {r.vec_id for r in grown.select("vec_id").collect()}
+    assert {200, 201} <= ids and not ({31, 32} & ids)

@@ -202,3 +202,24 @@ def test_all_null_values_session_emits_null_total():
     final = _final_from_emissions(em)
     assert final == {(pd.Timestamp(_T0, unit="us")
                       .strftime("%Y-%m-%d %H:%M:%S"), 2, None)}
+
+
+def test_untouched_nan_sum_component_not_reemitted():
+    """r12 ADVICE fix: change detection must be NaN-aware. A sealed
+    all-NULL-value component (sum = NaN) that a later batch does NOT
+    touch must produce ZERO emissions in that batch — the pre-fix tuple
+    compare saw ``nan != nan`` and re-emitted it every batch, breaking
+    the changed/new-components-only update-mode contract."""
+    far = _T0 + 10 * 3600 * _US  # hours away — can't merge with _T0
+    state = FakeState()
+    (out1,) = list(_sessionize_fn((1,), [_batch_df([(_T0, None)])], state))
+    assert len(out1) == 1  # the new NaN-sum component emits once
+    (out2,) = list(_sessionize_fn((1,), [_batch_df([(far, 5.0)])], state))
+    # only the NEW component may emit; the untouched NaN-sum one must not
+    emitted_starts = set(out2["session_start"])
+    assert emitted_starts == {
+        pd.Timestamp(far, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+    }
+    # and the final sink state is still exact
+    em = pd.concat([out1, out2], ignore_index=True)
+    assert _final_from_emissions(em) == _twin([(_T0, None), (far, 5.0)])
