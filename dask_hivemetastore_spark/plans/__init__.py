@@ -62,98 +62,100 @@ from .. import streaming  # noqa: F401,E402
 # keys); block 2 = the ENTIRE remaining r5-vintage drift tail (23
 # keys); block 3 = the 6 oldest r6-vintage keys — CORRECTNESS_r10:
 # 50/50 green. After r10, no driver row predates r6.
-# Round 11 (this window): block 1 = the 9 keys whose contract or
-# engine changed this round (hll_sketch_merge NULL-ts oracle,
-# xml_parse_orders \x00 class, stream_sessionize component-set state,
-# the six verify_enabled()-gated sketch/sample keys, knn_pq_topk
-# encode path) plus the round's TWO new keys (knn_ivf_append_probe and
-# stream_ivf_ingest — incremental materialized-IVF ingest, batch and
-# streaming; policy #2); block 2 = the
-# ENTIRE r6-vintage drift tail (25 keys,
-# VERDICT r10 next #1) — after r11 no driver row predates r7; block 3
-# = the 14 alphabetically-first r7-vintage keys (30 r7 stragglers
-# remain for r12: filter_in_list and full_outer_nation_presence —
-# displaced by the round's two new keys — intersect_nations, join_indicator,
-# join_orders_customer, left_join_customer_orders, null_handling,
-# q10/q14/q15/q17/q18/q19/q1/q22/q3/q4/q5/q6/q7,
-# rollup_nation_region, scan_project_filter, semi_join_customers,
-# split_leakage_audit, stream_dedup_near_docs, string_funcs_docs,
-# training_corpus_pipeline, union_all_events_split, union_distinct,
-# value_counts_events).
+# Round 11: block 1 = the 9 changed keys (hll_sketch_merge NULL-ts
+# oracle, xml_parse_orders \x00 class, stream_sessionize component-set
+# state, six verify_enabled()-gated sketch/sample keys, knn_pq_topk
+# encode path) + the 2 new IVF-ingest keys; block 2 = the ENTIRE
+# r6-vintage drift tail (25 keys); block 3 = the 14 alphabetically-
+# first r7-vintage keys — CORRECTNESS_r11: 50/50 green (see git
+# history of this file for the full list). After r11 no driver row
+# predates r7.
+# Round 12 (this window): block 1 = the round's new key
+# (ivf_drift_check — the measured IVF retrain trigger) + the 3 keys
+# whose contract or engine changed this round (knn_lsh_topk GRADUATED
+# from rows-only to the derived recall-verdict oracle on the
+# multi-table LSH upgrade; stream_ivf_ingest's sink became batch-id-
+# keyed idempotent; stream_sessionize's change detection became
+# NaN-aware); block 2 = the ENTIRE r7-vintage drift tail (the 30 keys
+# VERDICT r11 next #1 named), led by split_leakage_audit and
+# stream_dedup_near_docs whose physical plans changed in the r11
+# persist swap without re-certification — after r12 no driver row
+# predates r8; block 3 = the 16 alphabetically-first r8-vintage keys
+# (26 r8 stragglers remain for r13: lag_lead_events,
+# lateral_top_lineitems, map_funcs_props, map_partitions_net_price,
+# merge_upsert_orders, multimodal_extract, multimodal_frame_sample,
+# nations_per_region_csv, orc_roundtrip_agg, pandas_udf_scalar,
+# pii_redact_docs, python_datasource_scan, quality_report_by_status,
+# range_join_banded, range_join_events, rolling_avg_value,
+# sessionize_dynamic_gap, span_dedup_docs, stratified_sample_docs,
+# stream_click_attribution, text_stats_docs, thin_metastore_scan,
+# topn_parts_per_brand, udtf_bigrams, variant_extract_props,
+# window_rank_orders).
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r11 block 1 (changed-keys re-cert rule): hll_sketch_merge's
-    # --- oracle gained the NULL-ts sketch-group term, xml_parse_orders'
-    # --- illegal-character class extended to \x00, stream_sessionize
-    # --- moved to order-independent component-set state (tombstone
-    # --- emission contract), six sketch/sample keys gained the
-    # --- verify_enabled() gate (default path byte-identical, engine
-    # --- changed), and knn_pq_topk's encode now feeds the raw corpus
-    # --- with the declared dim. ---
-    "hll_sketch_merge",
-    "xml_parse_orders",
-    "stream_sessionize",
-    "approx_distinct_users",
-    "quantile_approx_value",
-    "cms_heavy_hitters",
-    "sample_fraction",
-    "sample_stratified",
-    "knn_pq_topk",
-    # --- plus the round's TWO new keys (policy #2): the incremental
-    # --- materialized-IVF ingest path, batch and streaming. ---
-    "knn_ivf_append_probe",
+    # --- r12 block 1: the new key + the 3 changed keys (policy #2 and
+    # --- the changed-keys re-cert rule). ---
+    "ivf_drift_check",
+    "knn_lsh_topk",
     "stream_ivf_ingest",
-    # --- r11 block 2: the ENTIRE r6-vintage drift tail (VERDICT r10
-    # --- missing #1 / next #1 — the 25 keys the r10 block-3 comment
-    # --- named). After r11 no driver row predates r7. ---
-    "mad_robust_outliers",
-    "ngram_freq_top",
-    "null_safe_join",
-    "posexplode_words",
-    "price_histogram",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q16_supplier_count",
-    "q20_volume_suppliers",
-    "quality_score_docs",
-    "range_join_longtail_points",
-    "regression_price_qty",
-    "repetition_score_docs",
-    "rollup_grouping_id",
-    "row_ids_unique",
-    "sample_k_per_group",
-    "sorted_layout_roundtrip",
-    "statestore_event_counts",
-    "tfidf_top_terms",
-    "timestamp_parse_roundtrip",
-    "token_count_docs",
-    "union_mismatched_schemas",
-    "weighted_sample_docs",
-    "window_price_band",
-    "zorder_layout_roundtrip",
-    # --- r11 block 3: drift re-certification, the 14 alphabetically-
-    # --- first r7-vintage keys (their newest driver rows are now 4
-    # --- rounds old; the remaining 30 are listed in the history note
-    # --- above for r12). dedup_near doubles as the key whose scan-
-    # --- fingerprint blindness r11 closed. ---
-    "agg_collect",
-    "agg_var_std",
-    "anti_join_customers",
-    "bucketed_join_agg",
-    "case_when_bucketing",
-    "cross_join_region_status",
-    "cube_segment_status",
-    "dedup_incremental_batch",
-    "dedup_near",
-    "dedup_near_minhash",
-    "dedup_near_survivors",
-    "distinct_users",
-    "embedding_group_centroid",
-    "except_returned_items",
+    "stream_sessionize",
+    # --- r12 block 2: the ENTIRE r7-vintage drift tail (VERDICT r11
+    # --- next #1 — 30 keys). The two persist-swap keys lead. After
+    # --- r12 no driver row predates r8. ---
+    "split_leakage_audit",
+    "stream_dedup_near_docs",
+    "filter_in_list",
+    "full_outer_nation_presence",
+    "intersect_nations",
+    "join_indicator",
+    "join_orders_customer",
+    "left_join_customer_orders",
+    "null_handling",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q3_top_orders",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "rollup_nation_region",
+    "scan_project_filter",
+    "semi_join_customers",
+    "string_funcs_docs",
+    "training_corpus_pipeline",
+    "union_all_events_split",
+    "union_distinct",
+    "value_counts_events",
+    # --- r12 block 3: drift re-certification, the 16 alphabetically-
+    # --- first r8-vintage keys (their newest driver rows are 4 rounds
+    # --- old; the remaining 26 are listed in the history note above
+    # --- for r13). ---
+    "array_funcs_embeddings",
+    "asof_join_events",
+    "asof_join_tolerance",
+    "collated_distinct_words",
+    "corpus_rebalance_sources",
+    "corpus_rebalance_temperature",
+    "date_arithmetic",
+    "decimal_money_agg",
+    "dedup_exact",
+    "doc_chunk_windows",
+    "events_sessionize",
+    "events_sliding",
+    "events_tumbling_1h",
+    "interval_overlap_pairs",
+    "json_extract_props",
+    "jsonl_roundtrip_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -224,12 +224,85 @@ def main() -> None:
     )
     results["append_probe_equals_oneshot"] = ap_scores == probe16_scores
 
+    # --- r12 drift arm (VERDICT r11 next #2): centroid drift as a
+    # MEASURED retrain trigger. Two batches are scored with
+    # ivf_drift_stats against the training-corpus reference:
+    #   control = the in-distribution 10% batch  -> must NOT flag;
+    #   shifted = the same batch + alpha*u offset, renormalized (a
+    #             deliberate distribution shift)  -> MUST flag.
+    # Alongside the detector, the arm measures what drift actually does
+    # to the index: the shifted batch's occupancy collapse (max cell
+    # share), the scan fraction a shifted query pays at nprobe=4 on the
+    # drifted index, and recall@10 of the shifted query vs brute force
+    # over the same drifted corpus. Exit code flips unless the detector
+    # separates the two batches.
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_drift_flag,
+        ivf_drift_stats,
+        shift_vectors,
+    )
+
+    alpha, u = 2.0, np.ones(dim) / np.sqrt(dim)
+    shifted = shift_vectors(batch, alpha=alpha, dim=dim)
+
+    ref = ivf_drift_stats(resident, C, dim=dim)
+    ctl = ivf_drift_stats(batch, C, dim=dim)
+    sh = ivf_drift_stats(shifted, C, dim=dim)
+    results["drift"] = {
+        "ref_mean_dot": round(ref[0], 4), "ref_max_share": round(ref[1], 4),
+        "control_mean_dot": round(ctl[0], 4),
+        "control_max_share": round(ctl[1], 4),
+        "shifted_mean_dot": round(sh[0], 4),
+        "shifted_max_share": round(sh[1], 4),
+        "control_flagged": ivf_drift_flag(ctl, ref),
+        "shifted_flagged": ivf_drift_flag(sh, ref),
+    }
+
+    # what drift does to serving: append the shifted batch (fixed
+    # centroids), then probe with a shifted query
+    drift_path = f"{base}/ivf_drifted"
+    ivf_assign_full(resident, C).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(drift_path)
+    ivf_append(shifted, drift_path, C, dim=dim)
+    qv_sh = (qv + alpha * u)
+    qv_sh /= np.linalg.norm(qv_sh)
+    drift_cells = {
+        r.cell: r.n
+        for r in spark.read.parquet(drift_path)
+        .groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    n_drift = sum(drift_cells.values())
+    probes4 = [int(c) for c in (C @ qv_sh).argsort()[::-1][:4]]
+    results["drift"]["shifted_query_scan_frac_nprobe4"] = round(
+        sum(drift_cells.get(c, 0) for c in probes4) / n_drift, 3
+    )
+    # exact reference = probe at FULL cell coverage (nprobe = n_cells
+    # scans every row of the drifted corpus — brute force by definition)
+    brute_sh = {
+        r.vec_id
+        for r in ivf_probe_indexed(
+            spark, drift_path, C, qv_sh, k=10, nprobe=args.n_cells
+        ).collect()
+    }
+    got = {
+        r.vec_id
+        for r in ivf_probe_indexed(
+            spark, drift_path, C, qv_sh, k=10, nprobe=16
+        ).collect()
+    }
+    results["drift"]["shifted_query_recall_at16"] = round(
+        len(got & brute_sh) / 10, 2
+    )
+
     print(json.dumps(results))
     ok = (results["accounting_ok"] and results["brute_corrupt_free"]
           and results["probes_corrupt_free"]
           and results["recall_floor_clean"]
           and results["append_identical_to_rebuild"]
-          and results["append_probe_equals_oneshot"])
+          and results["append_probe_equals_oneshot"]
+          and not results["drift"]["control_flagged"]
+          and results["drift"]["shifted_flagged"])
     sys.exit(0 if ok else 1)
 
 

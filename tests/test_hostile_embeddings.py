@@ -53,6 +53,13 @@ _FULL_ORACLE_KEYS = [
     "knn_cosine_topk",
     "knn_join_batch",
     "knn_pq_topk",
+    # r12 graduates/additions: the LSH recall-verdict audit and the IVF
+    # drift detector both carry derived full oracles that hold on the
+    # poisoned corpus too (eligibility + zero-norm exclusion align on
+    # both sides; the drift flags are threshold decisions with measured
+    # margin, not knife-edge values)
+    "knn_lsh_topk",
+    "ivf_drift_check",
 ]
 # knn_ivf_topk is NOT replayed against its brute-force oracle here: its
 # oracle equality holds on the REAL corpus (nprobe=8/16 recovers the full
@@ -187,16 +194,22 @@ def test_planted_duplicate_still_found(spark, hostile_emb_dir):
     assert (2, 9000) in pairs, sorted(pairs)[:5]
 
 
-def test_rows_only_ann_paths_survive_corruption(spark, hostile_emb_dir):
-    """The rows-only ANN paths (LSH buckets, IVF cells, PQ codes) must
-    RUN on the poisoned corpus — no np.stack crash from a ragged batch —
-    and return only finite, real ids."""
+def test_raw_lsh_path_survives_corruption(spark, hostile_emb_dir):
+    """The raw LSH serving path (single- and multi-table) must RUN on
+    the poisoned corpus — no np.stack crash from a ragged batch — and
+    return only finite, real ids. (The registered ``knn_lsh_topk`` key
+    graduated to a derived recall-verdict oracle in r12 and is covered
+    by the full-oracle replay above; this guards the operator surface
+    the key composes.)"""
     from dask_hivemetastore_spark.operators import similarity
 
     emb = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
-    lsh = similarity.lsh_topk(emb, query_id=0, k=10, bits=8, dim=DIM).collect()
-    assert 0 < len(lsh) <= 10
-    assert all(np.isfinite(r.cosine) for r in lsh)
+    for n_tables in (1, 16):
+        lsh = similarity.lsh_topk(
+            emb, query_id=0, k=10, bits=8, dim=DIM, n_tables=n_tables
+        ).collect()
+        assert 0 < len(lsh) <= 10, n_tables
+        assert all(np.isfinite(r.cosine) for r in lsh), n_tables
 
 
 def test_arrow_knn_variant_identical_on_hostile_corpus(spark,

@@ -119,6 +119,38 @@ def test_lsh_topk_subset_of_brute(spark, sf_dir):
             assert r.cosine == pytest.approx(brute[r.vec_id], abs=1e-9)
 
 
+def test_lsh_multitable_recall_floor(spark, sf_dir):
+    """r12 multi-table upgrade: 16 tables must clear the recall floor the
+    graduated ``knn_lsh_topk`` oracle pins (overlap >= 5 of the exact
+    top-10) on the fixture where a single table measures ~0 — and adding
+    tables must never lose the recall a single table had (table 0's
+    planes are a prefix of the multi-table draw, so its candidates are a
+    subset of the union's). Deterministic: seeded planes, fixed data."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import knn_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in knn_topk(emb, 0, k=10, dim=64).collect()}
+    one = {r.vec_id for r in
+           lsh_topk(emb, 0, k=10, bits=8, dim=64, n_tables=1).collect()}
+    many = {r.vec_id for r in
+            lsh_topk(emb, 0, k=10, bits=8, dim=64, n_tables=16).collect()}
+    assert len(many & exact) >= 5, sorted(many & exact)
+    assert len(many & exact) >= len(one & exact)
+
+
+def test_ivf_drift_flag_policy():
+    """Pure-function pins for the r12 retrain trigger: fires on a mean-dot
+    drop OR an occupancy collapse; an empty batch judges nothing."""
+    from dask_hivemetastore_spark.operators.similarity import ivf_drift_flag
+
+    ref = (0.35, 0.10, 1000)
+    assert not ivf_drift_flag((0.36, 0.12, 100), ref)   # in-distribution
+    assert ivf_drift_flag((0.25, 0.12, 100), ref)       # dot rule
+    assert ivf_drift_flag((0.36, 0.30, 100), ref)       # share rule
+    assert not ivf_drift_flag((float("nan"), float("nan"), 0), ref)  # empty
+
+
 def test_hive_type_parsing():
     from pyspark.sql import types as T
 
