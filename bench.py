@@ -44,6 +44,10 @@ RUNS = 3
 # added cost is bounded by N x 0.5 s. (The structural protection against
 # real regressions is the shuffle/scan-fingerprint gate, which is
 # wall-clock-immune; this only de-noises the REPORTED number.)
+# r12: the five baseline cells that can take this path are RESTATED in
+# BASELINE.md under the identical protocol
+# (scripts/remeasure_baseline_cells.py), so numerator and denominator
+# are now like-for-like draw counts (r12 advisor finding).
 EXTRA_RUNS_BELOW_SEC = 0.5
 EXTRA_RUNS = 4
 
