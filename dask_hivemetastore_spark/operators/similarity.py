@@ -493,6 +493,99 @@ def lsh_topk(emb: DataFrame, query_id: int, k: int = 10, bits: int = 8,
     )
 
 
+def lsh_build_index(emb: DataFrame, index_path: str, *, dim: int,
+                    bits: int = 8, n_tables: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> None:
+    """Materialize the LSH POSTINGS layout (r12): one row per
+    ``(table, bucket, id)``, hive-partitioned by table and sorted by
+    bucket inside each partition's files.
+
+    This backs :func:`lsh_topk`'s 100 TB claim with an actual layout:
+    the ``n_tables × bits`` projections are computed ONCE at ingest
+    (the same single corpus pass :func:`lsh_bucket_ids` makes), and a
+    probe then (a) prunes to its table directories via the partition
+    key and (b) skips non-probed buckets via parquet min/max on the
+    sorted ``bucket`` column — the per-query cost is the pruned
+    postings read plus an exact rescore of the candidate ids, never a
+    re-hash of the corpus. The postings table holds only
+    ``(bucket, id)`` per table — L×(8+8) bytes per vector — so it stays
+    small next to the float embeddings. Ingest appends compose exactly
+    like :func:`ivf_append` (assign the batch against the SAME seeded
+    planes, append under the table partitions); planes are stateless so
+    there is no drift analogue — LSH's maintenance cost is table count,
+    not retraining."""
+    b = lsh_bucket_ids(emb, dim=dim, bits=bits, id_col=id_col,
+                       vec_col=vec_col, n_tables=n_tables, seed=seed)
+    (
+        b.select(id_col, F.posexplode("buckets").alias("table", "bucket"))
+        .repartition("table")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("table")
+        .parquet(index_path)
+    )
+
+
+def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
+                      *, dim: int, bits: int = 8, n_tables: int = 16,
+                      k: int = 10, multiprobe: bool = True,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 42) -> DataFrame:
+    """Top-k against a :func:`lsh_build_index` postings layout. The
+    query's per-table probe sets are computed driver-side from the same
+    seeded planes (one bounded 1-row fetch for the query vector); the
+    postings scan condition ``OR_t (table = t AND bucket IN probes_t)``
+    carries a partition-key conjunct in every disjunct, so only the
+    probed table directories are listed. Candidates (distinct ids)
+    semi-join the corpus for the exact rescore. Result-identical to
+    :func:`lsh_topk` at the same config (same planes → same candidate
+    set → same exact scores; pinned in tests)."""
+    from functools import reduce
+    from operator import or_
+
+    spark = emb.sparkSession
+    qrow = (
+        finite_vectors(emb, vec_col, dim)
+        .where(F.col(id_col) == query_id)
+        .select(vec_col)
+        .first()  # bounded: 1 row
+    )
+    if qrow is None:  # corrupt/absent query → no-answer, never wrong
+        return spark.createDataFrame(
+            [], f"{id_col} long, cosine double"
+        )
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    planes = _hyperplanes(dim, bits, seed=seed, n_tables=n_tables)
+    weights = 1 << np.arange(bits)
+    conds = []
+    for t in range(n_tables):
+        qb = int((((qv @ planes[t].T) > 0) * weights).sum())
+        probes = [qb] + (
+            [qb ^ (1 << i) for i in range(bits)] if multiprobe else []
+        )
+        conds.append(
+            (F.col("table") == t) & F.col("bucket").isin(probes)
+        )
+    cand = (
+        spark.read.parquet(index_path)
+        .where(reduce(or_, conds))
+        .select(id_col)
+        .distinct()
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        finite_vectors(emb, vec_col, dim)
+        .join(cand, id_col, "left_semi")
+        .where(F.col(id_col) != query_id)
+        .select(id_col,
+                F.round(dot_f64(F.col(vec_col), qcol), 6).alias("cosine"))
+        .transform(_finite)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
                id_col: str = "vec_id", vec_col: str = "embedding",
                dim: int | None = None) -> DataFrame:
@@ -659,18 +752,24 @@ def ivf_append(new_emb: DataFrame, index_path: str, centroids: np.ndarray,
     ).partitionBy("cell").parquet(index_path)
 
 
-#: Drift-detector thresholds (r12, VERDICT r11 next #2). A batch is
-#: flagged for coarse-quantizer retrain when its mean assignment dot
-#: drops more than DRIFT_DOT_DELTA below the reference corpus's value,
-#: or its largest cell absorbs more than DRIFT_SHARE_FACTOR x the
-#: reference max cell share. Margins measured on the fixture
-#: (scripts/stress_ivf_scale.py --drift arm): an in-distribution control
-#: batch moves the mean dot by well under +/-0.02, while an offset-and-
-#: renormalized shifted batch (alpha=2) drops it ~0.11 and triples the
-#: max cell share — both rules fire with >2x margin, the control fires
-#: neither.
+#: Drift-detector threshold (r12, VERDICT r11 next #2). A batch is
+#: flagged for coarse-quantizer retrain when its mean assignment cosine
+#: drops more than DRIFT_DOT_DELTA below the reference corpus's value —
+#: i.e. when the FIXED quantizer stops fitting the arriving data.
+#: Margin measured on the fixture (scripts/stress_ivf_scale.py drift
+#: arm): an in-distribution control batch moves the mean by under
+#: +/-0.02 while an offset-and-renormalized shifted batch (alpha=2)
+#: drops it ~0.10-0.12 — the rule separates them with >2x margin on
+#: both sides. Occupancy concentration (max cell share, also returned
+#: by ivf_drift_stats) is deliberately NOT part of the per-batch flag:
+#: a topically-coherent batch legitimately lands in one cell (pinned in
+#: tests/test_operators.py — after a retrain absorbs a shifted mode,
+#: the mode's batches still concentrate at share 1.0 while fitting at
+#: cosine 0.90), and a single batch barely moves index-level occupancy
+#: anyway. Hot cells are an INDEX property handled by the measured
+#: compaction pair (compact_partition_scoped) and show up in the drift
+#: arm's reported shares/scan fractions, not in the trigger.
 DRIFT_DOT_DELTA = 0.04
-DRIFT_SHARE_FACTOR = 2.5
 
 
 def ivf_drift_stats(batch: DataFrame, centroids: np.ndarray,
@@ -776,18 +875,18 @@ def shift_vectors(emb: DataFrame, alpha: float = 2.0,
 def ivf_drift_flag(batch_stats: tuple[float, float, int],
                    ref_stats: tuple[float, float, int]) -> bool:
     """Apply the retrain-trigger policy to :func:`ivf_drift_stats`
-    outputs: True = the batch has drifted from the reference corpus the
-    centroids were trained on; schedule a retrain+rebuild (per-batch
-    retraining would invalidate every resident cell assignment —
-    :func:`ivf_append`)."""
-    b_dot, b_share, b_n = batch_stats
-    r_dot, r_share, _ = ref_stats
+    outputs: True = the fixed quantizer no longer fits the arriving
+    batch (mean assignment cosine fell more than ``DRIFT_DOT_DELTA``
+    below the training-corpus reference); schedule a retrain+rebuild
+    (per-batch retraining would invalidate every resident cell
+    assignment — :func:`ivf_append`). Fit is the ONLY trigger — see the
+    ``DRIFT_DOT_DELTA`` note for why batch occupancy concentration is
+    reported but never flagged."""
+    b_dot, _b_share, b_n = batch_stats
+    r_dot, _r_share, _ = ref_stats
     if b_n == 0:
         return False  # nothing eligible arrived — nothing to judge
-    return bool(
-        b_dot < r_dot - DRIFT_DOT_DELTA
-        or b_share > DRIFT_SHARE_FACTOR * r_share
-    )
+    return bool(b_dot < r_dot - DRIFT_DOT_DELTA)
 
 
 def ivf_probe_indexed(spark, index_path: str, centroids: np.ndarray,

@@ -70,8 +70,9 @@ from .. import streaming  # noqa: F401,E402
 # first r7-vintage keys — CORRECTNESS_r11: 50/50 green (see git
 # history of this file for the full list). After r11 no driver row
 # predates r7.
-# Round 12 (this window): block 1 = the round's new key
-# (ivf_drift_check — the measured IVF retrain trigger) + the 3 keys
+# Round 12 (this window): block 1 = the round's TWO new keys
+# (ivf_drift_check — the measured IVF retrain trigger — and
+# knn_lsh_indexed — the materialized LSH postings layout) + the 3 keys
 # whose contract or engine changed this round (knn_lsh_topk GRADUATED
 # from rows-only to the derived recall-verdict oracle on the
 # multi-table LSH upgrade; stream_ivf_ingest's sink became batch-id-
@@ -80,8 +81,9 @@ from .. import streaming  # noqa: F401,E402
 # VERDICT r11 next #1 named), led by split_leakage_audit and
 # stream_dedup_near_docs whose physical plans changed in the r11
 # persist swap without re-certification — after r12 no driver row
-# predates r8; block 3 = the 16 alphabetically-first r8-vintage keys
-# (26 r8 stragglers remain for r13: lag_lead_events,
+# predates r8; block 3 = the 15 alphabetically-first r8-vintage keys
+# (27 r8 stragglers remain for r13: jsonl_roundtrip_agg —
+# displaced by knn_lsh_indexed — lag_lead_events,
 # lateral_top_lineitems, map_funcs_props, map_partitions_net_price,
 # merge_upsert_orders, multimodal_extract, multimodal_frame_sample,
 # nations_per_region_csv, orc_roundtrip_agg, pandas_udf_scalar,
@@ -97,9 +99,10 @@ from .. import streaming  # noqa: F401,E402
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r12 block 1: the new key + the 3 changed keys (policy #2 and
-    # --- the changed-keys re-cert rule). ---
+    # --- r12 block 1: the two new keys + the 3 changed keys (policy #2
+    # --- and the changed-keys re-cert rule). ---
     "ivf_drift_check",
+    "knn_lsh_indexed",
     "knn_lsh_topk",
     "stream_ivf_ingest",
     "stream_sessionize",
@@ -136,9 +139,9 @@ _CERTIFICATION_PRIORITY = [
     "union_all_events_split",
     "union_distinct",
     "value_counts_events",
-    # --- r12 block 3: drift re-certification, the 16 alphabetically-
+    # --- r12 block 3: drift re-certification, the 15 alphabetically-
     # --- first r8-vintage keys (their newest driver rows are 4 rounds
-    # --- old; the remaining 26 are listed in the history note above
+    # --- old; the remaining 27 are listed in the history note above
     # --- for r13). ---
     "array_funcs_embeddings",
     "asof_join_events",
@@ -155,7 +158,6 @@ _CERTIFICATION_PRIORITY = [
     "events_tumbling_1h",
     "interval_overlap_pairs",
     "json_extract_props",
-    "jsonl_roundtrip_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

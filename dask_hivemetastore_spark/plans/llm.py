@@ -321,6 +321,55 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("lsh_recall_floor_met", F.lit(floor_met))
 
 
+@query(
+    "knn_lsh_indexed",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine,
+           1 AS lsh_recall_floor_met
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 materialized-LSH layout (r12): the postings index
+    (:func:`..operators.similarity.lsh_build_index` — one
+    ``(table, bucket, id)`` row per table per vector, hive-partitioned
+    by table, bucket-sorted inside) written once, then probed
+    (:func:`..operators.similarity.lsh_probe_indexed` — every disjunct
+    of the probe condition carries the ``table`` partition key, so only
+    probed directories are listed; the sorted ``bucket`` column lets
+    parquet min/max skip non-probed buckets). This is the layout that
+    makes multi-table LSH serve at 100 TB: hashes computed at ingest,
+    never per query — the sibling of the IVF cell layout
+    (``knn_ivf_topk``).
+
+    Same derived recall-verdict oracle as ``knn_lsh_topk``, and the
+    probe is pinned result-identical to the inline path in
+    tests/test_operators.py (same seeded planes → same candidate set →
+    same exact scores)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = scratch_dir("lshidx_") + "/postings"
+    similarity.lsh_build_index(
+        emb, idx, dim=EMB_DIM, bits=8, n_tables=16
+    )
+    lsh_ids = {
+        r.vec_id
+        for r in similarity.lsh_probe_indexed(
+            emb, idx, query_id=0, dim=EMB_DIM, bits=8, n_tables=16, k=10
+        ).collect()
+    }
+    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    exact_ids = {r.vec_id for r in exact.collect()}
+    floor_met = int(len(lsh_ids & exact_ids) >= 5)
+    return exact.withColumn("lsh_recall_floor_met", F.lit(floor_met))
+
+
 # ----------------------------------------------------------- K4: text analysis
 
 
@@ -839,9 +888,11 @@ def ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       (:func:`..operators.similarity.shift_vectors`: + 2·û offset,
       renormalized — an embedding-model update in miniature) — MUST
       flag via :func:`..operators.similarity.ivf_drift_flag`
-      (thresholds ``DRIFT_DOT_DELTA``/``DRIFT_SHARE_FACTOR``, margins
-      measured in scripts/stress_ivf_scale.py's --drift arm and pinned
-      in tests/test_hostile_embeddings.py).
+      (quantizer-FIT rule, threshold ``DRIFT_DOT_DELTA``; batch
+      occupancy is reported but never flags — a coherent batch
+      legitimately concentrates, pinned in tests/test_operators.py;
+      margins measured in scripts/stress_ivf_scale.py's drift arm and
+      pinned in tests/test_hostile_embeddings.py).
 
     DERIVED full oracle (the r10 verdict-column pattern): the flag is a
     deterministic function of (fixture, seeded KMeans, fixed

@@ -59,6 +59,7 @@ _FULL_ORACLE_KEYS = [
     # both sides; the drift flags are threshold decisions with measured
     # margin, not knife-edge values)
     "knn_lsh_topk",
+    "knn_lsh_indexed",
     "ivf_drift_check",
 ]
 # knn_ivf_topk is NOT replayed against its brute-force oracle here: its

@@ -139,15 +139,78 @@ def test_lsh_multitable_recall_floor(spark, sf_dir):
     assert len(many & exact) >= len(one & exact)
 
 
+def test_lsh_indexed_probe_matches_inline(spark, sf_dir, tmp_path):
+    """The materialized postings layout must return row-for-row what the
+    inline multi-table path returns at the same config (same seeded
+    planes → same candidate set → same exact JVM-fold scores), and the
+    layout must actually be partitioned by table."""
+    import os
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_probe_indexed,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "postings")
+    lsh_build_index(emb, idx, dim=64, bits=8, n_tables=16)
+    dirs = {d for d in os.listdir(idx) if d.startswith("table=")}
+    assert dirs == {f"table={t}" for t in range(16)}
+    inline = [(r.vec_id, r.cosine) for r in
+              lsh_topk(emb, 0, k=10, bits=8, dim=64, n_tables=16).collect()]
+    indexed = [(r.vec_id, r.cosine) for r in
+               lsh_probe_indexed(emb, idx, query_id=0, dim=64, bits=8,
+                                 n_tables=16, k=10).collect()]
+    assert indexed == inline and len(indexed) == 10
+
+
+def test_ivf_drift_flag_triggers_retrain_that_clears(spark, sf_dir):
+    """Close the drift loop (r12): the documented response to a flagged
+    batch is retrain+rebuild. After retraining the coarse quantizer on
+    resident+shifted data, the SAME shifted batch must no longer flag —
+    the new quantizer owns the new mode — and the detector keeps
+    flagging against the STALE centroids (it isn't trivially quiet)."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_drift_flag,
+        ivf_drift_stats,
+        ivf_train_centroids,
+        shift_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C_old = ivf_train_centroids(emb, n_cells=16, cache_key=sf_dir, dim=64)
+    shifted = shift_vectors(
+        emb.where(F.col("vec_id") % 10 == 0), alpha=2.0, dim=64
+    )
+    ref_old = ivf_drift_stats(emb, C_old, dim=64)
+    assert ivf_drift_flag(ivf_drift_stats(shifted, C_old, dim=64), ref_old)
+
+    retrain_corpus = emb.unionByName(shifted.withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    ))
+    C_new = ivf_train_centroids(retrain_corpus, n_cells=16, dim=64)
+    ref_new = ivf_drift_stats(retrain_corpus, C_new, dim=64)
+    assert not ivf_drift_flag(
+        ivf_drift_stats(shifted, C_new, dim=64), ref_new
+    )
+
+
 def test_ivf_drift_flag_policy():
-    """Pure-function pins for the r12 retrain trigger: fires on a mean-dot
-    drop OR an occupancy collapse; an empty batch judges nothing."""
+    """Pure-function pins for the r12 retrain trigger: fires on a
+    quantizer-fit drop (mean assignment cosine), NOT on batch occupancy
+    concentration — a topically-coherent batch legitimately lands in one
+    cell (the retrain-clears test above found exactly that: share 1.0 at
+    cosine 0.90 post-retrain); an empty batch judges nothing."""
     from dask_hivemetastore_spark.operators.similarity import ivf_drift_flag
 
     ref = (0.35, 0.10, 1000)
     assert not ivf_drift_flag((0.36, 0.12, 100), ref)   # in-distribution
-    assert ivf_drift_flag((0.25, 0.12, 100), ref)       # dot rule
-    assert ivf_drift_flag((0.36, 0.30, 100), ref)       # share rule
+    assert ivf_drift_flag((0.25, 0.12, 100), ref)       # fit rule fires
+    assert not ivf_drift_flag((0.36, 1.00, 100), ref)   # coherence alone: no
     assert not ivf_drift_flag((float("nan"), float("nan"), 0), ref)  # empty
 
 
