@@ -511,20 +511,48 @@ def lsh_build_index(emb: DataFrame, index_path: str, *, dim: int,
     re-hash of the corpus. The postings table holds only
     ``(bucket, id)`` per table — L×(8+8) bytes per vector — so it stays
     small next to the float embeddings. Ingest appends compose exactly
-    like :func:`ivf_append` (assign the batch against the SAME seeded
-    planes, append under the table partitions); planes are stateless so
-    there is no drift analogue — LSH's maintenance cost is table count,
-    not retraining."""
+    like :func:`ivf_append` (:func:`lsh_append` — assign the batch
+    against the SAME seeded planes, append under the table partitions;
+    grown index content-identical to a one-shot build, pinned); planes
+    are stateless so there is no drift analogue — LSH's maintenance
+    cost is table count, not retraining."""
+    _lsh_postings(emb, dim=dim, bits=bits, n_tables=n_tables,
+                  id_col=id_col, vec_col=vec_col, seed=seed).write.mode(
+        "overwrite"
+    ).partitionBy("table").parquet(index_path)
+
+
+def _lsh_postings(emb: DataFrame, *, dim: int, bits: int, n_tables: int,
+                  id_col: str, vec_col: str, seed: int) -> DataFrame:
     b = lsh_bucket_ids(emb, dim=dim, bits=bits, id_col=id_col,
                        vec_col=vec_col, n_tables=n_tables, seed=seed)
-    (
+    return (
         b.select(id_col, F.posexplode("buckets").alias("table", "bucket"))
         .repartition("table")
         .sortWithinPartitions("bucket")
-        .write.mode("overwrite")
-        .partitionBy("table")
-        .parquet(index_path)
     )
+
+
+def lsh_append(new_emb: DataFrame, index_path: str, *, dim: int,
+               bits: int = 8, n_tables: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42, mode: str = "append") -> None:
+    """Incremental LSH postings maintenance, the exact sibling of
+    :func:`ivf_append`: hash ONLY the arriving batch against the SAME
+    seeded planes and append its postings under the table partitions —
+    |batch| cost, resident files untouched, index queryable throughout.
+    Because the planes are a pure seeded function (no training state),
+    a grown index is CONTENT-IDENTICAL to a one-shot
+    :func:`lsh_build_index` over the union (pinned in
+    tests/test_operators.py) — and unlike IVF there is nothing to
+    drift: maintenance is small-file compaction per table directory
+    (the registered ``compact_partition_scoped`` pattern), never a
+    retrain. ``mode``/per-batch-subdirectory keying composes for
+    at-least-once callers exactly as documented on :func:`ivf_append`."""
+    _lsh_postings(new_emb, dim=dim, bits=bits, n_tables=n_tables,
+                  id_col=id_col, vec_col=vec_col, seed=seed).write.mode(
+        mode
+    ).partitionBy("table").parquet(index_path)
 
 
 def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,

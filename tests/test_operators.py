@@ -166,6 +166,41 @@ def test_lsh_indexed_probe_matches_inline(spark, sf_dir, tmp_path):
     assert indexed == inline and len(indexed) == 10
 
 
+def test_lsh_append_grown_index_identical_and_probe_oblivious(
+        spark, sf_dir, tmp_path):
+    """lsh_append is ivf_append's exact sibling: postings grown by
+    batch appends against the same seeded planes must be
+    CONTENT-IDENTICAL to a one-shot build over the union, and the probe
+    must be oblivious to ingest history."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        lsh_append,
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    oneshot = str(tmp_path / "oneshot")
+    grown = str(tmp_path / "grown")
+    lsh_build_index(emb, oneshot, dim=64, bits=8, n_tables=16)
+    lsh_build_index(emb.where(F.col("vec_id") % 2 == 0), grown,
+                    dim=64, bits=8, n_tables=16)
+    for parity in (1, 3):
+        lsh_append(emb.where(F.col("vec_id") % 4 == parity), grown,
+                   dim=64, bits=8, n_tables=16)
+    g = spark.read.parquet(grown)
+    o = spark.read.parquet(oneshot)
+    assert g.count() == o.count()
+    assert g.exceptAll(o).count() == 0 and o.exceptAll(g).count() == 0
+    pg = [tuple(r) for r in lsh_probe_indexed(
+        emb, grown, query_id=0, dim=64, bits=8, n_tables=16).collect()]
+    po = [tuple(r) for r in lsh_probe_indexed(
+        emb, oneshot, query_id=0, dim=64, bits=8, n_tables=16).collect()]
+    assert pg == po and len(pg) == 10
+
+
 def test_ivf_drift_flag_triggers_retrain_that_clears(spark, sf_dir):
     """Close the drift loop (r12): the documented response to a flagged
     batch is retrain+rebuild. After retraining the coarse quantizer on
