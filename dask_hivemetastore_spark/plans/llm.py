@@ -903,7 +903,14 @@ def ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     free — are outside it on both sides; the shift preserves
     eligibility: offset+renormalize of a finite dim-64 vector is a
     finite dim-64 vector). A quantizer or threshold regression that
-    lets a shifted batch pass unflagged turns the driver row red."""
+    lets a shifted batch pass unflagged turns the driver row red.
+
+    The shifted=1 pin is a CLEAN-FIXTURE contract: on the hostile
+    corpus a legal norm-8000 all-ones vector hands KMeans a centroid on
+    the shift axis û, the shifted batch then fits at cosine ~0.89, and
+    the FIT rule correctly declines to flag a mode the quantizer
+    already owns — pinned as a property test
+    (tests/test_hostile_embeddings.py) instead of the oracle replay."""
     emb = load_table(spark, sf_dir, "embeddings")
     C = similarity.ivf_train_centroids(
         emb, n_cells=16, cache_key=sf_dir, dim=EMB_DIM

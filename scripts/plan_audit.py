@@ -39,6 +39,8 @@ ALLOW: dict[str, str] = {
     "cross_join_region_status": "intentional 5x3 cross-join demo (C5)",
     "knn_cosine_topk": "crossJoin of a broadcast 1-row query vector",
     "knn_lsh_topk": "broadcast 1-row probe set vs bucketed corpus",
+    "knn_lsh_indexed": "crossJoin of a broadcast 1-row query vector"
+    " (the exact-top-10 audit twin, same shape as knn_cosine_topk)",
     "knn_ivf_topk": "crossJoin of a broadcast 1-row query vector",
     "embedding_near_pairs": "block x block tiling joins on range predicates"
     " after a BLAS screen; candidate volume bounded by tile size",

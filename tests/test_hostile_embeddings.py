@@ -60,7 +60,12 @@ _FULL_ORACLE_KEYS = [
     # margin, not knife-edge values)
     "knn_lsh_topk",
     "knn_lsh_indexed",
-    "ivf_drift_check",
+    # ivf_drift_check is NOT in the full-oracle replay: its pinned
+    # shifted-flag verdict is a clean-fixture contract. On THIS corpus
+    # the legal norm-8000 all-ones vector hands KMeans a cell aligned
+    # with the shift direction û, so the α=2-shifted batch fits at
+    # cosine ~0.89 and the FIT rule correctly declines to flag a mode
+    # the quantizer already owns — see the dedicated property test.
 ]
 # knn_ivf_topk is NOT replayed against its brute-force oracle here: its
 # oracle equality holds on the REAL corpus (nprobe=8/16 recovers the full
@@ -193,6 +198,28 @@ def test_planted_duplicate_still_found(spark, hostile_emb_dir):
         ).collect()
     }
     assert (2, 9000) in pairs, sorted(pairs)[:5]
+
+
+def test_drift_check_on_hostile_corpus_properties(spark, hostile_emb_dir):
+    """The drift detector on the poisoned corpus: must RUN (eligibility
+    excludes corrupt rows; counts = 48 eligible positive-norm control
+    rows), must NOT flag the in-distribution control batch, and —
+    the instructive case — must NOT flag the α=2-shifted batch either:
+    the corpus's legal norm-8000 all-ones vector (id 33) gives the
+    seeded KMeans a centroid aligned with the shift direction û, so
+    shifted vectors assign at cosine ~0.89 — the quantizer OWNS that
+    mode and re-training would change nothing. A share-based rule would
+    have flagged it forever (the batch concentrates in û's cell); the
+    fit-only rule correctly stays quiet. This is why the key's pinned
+    shifted=1 verdict lives on the clean fixture only."""
+    from dask_hivemetastore_spark import plans
+
+    rows = {r.batch: r for r in
+            plans.QUERIES["ivf_drift_check"](spark, hostile_emb_dir).collect()}
+    assert rows["control"].n_vectors == 48
+    assert rows["shifted"].n_vectors == 48
+    assert rows["control"].retrain_flag == 0
+    assert rows["shifted"].retrain_flag == 0  # û-cell owns the mode here
 
 
 def test_raw_lsh_path_survives_corruption(spark, hostile_emb_dir):
