@@ -580,9 +580,14 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
         .first()  # bounded: 1 row
     )
     if qrow is None:  # corrupt/absent query → no-answer, never wrong
-        return spark.createDataFrame(
-            [], f"{id_col} long, cosine double"
-        )
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        # id type DERIVED from the corpus, not hardcoded — a bigint-vs-
+        # int mismatch with the non-empty path breaks schema-sensitive
+        # callers (unions, compares); same rule as _empty_topk (r8)
+        return spark.createDataFrame([], StructType([
+            emb.schema[id_col], StructField("cosine", DoubleType()),
+        ]))
     qv = np.asarray(qrow[0], dtype=np.float64)
     planes = _hyperplanes(dim, bits, seed=seed, n_tables=n_tables)
     weights = 1 << np.arange(bits)

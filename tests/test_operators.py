@@ -201,6 +201,33 @@ def test_lsh_append_grown_index_identical_and_probe_oblivious(
     assert pg == po and len(pg) == 10
 
 
+def test_lsh_indexed_probe_corrupt_query_empty_with_corpus_types(
+        spark, sf_dir, tmp_path):
+    """A corrupt/absent query vector yields an EMPTY result (no-answer,
+    never wrong-answer — the standing ANN contract), and the empty
+    frame's id type derives from the corpus schema so schema-sensitive
+    callers (unions, compares) see the same shape as the non-empty
+    path."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "postings")
+    lsh_build_index(emb, idx, dim=64, bits=8, n_tables=4)
+    empty = lsh_probe_indexed(emb, idx, query_id=-999, dim=64, bits=8,
+                              n_tables=4, k=10)
+    assert empty.count() == 0
+    nonempty = lsh_probe_indexed(emb, idx, query_id=0, dim=64, bits=8,
+                                 n_tables=4, k=10)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == \
+           [(f.name, f.dataType) for f in nonempty.schema.fields]
+    # and the two shapes actually union (the schema-sensitive caller)
+    assert nonempty.unionByName(empty).count() == nonempty.count()
+
+
 def test_ivf_drift_flag_triggers_retrain_that_clears(spark, sf_dir):
     """Close the drift loop (r12): the documented response to a flagged
     batch is retrain+rebuild. After retraining the coarse quantizer on
