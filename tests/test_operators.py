@@ -1118,3 +1118,67 @@ def test_simhash_pairs_exact_contract_vs_scalar_reimpl(spark):
             ):
                 want.add((a, b))
     assert got == want, (len(got), len(want), sorted(got ^ want)[:5])
+
+def test_lsh_bucket_ids_match_numpy_twin(spark, sf_dir):
+    """The multi-table bucketize kernel pinned against an independent
+    driver-side numpy twin for every corpus row, across configs — the
+    engine's (vecs @ planes.T > 0) sign-pattern must be bit-exact (same
+    planes, float32→float64 widening is exact), so any future kernel
+    refactor that perturbs table order, weights, or the shared rng
+    stream shows up here, not in a silent recall shift."""
+    import numpy as np
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_ids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    for bits, n_tables, seed in ((8, 1, 42), (8, 16, 42), (6, 4, 7)):
+        planes = _hyperplanes(64, bits, seed=seed, n_tables=n_tables)
+        w = 1 << np.arange(bits)
+        twin = {
+            int(vid): [int((((V[i] @ planes[t].T) > 0) * w).sum())
+                       for t in range(n_tables)]
+            for i, vid in enumerate(pdf["vec_id"])
+        }
+        got = {
+            r.vec_id: list(r.buckets)
+            for r in lsh_bucket_ids(emb, dim=64, bits=bits,
+                                    n_tables=n_tables, seed=seed).collect()
+        }
+        assert got == twin, (bits, n_tables, seed)
+
+
+def test_ivf_drift_dial_monotonic_in_shift_magnitude(spark, sf_dir):
+    """The drift dial pinned across shift magnitudes at sf0.01:
+    alpha=0 (identity up to renormalization) and the small alpha=0.5
+    nudge stay under the threshold; alpha>=1 flags. Deterministic
+    (seeded quantizer, fixed data); pins the threshold's working range,
+    not just the two registered endpoints."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_drift_flag,
+        ivf_drift_stats,
+        ivf_train_centroids,
+        shift_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    C = ivf_train_centroids(emb, n_cells=16, cache_key=sf_dir, dim=64)
+    ref = ivf_drift_stats(emb, C, dim=64)
+    ctrl = emb.where(F.col("vec_id") % 10 == 0)
+    flags = {
+        alpha: ivf_drift_flag(
+            ivf_drift_stats(shift_vectors(ctrl, alpha=alpha, dim=64),
+                            C, dim=64),
+            ref,
+        )
+        for alpha in (0.0, 0.5, 1.0, 2.0)
+    }
+    assert flags == {0.0: False, 0.5: False, 1.0: True, 2.0: True}, flags

@@ -792,3 +792,88 @@ def test_stream_ivf_ingest_batching_invariant_with_fixed_centroids(
     ref = [tuple(r) for r in ivf_probe_indexed(
         spark, oneshot, C, qv, k=5, nprobe=3, exclude_id=0).collect()]
     assert got == ref
+
+def test_stream_ivf_ingest_per_batch_drift_monitoring(spark, tmp_path):
+    """Drift monitoring composed INTO the streaming ingest path (r12):
+    each foreachBatch micro-batch is scored with ivf_drift_stats against
+    the training-corpus reference before it is appended — the per-batch
+    cost is the same GEMM the append already pays. Over a 3-file stream
+    of two in-distribution slices and one deliberately-shifted file,
+    exactly the shifted batch must flag. This is the operational answer
+    to 'when do I retrain' AT the ingest point, not in a nightly job."""
+    import os as _os
+
+    import numpy as _np
+    import pandas as _pd
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_append,
+        ivf_drift_flag,
+        ivf_drift_stats,
+        ivf_train_centroids,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    C = ivf_train_centroids(emb, n_cells=16, cache_key=str(tmp_path), dim=64)
+    ref = ivf_drift_stats(emb, C, dim=64)
+
+    src = tmp_path / "emb_stream"
+    ed = src / "embeddings.parquet"
+    ed.mkdir(parents=True)
+    pdf = _pd.read_parquet(_os.path.join(SF_SMOKE, "embeddings.parquet"))
+    n = len(pdf)
+    u = _np.ones(64) / _np.sqrt(64)
+
+    def write_part(i, part, shift=False):
+        part = part.copy()
+        if shift:
+            V = _np.stack([_np.asarray(v, dtype=_np.float64)
+                           for v in part["embedding"]])
+            V = V + 2.0 * u
+            V /= _np.linalg.norm(V, axis=1, keepdims=True)
+            part["embedding"] = [r.astype(_np.float32) for r in V]
+            part["vec_id"] = part["vec_id"] + 50_000
+        p = str(ed / f"part-{i}.parquet")
+        part.to_parquet(p, index=False)
+        _os.utime(p, (1_000_000_000 + 60 * i,) * 2)
+
+    write_part(0, pdf.iloc[: n // 3])
+    write_part(1, pdf.iloc[n // 3: 2 * n // 3])
+    write_part(2, pdf.iloc[2 * n // 3:], shift=True)
+
+    idx = str(tmp_path / "idx")
+    seen: list[tuple[int, bool, int]] = []
+
+    def append_with_monitoring(bdf, bid):
+        st = ivf_drift_stats(bdf, C, dim=64)
+        seen.append(
+            (bid, ivf_drift_flag(st, ref),
+             bdf.agg({"vec_id": "min"}).first()[0])
+        )
+        ivf_append(bdf, f"{idx}/ingest_batch={bid}", C, dim=64,
+                   mode="overwrite")
+
+    schema = spark.read.parquet(str(ed)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(append_with_monitoring)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    assert len(seen) == 3
+    flagged = {min_id >= 50_000 for _, flag, min_id in seen if flag}
+    unflagged = {min_id >= 50_000 for _, flag, min_id in seen if not flag}
+    assert flagged == {True}, seen     # exactly the shifted file flags
+    assert unflagged == {False}, seen  # both in-dist slices stay quiet
+    # and every batch (flagged or not) landed idempotently in the index
+    assert spark.read.parquet(idx).count() == n
