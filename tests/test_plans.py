@@ -517,3 +517,33 @@ def test_bucketed_join_no_exchange(spark):
     unbucketed = o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
     control = _explain(unbucketed, "simple")
     assert control.count("Exchange") >= 2, control
+
+def test_lsh_postings_probe_pushes_filters_and_prunes_columns(spark, tmp_path):
+    """The materialized LSH postings probe's scale evidence, pinned at the
+    plan level (r12): the postings FileScan must carry (a)
+    PartitionFilters on the `table` partition key (each disjunct of the
+    probe condition constrains it, so a caller probing fewer tables
+    lists fewer directories), (b) PushedFilters with the bucket IN-lists
+    (parquet min/max on the bucket-sorted files skips non-probed
+    buckets), and (c) a ReadSchema pruned to (vec_id, bucket) — the
+    probe never reads payload columns from the postings."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "postings")
+    lsh_build_index(emb, idx, dim=64, bits=8, n_tables=4)
+    df = lsh_probe_indexed(emb, idx, query_id=0, dim=64, bits=8,
+                           n_tables=4, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(line for line in plan.split("\n")
+                if "FileScan" in line and "bucket" in line)
+    assert "PartitionFilters: [" in scan and "table#" in scan.split(
+        "PartitionFilters:")[1].split("]")[0]
+    assert "In(bucket" in scan.split("PushedFilters:")[1]
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "vec_id" in read_schema and "bucket" in read_schema
+    assert "embedding" not in read_schema and "table" not in read_schema
