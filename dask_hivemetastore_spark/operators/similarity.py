@@ -564,11 +564,16 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
     query's per-table probe sets are computed driver-side from the same
     seeded planes (one bounded 1-row fetch for the query vector); the
     postings scan condition ``OR_t (table = t AND bucket IN probes_t)``
-    carries a partition-key conjunct in every disjunct, so only the
-    probed table directories are listed. Candidates (distinct ids)
-    semi-join the corpus for the exact rescore. Result-identical to
-    :func:`lsh_topk` at the same config (same planes → same candidate
-    set → same exact scores; pinned in tests)."""
+    carries a partition-key conjunct in every disjunct, so the scan
+    gets PartitionFilters on ``table`` (a caller probing a subset of
+    tables lists only those directories; this default probes all L) —
+    the within-table pruning is the PushedFilters bucket IN-lists
+    skipping row groups of the bucket-sorted files, and the ReadSchema
+    is pruned to (id, bucket). All three pinned at the plan level in
+    tests/test_plans.py. Candidates (distinct ids) semi-join the corpus
+    for the exact rescore. Result-identical to :func:`lsh_topk` at the
+    same config (same planes → same candidate set → same exact scores;
+    pinned in tests)."""
     from functools import reduce
     from operator import or_
 
