@@ -93,71 +93,90 @@ from .. import streaming  # noqa: F401,E402
 # stream_click_attribution, text_stats_docs, thin_metastore_scan,
 # topn_parts_per_brand, udtf_bigrams, variant_extract_props,
 # window_rank_orders).
+# Round 13 (this window): block 1 = the round's ONE new key
+# (stream_lsh_ingest — streaming LSH postings ingest, the
+# stream_ivf_ingest sibling) + the 3 keys whose engine changed this
+# round (ivf_drift_check moved to the per-index 3σ threshold derived
+# from ivf_drift_reference; knn_lsh_indexed gained the manifest +
+# INT8-screened rescore path and the explicit (table,bucket) writer
+# sort; stream_ivf_ingest went manifest-first — appends and the probe
+# resolve centroids from the path alone); block 2 = the ENTIRE
+# r8-vintage drift tail (the 27 keys VERDICT r12 missing #2 named,
+# list re-verified by script against the r1–r12 union); block 3 = the
+# 19 alphabetically-first r9-vintage keys — after r13 no driver row
+# predates r9, and 24 r9 stragglers remain for r14: grouped_map_zscore,
+# grouping_sets_sql, incremental_agg_merge, interleave_sources_rr,
+# interval_overlap_longtail, median_mode_agg, pivot_status_by_segment,
+# python_stream_source_agg, quality_percentile_gate, quantile_value,
+# regexp_extract_docs, rolling_1h_events, salted_join_revenue,
+# scd2_user_event_intervals, sql_entrypoint, stream_dedup_users,
+# stream_filter_to_parquet, stream_sliding_30m, stream_stateful_counts,
+# stream_tumbling_1h, token_pack_docs, train_test_split_docs,
+# unpivot_lineitem_metrics, window_value_funcs.
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r12 block 1: the two new keys + the 3 changed keys (policy #2
-    # --- and the changed-keys re-cert rule). ---
+    # --- r13 block 1: the new key + the 3 changed keys (policy #2 and
+    # --- the changed-keys re-cert rule). ---
+    "stream_lsh_ingest",
     "ivf_drift_check",
     "knn_lsh_indexed",
-    "knn_lsh_topk",
     "stream_ivf_ingest",
-    "stream_sessionize",
-    # --- r12 block 2: the ENTIRE r7-vintage drift tail (VERDICT r11
-    # --- next #1 — 30 keys). The two persist-swap keys lead. After
-    # --- r12 no driver row predates r8. ---
-    "split_leakage_audit",
-    "stream_dedup_near_docs",
-    "filter_in_list",
-    "full_outer_nation_presence",
-    "intersect_nations",
-    "join_indicator",
-    "join_orders_customer",
-    "left_join_customer_orders",
-    "null_handling",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q1_pricing_summary",
-    "q22_global_sales_opportunity",
-    "q3_top_orders",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_revenue_delta",
-    "q7_volume_shipping",
-    "rollup_nation_region",
-    "scan_project_filter",
-    "semi_join_customers",
-    "string_funcs_docs",
-    "training_corpus_pipeline",
-    "union_all_events_split",
-    "union_distinct",
-    "value_counts_events",
-    # --- r12 block 3: drift re-certification, the 15 alphabetically-
-    # --- first r8-vintage keys (their newest driver rows are 4 rounds
-    # --- old; the remaining 27 are listed in the history note above
-    # --- for r13). ---
-    "array_funcs_embeddings",
-    "asof_join_events",
-    "asof_join_tolerance",
-    "collated_distinct_words",
-    "corpus_rebalance_sources",
-    "corpus_rebalance_temperature",
-    "date_arithmetic",
-    "decimal_money_agg",
-    "dedup_exact",
-    "doc_chunk_windows",
-    "events_sessionize",
-    "events_sliding",
-    "events_tumbling_1h",
-    "interval_overlap_pairs",
-    "json_extract_props",
+    # --- r13 block 2: the ENTIRE r8-vintage drift tail (VERDICT r12
+    # --- missing #2 / next #1 — 27 keys). After r13 no driver row
+    # --- predates r9. ---
+    "jsonl_roundtrip_agg",
+    "lag_lead_events",
+    "lateral_top_lineitems",
+    "map_funcs_props",
+    "map_partitions_net_price",
+    "merge_upsert_orders",
+    "multimodal_extract",
+    "multimodal_frame_sample",
+    "nations_per_region_csv",
+    "orc_roundtrip_agg",
+    "pandas_udf_scalar",
+    "pii_redact_docs",
+    "python_datasource_scan",
+    "quality_report_by_status",
+    "range_join_banded",
+    "range_join_events",
+    "rolling_avg_value",
+    "sessionize_dynamic_gap",
+    "span_dedup_docs",
+    "stratified_sample_docs",
+    "stream_click_attribution",
+    "text_stats_docs",
+    "thin_metastore_scan",
+    "topn_parts_per_brand",
+    "udtf_bigrams",
+    "variant_extract_props",
+    "window_rank_orders",
+    # --- r13 block 3: drift re-certification, the 19 alphabetically-
+    # --- first r9-vintage keys (the remaining 24 are listed in the
+    # --- history note above for r14). ---
+    "agg_misc",
+    "argmin_argmax_orders",
+    "bm25_rank_docs",
+    "cogrouped_map_ratio",
+    "compact_small_files",
+    "corpus_shuffle_shards",
+    "corr_price_qty",
+    "cumsum_orders",
+    "custom_agg_geomean",
+    "data_quality_report",
+    "decontaminate_digest_docs",
+    "decontaminate_docs",
+    "describe_lineitem",
+    "doc_fingerprint",
+    "domain_cap_docs",
+    "events_date_parts",
+    "events_hourly_gapfill",
+    "funnel_signup_purchase",
+    "grouped_arrow_minmax",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -888,11 +888,25 @@ def ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       (:func:`..operators.similarity.shift_vectors`: + 2·û offset,
       renormalized — an embedding-model update in miniature) — MUST
       flag via :func:`..operators.similarity.ivf_drift_flag`
-      (quantizer-FIT rule, threshold ``DRIFT_DOT_DELTA``; batch
-      occupancy is reported but never flags — a coherent batch
-      legitimately concentrates, pinned in tests/test_operators.py;
-      margins measured in scripts/stress_ivf_scale.py's drift arm and
-      pinned in tests/test_hostile_embeddings.py).
+      (quantizer-FIT rule; batch occupancy is reported but never
+      flags — a coherent batch legitimately concentrates, pinned in
+      tests/test_operators.py; margins measured in
+      scripts/stress_ivf_scale.py's drift arm and pinned in
+      tests/test_hostile_embeddings.py).
+
+    Threshold (r13, VERDICT r12 next #3): PER-INDEX, not the global
+    constant — the reference is
+    :func:`..operators.similarity.ivf_drift_reference` (training-time
+    mean assignment cosine + the σ of per-slice means over 10
+    deterministic corpus slices, the manifest payload), and the flag
+    fires at ``ref_mean − 3σ`` (the control-chart limit). Measured
+    margins at the driver's sf0.01: 3σ = 0.047, control drop −0.017
+    (fits better — far from flagging), shifted drop 0.115 = 2.4× the
+    threshold; at sf0.001 3σ = 0.039 vs shifted drop 0.105 (2.7×); the
+    full dial (α = 0/0.5/1/2 → no/no/yes/yes) is re-pinned against the
+    derived threshold in tests/test_operators.py. ``DRIFT_DOT_DELTA``
+    stays as the documented fallback for references without a σ
+    estimate.
 
     DERIVED full oracle (the r10 verdict-column pattern): the flag is a
     deterministic function of (fixture, seeded KMeans, fixed
@@ -915,7 +929,12 @@ def ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     C = similarity.ivf_train_centroids(
         emb, n_cells=16, cache_key=sf_dir, dim=EMB_DIM
     )
-    ref = similarity.ivf_drift_stats(emb, C, dim=EMB_DIM)
+    # the TRAINING-TIME reference (mean + per-slice σ) — in production
+    # this dict is computed once by ivf_build_index and read back from
+    # the index manifest (ivf_drift_check_batch); here the key derives
+    # it inline because it owns no materialized index
+    refd = similarity.ivf_drift_reference(emb, C, dim=EMB_DIM)
+    ref = (refd["ref_mean"], refd["ref_max_share"], refd["n"])
     # positive-norm base for BOTH arms: a zero vector is outside the
     # directional statistic, and shifting one would fabricate a vector
     # lying exactly on the drift axis — the arms must share base rows
@@ -931,9 +950,9 @@ def ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("shifted", similarity.shift_vectors(ctrl, alpha=2.0, dim=EMB_DIM)),
     ):
         st = similarity.ivf_drift_stats(batch, C, dim=EMB_DIM)
-        rows.append(
-            (name, st[2], int(similarity.ivf_drift_flag(st, ref)))
-        )
+        rows.append((name, st[2], int(similarity.ivf_drift_flag(
+            st, ref, sigma=refd["ref_sigma"]
+        ))))
     return spark.createDataFrame(  # 2 driver-side rows, bounded
         rows, "batch string, n_vectors bigint, retrain_flag int"
     ).orderBy("batch")

@@ -889,6 +889,17 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="stream_ivf_")
     idx = f"{base}/index"
+    # r13 (VERDICT r12 next #2): the index MANIFEST — centroids +
+    # training-time drift reference — is written ONCE before ingest
+    # starts; every append then resolves the quantizer from the path
+    # alone (the batch subdir walks up to the root manifest), and a
+    # per-batch drift monitor (ivf_drift_check_batch) runs at |batch|
+    # cost with ZERO resident-corpus reads — pinned in
+    # tests/test_layouts.py and tests/test_streaming.py
+    similarity.write_index_manifest(
+        spark, idx,
+        similarity.ivf_manifest(emb, C, dim=_IVF_DIM, n_cells=16, seed=42),
+    )
 
     batch_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     raw = spark.readStream.schema(batch_schema).option("basePath", sf_dir)
@@ -898,11 +909,12 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = raw.parquet(f"{sf_dir}/embeddings.parque[t]")
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # batch-id-keyed subdirectory + overwrite = replay-idempotent
+        # batch-id-keyed subdirectory + overwrite = replay-idempotent;
+        # centroids resolved from the root manifest (path-only API)
         similarity.ivf_append(
             batch_df,
             f"{idx}/ingest_batch={batch_id}",
-            C,
+            None,
             dim=_IVF_DIM,
             mode="overwrite",
         )
@@ -923,9 +935,101 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()
     )
     qv = np.asarray(qrow[0], dtype=np.float64)  # 1-row fetch, bounded
-    return similarity.ivf_probe_indexed(
-        spark, idx, C, qv, k=10, nprobe=8, exclude_id=0
+    return similarity.ivf_probe_indexed(  # centroids from the manifest
+        spark, idx, None, qv, k=10, nprobe=8, exclude_id=0
     )
+
+
+@query(
+    "stream_lsh_ingest",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings
+               WHERE {similarity.ORACLE_FINITE.format(v='embedding',
+                                                      d=64)}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+               AS cosine,
+           1 AS lsh_recall_floor_met
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 × streaming (r13, VERDICT r12 next #5): the LSH POSTINGS
+    index maintained by a stream — the exact sibling of
+    ``stream_ivf_ingest``, closing the "index keeps up with ingest"
+    story for BOTH ANN layouts. Embeddings arrive as a file stream;
+    the index manifest (``lsh_manifest``: dim/bits/n_tables/seed —
+    planes are a pure seeded function, nothing to train) is written
+    ONCE before ingest; each micro-batch is hashed against those
+    planes by ``foreachBatch`` → :func:`..operators.similarity.
+    lsh_append` with the batch keyed to its own
+    ``ingest_batch=<batch_id>`` subdirectory and ``mode="overwrite"``
+    — idempotent under at-least-once replay on BOTH stores (postings
+    and the INT8 rescore sidecar; pinned in tests/test_layouts.py).
+    The index is queryable mid-ingest (appends only add files), and
+    because hashing is stateless the stream-grown postings are
+    content-identical to a one-shot build — there is no drift arm to
+    monitor, by construction (the LSH advantage ``lsh_build_index``
+    documents). After the drain, :func:`..operators.similarity.
+    lsh_probe_indexed` answers from the grown index with the path
+    alone (manifest-resolved config, INT8 screen + exact rerank).
+
+    Same DERIVED recall-verdict full oracle as ``knn_lsh_indexed``
+    (the r12 graduation pattern): the key returns the exact top-10
+    annotated with ``lsh_recall_floor_met`` = (probe recall@10 ≥ 0.5),
+    which the DuckDB oracle pins to 1 — a recall slip on the
+    stream-grown index turns the driver row red. Stream-grown-vs-
+    one-shot probe identity is additionally pinned in
+    tests/test_streaming.py. Both collects are bounded (10 rows)."""
+    from ..catalog import load_table
+
+    ensure_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="stream_lsh_")
+    idx = f"{base}/index"
+    similarity.write_index_manifest(
+        spark, idx,
+        similarity.lsh_manifest(dim=_IVF_DIM, bits=8, n_tables=16,
+                                seed=42),
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    raw = spark.readStream.schema(batch_schema).option("basePath", sf_dir)
+    mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if mft:
+        raw = raw.option("maxFilesPerTrigger", int(mft))
+    stream = raw.parquet(f"{sf_dir}/embeddings.parque[t]")
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        similarity.lsh_append(  # config from the root manifest
+            batch_df, idx,
+            subdir=f"ingest_batch={batch_id}", mode="overwrite",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    lsh_ids = {
+        r.vec_id
+        for r in similarity.lsh_probe_indexed(
+            emb, idx, query_id=0, k=10
+        ).collect()
+    }
+    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=_IVF_DIM)
+    exact_ids = {r.vec_id for r in exact.collect()}
+    floor_met = int(len(lsh_ids & exact_ids) >= 5)
+    return exact.withColumn("lsh_recall_floor_met", F.lit(floor_met))
 
 
 # ------------------------------------------- state-store observability

@@ -38,7 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOW: dict[str, str] = {
     "cross_join_region_status": "intentional 5x3 cross-join demo (C5)",
     "knn_cosine_topk": "crossJoin of a broadcast 1-row query vector",
-    "knn_lsh_topk": "broadcast 1-row probe set vs bucketed corpus",
+    "knn_lsh_topk": "crossJoin of a broadcast 1-row query vector"
+    " (since the r12 graduation the key RETURNS the exact-top-10 audit"
+    " twin — the LSH path is collected eagerly inside the function —"
+    " same shape as knn_cosine_topk)",
     "knn_lsh_indexed": "crossJoin of a broadcast 1-row query vector"
     " (the exact-top-10 audit twin, same shape as knn_cosine_topk)",
     "knn_ivf_topk": "crossJoin of a broadcast 1-row query vector",

@@ -274,6 +274,52 @@ def test_ivf_drift_flag_policy():
     assert ivf_drift_flag((0.25, 0.12, 100), ref)       # fit rule fires
     assert not ivf_drift_flag((0.36, 1.00, 100), ref)   # coherence alone: no
     assert not ivf_drift_flag((float("nan"), float("nan"), 0), ref)  # empty
+    # r13 per-index sigma rule: threshold = 3 sigma, not the global delta
+    assert not ivf_drift_flag((0.30, 0.12, 100), ref, sigma=0.02)  # 2.5 sig
+    assert ivf_drift_flag((0.28, 0.12, 100), ref, sigma=0.02)      # 3.5 sig
+    # sigma absent/NaN/0 -> documented global-delta fallback
+    assert ivf_drift_flag((0.30, 0.12, 100), ref, sigma=float("nan"))
+    assert ivf_drift_flag((0.30, 0.12, 100), ref, sigma=0.0)
+    # r13 advisor: a NaN/empty REFERENCE must fail loudly, never
+    # silently disable the detector (NaN compares are always False)
+    with pytest.raises(ValueError):
+        ivf_drift_flag((0.30, 0.12, 100), (float("nan"), float("nan"), 0))
+    with pytest.raises(ValueError):
+        ivf_drift_flag((0.30, 0.12, 100), (float("nan"), 0.1, 50))
+
+
+def test_shift_vectors_zero_norm_passthrough(spark):
+    """r13 advisor pin: a vector equal to -alpha*u lands exactly on the
+    origin after the shift offset; the old code divided by its zero
+    norm and emitted a fabricated NaN row under the schema-equals-input
+    contract. Such rows now pass through UNSHIFTED — same row count,
+    all-finite output, and the adversarial row keeps its original
+    value while normal rows still shift."""
+    import numpy as np
+
+    from dask_hivemetastore_spark.operators.similarity import shift_vectors
+
+    # dim=4 makes u = 1/2 exactly representable in binary, so the f32
+    # poison row cancels the f64 offset EXACTLY (at other dims the f32
+    # round-trip leaves a ~1e-9 residual and the row legitimately
+    # renormalizes to the residual direction instead)
+    dim, alpha = 4, 2.0
+    u = np.ones(dim) / np.sqrt(dim)
+    poison = (-alpha * u).astype(np.float32)  # -> exact zero post-offset
+    normal = np.zeros(dim, dtype=np.float32)
+    normal[0] = 1.0
+    emb = spark.createDataFrame(
+        [(0, poison.tolist()), (1, normal.tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in shift_vectors(emb, alpha=alpha, dim=dim).collect()}
+    assert set(out) == {0, 1}  # no row lost
+    assert all(np.isfinite(v).all() for v in out.values())
+    assert np.allclose(out[0], poison, atol=1e-6)  # passed through
+    expect = (normal.astype(np.float64) + alpha * u)
+    expect /= np.linalg.norm(expect)
+    assert np.allclose(out[1], expect, atol=1e-6)  # normal row shifted
 
 
 def test_hive_type_parsing():
@@ -1154,16 +1200,23 @@ def test_lsh_bucket_ids_match_numpy_twin(spark, sf_dir):
 
 
 def test_ivf_drift_dial_monotonic_in_shift_magnitude(spark, sf_dir):
-    """The drift dial pinned across shift magnitudes at sf0.01:
-    alpha=0 (identity up to renormalization) and the small alpha=0.5
-    nudge stay under the threshold; alpha>=1 flags. Deterministic
-    (seeded quantizer, fixed data); pins the threshold's working range,
-    not just the two registered endpoints."""
+    """The drift dial pinned across shift magnitudes at sf0.01 against
+    the DERIVED per-index threshold (r13, VERDICT r12 next #3 done
+    condition): the reference comes from ivf_drift_reference (mean +
+    per-slice σ, the manifest payload) and the flag fires at
+    ref_mean − 3σ. alpha=0 (identity up to renormalization) and the
+    small alpha=0.5 nudge stay under the threshold (measured drops
+    −0.017 / 0.018 vs 3σ = 0.047); alpha>=1 flags (0.063 / 0.115).
+    Deterministic (seeded quantizer, fixed data); pins the derived
+    threshold's working range, not just the two registered endpoints.
+    (The hostile-corpus û-cell case — shifted batch correctly NOT
+    flagged — stays a property pin in test_hostile_embeddings.py.)"""
     from pyspark.sql import functions as F
 
     from dask_hivemetastore_spark.catalog import load_table
     from dask_hivemetastore_spark.operators.similarity import (
         ivf_drift_flag,
+        ivf_drift_reference,
         ivf_drift_stats,
         ivf_train_centroids,
         shift_vectors,
@@ -1171,13 +1224,15 @@ def test_ivf_drift_dial_monotonic_in_shift_magnitude(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     C = ivf_train_centroids(emb, n_cells=16, cache_key=sf_dir, dim=64)
-    ref = ivf_drift_stats(emb, C, dim=64)
+    refd = ivf_drift_reference(emb, C, dim=64)
+    ref = (refd["ref_mean"], refd["ref_max_share"], refd["n"])
+    assert refd["ref_sigma"] > 0  # 10 slices -> a real spread estimate
     ctrl = emb.where(F.col("vec_id") % 10 == 0)
     flags = {
         alpha: ivf_drift_flag(
             ivf_drift_stats(shift_vectors(ctrl, alpha=alpha, dim=64),
                             C, dim=64),
-            ref,
+            ref, sigma=refd["ref_sigma"],
         )
         for alpha in (0.0, 0.5, 1.0, 2.0)
     }

@@ -794,13 +794,17 @@ def test_stream_ivf_ingest_batching_invariant_with_fixed_centroids(
     assert got == ref
 
 def test_stream_ivf_ingest_per_batch_drift_monitoring(spark, tmp_path):
-    """Drift monitoring composed INTO the streaming ingest path (r12):
-    each foreachBatch micro-batch is scored with ivf_drift_stats against
-    the training-corpus reference before it is appended — the per-batch
-    cost is the same GEMM the append already pays. Over a 3-file stream
-    of two in-distribution slices and one deliberately-shifted file,
-    exactly the shifted batch must flag. This is the operational answer
-    to 'when do I retrain' AT the ingest point, not in a nightly job."""
+    """Drift monitoring composed INTO the streaming ingest path (r12;
+    r13: MANIFEST-ONLY): each foreachBatch micro-batch is scored by
+    ivf_drift_check_batch against the reference STORED IN THE INDEX
+    MANIFEST — centroids, ref_mean and the per-index σ all come off the
+    path; the resident corpus is never read per batch (the |batch|-cost
+    contract a 100 TB monitor needs; zero-resident-read pinned
+    behaviorally in tests/test_layouts.py). The append, too, resolves
+    its quantizer from the path alone. Over a 3-file stream of two
+    in-distribution slices and one deliberately-shifted file, exactly
+    the shifted batch must flag. This is the operational answer to
+    'when do I retrain' AT the ingest point, not in a nightly job."""
     import os as _os
 
     import numpy as _np
@@ -809,15 +813,15 @@ def test_stream_ivf_ingest_per_batch_drift_monitoring(spark, tmp_path):
     from dask_hivemetastore_spark.catalog import load_table
     from dask_hivemetastore_spark.operators.similarity import (
         ivf_append,
-        ivf_drift_flag,
-        ivf_drift_stats,
+        ivf_drift_check_batch,
+        ivf_manifest,
         ivf_train_centroids,
+        write_index_manifest,
     )
     from .conftest import SF_SMOKE
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
     C = ivf_train_centroids(emb, n_cells=16, cache_key=str(tmp_path), dim=64)
-    ref = ivf_drift_stats(emb, C, dim=64)
 
     src = tmp_path / "emb_stream"
     ed = src / "embeddings.parquet"
@@ -844,15 +848,16 @@ def test_stream_ivf_ingest_per_batch_drift_monitoring(spark, tmp_path):
     write_part(2, pdf.iloc[2 * n // 3:], shift=True)
 
     idx = str(tmp_path / "idx")
+    write_index_manifest(spark, idx, ivf_manifest(emb, C, dim=64,
+                                                  n_cells=16, seed=42))
     seen: list[tuple[int, bool, int]] = []
 
     def append_with_monitoring(bdf, bid):
-        st = ivf_drift_stats(bdf, C, dim=64)
+        _st, flag = ivf_drift_check_batch(bdf, idx)  # manifest-only
         seen.append(
-            (bid, ivf_drift_flag(st, ref),
-             bdf.agg({"vec_id": "min"}).first()[0])
+            (bid, flag, bdf.agg({"vec_id": "min"}).first()[0])
         )
-        ivf_append(bdf, f"{idx}/ingest_batch={bid}", C, dim=64,
+        ivf_append(bdf, f"{idx}/ingest_batch={bid}", None, dim=64,
                    mode="overwrite")
 
     schema = spark.read.parquet(str(ed)).schema
@@ -877,3 +882,59 @@ def test_stream_ivf_ingest_per_batch_drift_monitoring(spark, tmp_path):
     assert unflagged == {False}, seen  # both in-dist slices stay quiet
     # and every batch (flagged or not) landed idempotently in the index
     assert spark.read.parquet(idx).count() == n
+
+
+def test_stream_lsh_ingest_key_recall_and_schema(spark):
+    """The r13 stream_lsh_ingest key (VERDICT r12 next #5): streaming
+    postings ingest → path-only probe → derived recall verdict. The
+    key must return the exact top-10 with the verdict column pinned 1
+    (16×8-bit tables clear the ≥5/10 floor on this fixture — same
+    measured contract as knn_lsh_indexed)."""
+    from dask_hivemetastore_spark import plans
+    from .conftest import SF_SMOKE
+
+    rows = plans.QUERIES["stream_lsh_ingest"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert all(r.lsh_recall_floor_met == 1 for r in rows)
+    assert [type(r.vec_id) for r in rows]  # schema sanity: scalar cols
+
+
+def test_stream_lsh_grown_content_identical_to_oneshot(spark, tmp_path):
+    """Stream-grown LSH postings (manifest first, batch-keyed subdir
+    appends — the stream_lsh_ingest mechanism) are CONTENT-IDENTICAL
+    to a one-shot lsh_build_index over the union — hashing is a pure
+    seeded function, so ingest history cannot change index content —
+    and the path-only probe returns the same rows from either."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        lsh_append,
+        lsh_build_index,
+        lsh_manifest,
+        lsh_probe_indexed,
+        write_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    oneshot = str(tmp_path / "oneshot")
+    grown = str(tmp_path / "grown")
+    lsh_build_index(emb, oneshot, dim=64, bits=8, n_tables=4)
+    write_index_manifest(spark, grown, lsh_manifest(dim=64, bits=8,
+                                                    n_tables=4))
+    for bid, parity in enumerate((0, 1)):
+        lsh_append(emb.where(F.col("vec_id") % 2 == parity), grown,
+                   subdir=f"ingest_batch={bid}", mode="overwrite")
+
+    def postings(path):
+        return {(r.table, r.bucket, r.vec_id)
+                for r in spark.read.parquet(path)
+                .select("table", "bucket", "vec_id").collect()}
+
+    assert postings(grown) == postings(oneshot)  # bounded: 2k rows
+    pg = [tuple(r) for r in lsh_probe_indexed(
+        emb, grown, query_id=0, k=10).collect()]
+    po = [tuple(r) for r in lsh_probe_indexed(
+        emb, oneshot, query_id=0, k=10).collect()]
+    assert pg == po and len(pg) == 10
