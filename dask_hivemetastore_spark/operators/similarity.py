@@ -813,7 +813,7 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
     qcol = F.array(*[F.lit(float(x)) for x in qv])
     if rescore == "int8":
         keep = shortlist if shortlist is not None else max(4 * k, k + 32)
-        screened = (
+        short_ids = [r[0] for r in (
             spark.read.parquet(_lsh_quantized_path(index_path))
             .join(cand, id_col, "left_semi")
             .where(F.col(id_col) != query_id)
@@ -827,12 +827,32 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
             .dropDuplicates([id_col])
             .orderBy(F.desc("__ascore"), F.asc(id_col))
             .limit(keep)
-            .select(id_col)
+            .collect()  # bounded: <= keep (~4k) rows by construction
+        )]
+        if not short_ids:
+            from pyspark.sql.types import (
+                DoubleType, StructField, StructType,
+            )
+
+            return spark.createDataFrame([], StructType([
+                emb.schema[id_col], StructField("cosine", DoubleType()),
+            ]))
+        # LITERAL id filter, not a semi-join (r13 perf): the shortlist
+        # is bounded and collected, so the exact rescore's corpus scan
+        # gets PushedFilters In(id, ...) — parquet row-group stats on
+        # the id column skip everything else, and the float column is
+        # only decoded for surviving rows. A semi-join would scan the
+        # FULL float column (no pushdown through a join), which is
+        # exactly the cost the INT8 screen exists to avoid.
+        exact_src = finite_vectors(emb, vec_col, dim).where(
+            F.col(id_col).isin(short_ids)
         )
-        cand = screened
+    else:
+        exact_src = finite_vectors(emb, vec_col, dim).join(
+            cand, id_col, "left_semi"
+        )
     return (
-        finite_vectors(emb, vec_col, dim)
-        .join(cand, id_col, "left_semi")
+        exact_src
         .where(F.col(id_col) != query_id)
         .select(id_col,
                 F.round(dot_f64(F.col(vec_col), qcol), 6).alias("cosine"))
@@ -862,14 +882,36 @@ _MANIFEST_DIR = "_index_manifest"
 
 def write_index_manifest(spark, index_path: str, manifest: dict) -> None:
     """Persist ``manifest`` (JSON-serializable) inside the index
-    directory. Overwrite-idempotent — safe under build retries."""
+    directory. Overwrite-idempotent — safe under build retries.
+
+    Written driver-side through the JVM Hadoop FileSystem (any
+    Hadoop-compatible scheme, no Spark job — a 1-row DataFrame write
+    costs a full job launch, ~1 s measured, paid by every streaming
+    ingest key per call); falls back to the DataFrame text writer on
+    runtimes without JVM access (Spark Connect). Read back by
+    :func:`read_index_manifest` via the text source either way."""
     payload = json.dumps(manifest, sort_keys=True)
-    (
-        spark.createDataFrame([(payload,)], "manifest string")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(f"{index_path.rstrip('/')}/{_MANIFEST_DIR}")
-    )
+    target = f"{index_path.rstrip('/')}/{_MANIFEST_DIR}"
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        dir_path = jvm.org.apache.hadoop.fs.Path(target)
+        fs = dir_path.getFileSystem(conf)
+        fs.delete(dir_path, True)  # drop any stale multi-file layout
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{target}/manifest.json"), True
+        )
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:  # pragma: no cover — Connect/remote runtimes
+        (
+            spark.createDataFrame([(payload,)], "manifest string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(target)
+        )
 
 
 def _manifest_candidates(index_path: str, search_parents: int):
@@ -1601,14 +1643,23 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
         F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
         F.lit(1e-12),  # all-zero vector guard
     )
-    return emb.withColumn(
-        "scale", F.when(~corrupt, scale_val)
-    ).withColumn(
+    # qvec divides by the MATERIALIZED scale column, not the scale
+    # expression (r13 perf fix): inlining scale_val into the per-element
+    # lambda re-evaluated the array_max(...) reduction (and the corrupt
+    # probe) PER ELEMENT — an O(dim²) expression tree that took the
+    # 200 k x 64 quantized-sidecar write from ~3 s to 47 s. With 65
+    # references to a non-cheap producer expression, Catalyst's
+    # CollapseProject keeps the projection barrier, so scale/corrupt
+    # evaluate once per row. Semantics unchanged (scale is NULL exactly
+    # when corrupt): same values, same NULL marking.
+    with_scale = emb.withColumn("scale", F.when(~corrupt, scale_val))
+    return with_scale.withColumn(
         "qvec",
         F.when(
-            ~corrupt,
+            F.col("scale").isNotNull(),
             F.transform(
-                v, lambda x: F.round(x / scale_val, 0).try_cast("tinyint")
+                v,
+                lambda x: F.round(x / F.col("scale"), 0).try_cast("tinyint"),
             ),
         ),
     )

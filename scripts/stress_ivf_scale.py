@@ -238,6 +238,7 @@ def main() -> None:
     # separates the two batches.
     from dask_hivemetastore_spark.operators.similarity import (
         ivf_drift_flag,
+        ivf_drift_reference,
         ivf_drift_stats,
         shift_vectors,
     )
@@ -245,17 +246,29 @@ def main() -> None:
     alpha, u = 2.0, np.ones(dim) / np.sqrt(dim)
     shifted = shift_vectors(batch, alpha=alpha, dim=dim)
 
-    ref = ivf_drift_stats(resident, C, dim=dim)
+    # r13: the reference is the manifest payload — training-time mean +
+    # per-slice sigma — and the PRIMARY flag is the derived per-index
+    # 3-sigma threshold (VERDICT r12 next #3 done condition: fixture
+    # margins re-measured here); the global-delta fallback flags are
+    # reported alongside for comparison.
+    refd = ivf_drift_reference(resident, C, dim=dim)
+    ref = (refd["ref_mean"], refd["ref_max_share"], refd["n"])
     ctl = ivf_drift_stats(batch, C, dim=dim)
     sh = ivf_drift_stats(shifted, C, dim=dim)
     results["drift"] = {
         "ref_mean_dot": round(ref[0], 4), "ref_max_share": round(ref[1], 4),
+        "ref_sigma": round(refd["ref_sigma"], 5),
+        "threshold_3sigma": round(3 * refd["ref_sigma"], 4),
         "control_mean_dot": round(ctl[0], 4),
         "control_max_share": round(ctl[1], 4),
         "shifted_mean_dot": round(sh[0], 4),
         "shifted_max_share": round(sh[1], 4),
-        "control_flagged": ivf_drift_flag(ctl, ref),
-        "shifted_flagged": ivf_drift_flag(sh, ref),
+        "control_flagged": ivf_drift_flag(ctl, ref,
+                                          sigma=refd["ref_sigma"]),
+        "shifted_flagged": ivf_drift_flag(sh, ref,
+                                          sigma=refd["ref_sigma"]),
+        "control_flagged_global_fallback": ivf_drift_flag(ctl, ref),
+        "shifted_flagged_global_fallback": ivf_drift_flag(sh, ref),
     }
 
     # what drift does to serving: append the shifted batch (fixed

@@ -106,25 +106,73 @@ def main() -> None:
     post = spark.read.parquet(oneshot)
     results["postings_rows"] = post.count()
 
-    # candidate fraction for the query (distinct candidate ids / corpus)
-    # — derived from the same probe condition the probe uses
-    # (reported, not asserted: recall/selectivity on this fixture is the
-    # honest ~45% story measured at sf0.01 too)
-    probe_df = lsh_probe_indexed(flat, oneshot, query_id=0, k=10, **kw)
-    inline_df = lsh_topk(flat, 0, k=10, **kw)
-    p_rows = [tuple(r) for r in probe_df.collect()]
-    i_rows = [tuple(r) for r in inline_df.collect()]
-    results["probe_identity"] = p_rows == i_rows and len(p_rows) == 10
+    # probe identity across ALL THREE paths on 100x data (r13: the
+    # INT8-screened rescore is the default; it must stay row-identical
+    # to the all-float rescore and the inline re-hash)
+    p_int8 = [tuple(r) for r in lsh_probe_indexed(
+        flat, oneshot, query_id=0, k=10, rescore="int8", **kw).collect()]
+    p_float = [tuple(r) for r in lsh_probe_indexed(
+        flat, oneshot, query_id=0, k=10, rescore="float", **kw).collect()]
+    i_rows = [tuple(r) for r in lsh_topk(flat, 0, k=10, **kw).collect()]
+    results["probe_identity"] = (
+        p_int8 == p_float == i_rows and len(p_int8) == 10
+    )
+    p_rows = p_int8
 
-    results["indexed_probe_sec"] = _best(
+    results["indexed_probe_int8_sec"] = _best(
         3, lambda: lsh_probe_indexed(
-            flat, oneshot, query_id=0, k=10, **kw).collect()
+            flat, oneshot, query_id=0, k=10, rescore="int8",
+            **kw).collect()
+    )
+    results["indexed_probe_float_sec"] = _best(
+        3, lambda: lsh_probe_indexed(
+            flat, oneshot, query_id=0, k=10, rescore="float",
+            **kw).collect()
     )
     results["inline_rehash_sec"] = _best(
         3, lambda: lsh_topk(flat, 0, k=10, **kw).collect()
     )
     results["amortization_x"] = round(
-        results["inline_rehash_sec"] / results["indexed_probe_sec"], 1
+        results["inline_rehash_sec"] / results["indexed_probe_int8_sec"], 1
+    )
+    results["int8_vs_float_rescore_x"] = round(
+        results["indexed_probe_float_sec"]
+        / results["indexed_probe_int8_sec"], 2
+    )
+
+    # scanned-FLOAT-bytes accounting (r13, VERDICT r12 next #4's done
+    # condition): the float path exact-rescores every candidate
+    # (|cand| x dim x 4B); the int8 path screens candidates against
+    # 1B/dim codes and exact-rescores only the shortlist. Candidate
+    # count derived from the same probe condition the probe uses.
+    from functools import reduce
+    from operator import or_
+
+    import numpy as np
+
+    from dask_hivemetastore_spark.operators.similarity import _hyperplanes
+
+    qv = np.asarray(
+        flat.where("vec_id = 0").select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    planes = _hyperplanes(dim, args.bits, seed=42, n_tables=args.n_tables)
+    w = 1 << np.arange(args.bits)
+    conds = []
+    for t in range(args.n_tables):
+        qb = int((((qv @ planes[t].T) > 0) * w).sum())
+        probes = [qb] + [qb ^ (1 << i) for i in range(args.bits)]
+        conds.append((F.col("table") == t) & F.col("bucket").isin(probes))
+    n_cand = (
+        post.where(reduce(or_, conds)).select("vec_id").distinct().count()
+    )
+    shortlist = max(4 * 10, 10 + 32)
+    results["candidate_fraction"] = round(n_cand / n, 3)
+    results["float_bytes_float_path"] = n_cand * dim * 4
+    results["float_bytes_int8_path"] = shortlist * dim * 4
+    results["int8_screen_bytes"] = n_cand * (dim + 8)  # codes + scale
+    results["scanned_float_bytes_reduction_x"] = round(
+        n_cand / shortlist, 1
     )
 
     # append ≡ rebuild on 100x data

@@ -536,8 +536,13 @@ def test_lsh_postings_probe_pushes_filters_and_prunes_columns(spark, tmp_path):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     idx = str(tmp_path / "postings")
     lsh_build_index(emb, idx, dim=64, bits=8, n_tables=4)
+    # the postings-scan pins ride the float-rescore plan: the candidate
+    # subquery (and therefore the postings FileScan shape) is IDENTICAL
+    # in both rescore paths, but the r13 int8 path collects its
+    # shortlist eagerly, so the postings scan no longer appears in the
+    # RETURNED plan there (it runs inside the probe call instead)
     df = lsh_probe_indexed(emb, idx, query_id=0, dim=64, bits=8,
-                           n_tables=4, k=10)
+                           n_tables=4, k=10, rescore="float")
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = next(line for line in plan.split("\n")
                 if "FileScan" in line and "bucket" in line)
@@ -547,3 +552,14 @@ def test_lsh_postings_probe_pushes_filters_and_prunes_columns(spark, tmp_path):
     read_schema = scan.split("ReadSchema:")[1]
     assert "vec_id" in read_schema and "bucket" in read_schema
     assert "embedding" not in read_schema and "table" not in read_schema
+
+    # r13 INT8-rescore pin: the exact-rescore corpus scan must carry the
+    # PUSHED literal In(vec_id, ...) shortlist filter — the plan-level
+    # evidence that only shortlist rows pay the float decode (a
+    # semi-join would scan the full float column with no pushdown)
+    df8 = lsh_probe_indexed(emb, idx, query_id=0, dim=64, bits=8,
+                            n_tables=4, k=10, rescore="int8")
+    plan8 = df8._jdf.queryExecution().executedPlan().toString()
+    corpus_scan = next(line for line in plan8.split("\n")
+                       if "FileScan" in line and "embedding" in line)
+    assert "In(vec_id" in corpus_scan.split("PushedFilters:")[1]
