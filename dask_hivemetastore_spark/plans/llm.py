@@ -352,7 +352,16 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same derived recall-verdict oracle as ``knn_lsh_topk``, and the
     probe is pinned result-identical to the inline path in
     tests/test_operators.py (same seeded planes → same candidate set →
-    same exact scores)."""
+    same exact scores).
+
+    r13: the build also writes the index MANIFEST (config validated on
+    every probe/append, path-only API) and the INT8 sidecar; the probe
+    runs the default INT8-screened rescore — candidates screened
+    against 4×-narrower codes, exact float rerank limited to the
+    bounded shortlist via a PUSHED ``In(vec_id, …)`` literal filter
+    (plan-pinned) — identical rows, measured faster wall AND ~2000×
+    fewer scanned float bytes at the 100× stress
+    (scripts/stress_lsh_scale.py, PERF.md r13)."""
     emb = load_table(spark, sf_dir, "embeddings")
     idx = scratch_dir("lshidx_") + "/postings"
     similarity.lsh_build_index(

@@ -374,3 +374,24 @@ def test_ivf_append_wrong_dim_batch_excluded(spark, hostile_emb_dir,
     assert grown.count() == n_resident + 2
     ids = {r.vec_id for r in grown.select("vec_id").collect()}
     assert {200, 201} <= ids and not ({31, 32} & ids)
+
+
+def test_stream_lsh_ingest_on_hostile_corpus_properties(spark,
+                                                        hostile_emb_dir):
+    """The r13 stream_lsh_ingest key on the poisoned corpus — same
+    contract as the IVF ingest keys' property test: the streaming
+    append path must RUN (lsh_bucket_ids -> finite_vectors excludes
+    corrupt/wrong-dim vectors at hash time, so no ragged np.stack
+    crash inside foreachBatch), the returned exact top-10 must be
+    finite and corrupt-free, and the recall verdict column must be a
+    0/1 INT (the oracle pin to 1 lives on the clean fixture; on the
+    poisoned corpus the floor may legitimately not be met — the
+    verdict must still COMPUTE, not crash)."""
+    from dask_hivemetastore_spark import plans
+
+    rows = plans.QUERIES["stream_lsh_ingest"](spark, hostile_emb_dir).collect()
+    corrupt_ids = {10, 11, 12, 20, 21, 22, 31, 32}
+    assert 0 < len(rows) <= 10
+    assert all(np.isfinite(r.cosine) for r in rows)
+    assert not corrupt_ids & {r.vec_id for r in rows}
+    assert {r.lsh_recall_floor_met for r in rows} <= {0, 1}
