@@ -1216,7 +1216,8 @@ def ivf_build_index(emb: DataFrame, index_path: str, n_cells: int = 16,
                     cache_key: str | None = None,
                     dim: int | None = None,
                     id_col: str = "vec_id",
-                    drift_reference: bool = True) -> np.ndarray:
+                    drift_reference: bool = True,
+                    int8_cols: bool = False) -> np.ndarray:
     """Materialize the IVF index: the corpus written ONCE, hive-partitioned
     by ``cell``. A probe then reads only its ``nprobe`` directories —
     partition pruning (PartitionFilters in the scan) does the candidate
@@ -1232,20 +1233,30 @@ def ivf_build_index(emb: DataFrame, index_path: str, n_cells: int = 16,
     stored reference instead of re-scanning the resident corpus on
     every use (a full-corpus GEMM a monitor must never pay).
     ``drift_reference=False`` skips the extra training pass for callers
-    that will never monitor."""
+    that will never monitor.
+
+    ``int8_cols=True`` (r13, opt-in): each index row also carries its
+    symmetric INT8 code + scale (:func:`quantize_int8` — +25 % storage
+    next to the float column), letting :func:`ivf_probe_indexed`
+    screen probed cells on the 4×-narrower codes and exact-rescore
+    only a bounded shortlist — the IVF twin of the LSH sidecar, for
+    deployments where probe scan I/O dominates. Recorded in the
+    manifest so :func:`ivf_append` keeps the schema consistent
+    automatically; the default stays off (registered keys and existing
+    layouts unchanged)."""
     C = ivf_train_centroids(
         emb, n_cells=n_cells, seed=seed, vec_col=vec_col, cache_key=cache_key,
         dim=dim,
     )
-    ivf_assign_full(emb, C, vec_col, dim=dim).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(index_path)
-    write_index_manifest(
-        emb.sparkSession, index_path,
-        ivf_manifest(emb, C, dim=dim, n_cells=n_cells, seed=seed,
-                     id_col=id_col, vec_col=vec_col,
-                     drift_reference=drift_reference),
-    )
+    rows = ivf_assign_full(emb, C, vec_col, dim=dim)
+    if int8_cols:
+        rows = quantize_int8(rows, id_col, vec_col)
+    rows.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    manifest = ivf_manifest(emb, C, dim=dim, n_cells=n_cells, seed=seed,
+                            id_col=id_col, vec_col=vec_col,
+                            drift_reference=drift_reference)
+    manifest["int8_cols"] = int8_cols
+    write_index_manifest(emb.sparkSession, index_path, manifest)
     return C
 
 
@@ -1279,7 +1290,8 @@ def ivf_manifest(emb: DataFrame, centroids: np.ndarray, *,
 def ivf_append(new_emb: DataFrame, index_path: str,
                centroids: np.ndarray | None = None,
                vec_col: str = "embedding", dim: int | None = None,
-               mode: str = "append") -> None:
+               mode: str = "append",
+               int8_cols: bool | None = None) -> None:
     """Incremental IVF maintenance (r11): assign ONLY the arriving batch
     to the EXISTING centroids and append its rows into the
     hive-partitioned cell layout — no retrain, no rewrite of resident
@@ -1329,9 +1341,13 @@ def ivf_append(new_emb: DataFrame, index_path: str,
                 "pass centroids explicitly"
             )
         centroids = np.asarray(manifest["centroids"], dtype=np.float64)
-    ivf_assign_full(new_emb, centroids, vec_col, dim=dim).write.mode(
-        mode
-    ).partitionBy("cell").parquet(index_path)
+    if int8_cols is None:  # follow the build so the schema stays uniform
+        int8_cols = bool(manifest.get("int8_cols", False)) \
+            if manifest is not None else False
+    rows = ivf_assign_full(new_emb, centroids, vec_col, dim=dim)
+    if int8_cols:
+        rows = quantize_int8(rows, vec_col=vec_col)
+    rows.write.mode(mode).partitionBy("cell").parquet(index_path)
 
 
 #: Drift-detector FALLBACK threshold (r12, VERDICT r11 next #2; r13:
@@ -1520,12 +1536,27 @@ def ivf_probe_indexed(spark, index_path: str,
                       centroids: np.ndarray | None,
                       query_vec: np.ndarray, k: int = 10, nprobe: int = 8,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      exclude_id: int | None = None) -> DataFrame:
+                      exclude_id: int | None = None,
+                      rescore: str = "auto",
+                      shortlist: int | None = None) -> DataFrame:
     """Top-k against a materialized :func:`ivf_build_index` layout. The
     ``cell IN (probes)`` filter is a partition-key predicate → the scan
     lists only the probed directories. ``centroids=None`` (r13) resolves
     the quantizer from the index manifest — a probe needs only the path
-    and the query vector."""
+    and the query vector.
+
+    Rescore (r13, opt-in — the IVF twin of the LSH INT8 screen): on an
+    index built with ``int8_cols=True``, ``rescore="int8"`` (or "auto",
+    which detects the codes column) first scores the probed cells on
+    the 4×-narrower INT8 codes (pure JVM dequantized dot; the float
+    column's pages are never decoded for the screen thanks to parquet
+    column projection), collects the bounded shortlist
+    (``max(4k, k+32)`` ids), and re-scans ONLY those rows for the exact
+    float rescore via a PUSHED ``In(id, …)`` literal filter — scanned
+    float bytes drop from |probed cells|·4d to |shortlist|·4d. The
+    screen only prunes; every returned cosine is the exact JVM fold,
+    identical to the float path (pinned in tests/test_layouts.py).
+    Default behavior on existing float-only layouts is unchanged."""
     if centroids is None:
         m = read_index_manifest(spark, index_path)
         if m is None or m.get("centroids") is None:
@@ -1540,7 +1571,36 @@ def ivf_probe_indexed(spark, index_path: str,
     idx = spark.read.parquet(index_path).where(F.col("cell").isin(probes))
     if exclude_id is not None:
         idx = idx.where(F.col(id_col) != exclude_id)
+    if rescore not in ("auto", "int8", "float"):
+        raise ValueError(f"ivf_probe_indexed: unknown rescore={rescore!r}")
+    if rescore == "auto":
+        rescore = "int8" if "qvec" in idx.columns else "float"
     qcol = F.array(*[F.lit(float(x)) for x in qv])
+    if rescore == "int8":
+        if "qvec" not in idx.columns:
+            raise ValueError(
+                "ivf_probe_indexed: rescore='int8' needs an index built "
+                "with int8_cols=True (no qvec column found)"
+            )
+        keep = shortlist if shortlist is not None else max(4 * k, k + 32)
+        short_ids = [r[0] for r in (
+            idx.where(F.col("qvec").isNotNull())
+            .select(id_col,
+                    dot_f64(dequantize_expr(), qcol).alias("__ascore"))
+            .orderBy(F.desc("__ascore"), F.asc(id_col))
+            .limit(keep)
+            .collect()  # bounded: <= keep rows by construction
+        )]
+        if not short_ids:
+            from pyspark.sql.types import (
+                DoubleType, StructField, StructType,
+            )
+
+            return spark.createDataFrame([], StructType([
+                idx.schema[id_col], idx.schema["label"],
+                StructField("cosine", DoubleType()),
+            ]))
+        idx = idx.where(F.col(id_col).isin(short_ids))
     return (
         idx.select(id_col, "label",
                    F.round(dot_f64(F.col(vec_col), qcol), 6).alias("cosine"))

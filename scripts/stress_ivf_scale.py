@@ -184,6 +184,37 @@ def main() -> None:
     # tie-arbitrary, so compare the top-k COSINE multiset instead
     results["recall_floor_clean"] = probe16_scores == brute_scores
 
+    # --- r13 INT8-screen arm (opt-in int8_cols index): the probe
+    # screens probed cells on the 4x-narrower codes and exact-rescores
+    # only the bounded shortlist via a pushed In(id) filter. Invariant:
+    # the top-k COSINE multiset equals the float path's at nprobe=8;
+    # measured: both walls + the float-byte accounting.
+    coded_path = f"{base}/ivf_int8"
+    t0 = time.time()
+    ivf_build_index(flat, coded_path, n_cells=args.n_cells,
+                    cache_key=index_path, int8_cols=True)
+    results["int8_index_build_sec"] = round(time.time() - t0, 2)
+    i8_scores = sorted(round(r.cosine, 6) for r in ivf_probe_indexed(
+        spark, coded_path, C, qv, k=10, nprobe=8, exclude_id=0,
+        rescore="int8").collect())
+    f_scores = sorted(round(r.cosine, 6) for r in ivf_probe_indexed(
+        spark, coded_path, C, qv, k=10, nprobe=8, exclude_id=0,
+        rescore="float").collect())
+    results["int8_probe_identity"] = i8_scores == f_scores
+    results["ivf_nprobe8_int8_sec"] = _best(
+        3, lambda: ivf_probe_indexed(
+            spark, coded_path, C, qv, k=10, nprobe=8, exclude_id=0,
+            rescore="int8").collect())
+    results["ivf_nprobe8_float_sec_coded"] = _best(
+        3, lambda: ivf_probe_indexed(
+            spark, coded_path, C, qv, k=10, nprobe=8, exclude_id=0,
+            rescore="float").collect())
+    probes8 = [int(c) for c in (C @ qv).argsort()[::-1][:8]]
+    n_probed = sum(cell_rows.get(c, 0) for c in probes8)
+    results["int8_float_bytes_float_path"] = n_probed * dim * 4
+    results["int8_float_bytes_int8_path"] = max(4 * 10, 10 + 32) * dim * 4
+    results["int8_screen_bytes"] = n_probed * (dim + 8)
+
     # --- r11 incremental-append arm: maintenance cost of ingest.
     # Resident index = 90% of the corpus written once; the arriving 10%
     # batch (with its share of the corrupt block — append-time exclusion
@@ -312,6 +343,7 @@ def main() -> None:
     ok = (results["accounting_ok"] and results["brute_corrupt_free"]
           and results["probes_corrupt_free"]
           and results["recall_floor_clean"]
+          and results["int8_probe_identity"]
           and results["append_identical_to_rebuild"]
           and results["append_probe_equals_oneshot"]
           and not results["drift"]["control_flagged"]

@@ -440,3 +440,59 @@ def test_lsh_append_subdir_replay_idempotent(spark, tmp_path):
     top_replay = [tuple(r) for r in lsh_probe_indexed(
         emb, idx, query_id=0, k=10).collect()]
     assert top_replay == top_first and len(top_first) == 10
+
+
+def test_ivf_int8_screened_probe_identical_and_schema_uniform(spark,
+                                                              tmp_path):
+    """The r13 opt-in IVF INT8 screen (the LSH sidecar's twin, carried
+    as columns on the index rows): a probe over an int8_cols index must
+    return EXACTLY the float path's rows (screen only prunes; shortlist
+    absorbs the bounded reconstruction error); appends follow the
+    manifest so the grown index keeps the uniform (…, scale, qvec)
+    schema; and the int8 probe's exact-rescore scan carries BOTH the
+    cell PartitionFilters and the pushed In(vec_id, …) shortlist
+    filter — the plan-level bytes evidence."""
+    import numpy as _np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_append,
+        ivf_build_index,
+        ivf_probe_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plain = str(tmp_path / "ivf_plain")
+    coded = str(tmp_path / "ivf_int8")
+    C = ivf_build_index(emb, plain, n_cells=8,
+                        cache_key=str(tmp_path), dim=64)
+    ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), coded, n_cells=8,
+                    cache_key=str(tmp_path), dim=64, int8_cols=True)
+    # append follows the manifest: no int8_cols argument, schema uniform
+    ivf_append(emb.where(F.col("vec_id") % 2 == 1), coded, None, dim=64)
+    grown = spark.read.parquet(coded)
+    assert "qvec" in grown.columns and "scale" in grown.columns
+    assert grown.where(F.col("qvec").isNull()).count() == 0
+
+    qv = _np.asarray(
+        emb.where("vec_id = 0").select("embedding").first()[0],
+        dtype=_np.float64,
+    )
+    ref = [tuple(r) for r in ivf_probe_indexed(
+        spark, plain, C, qv, k=10, nprobe=8, exclude_id=0).collect()]
+    flt = [tuple(r) for r in ivf_probe_indexed(
+        spark, coded, None, qv, k=10, nprobe=8, exclude_id=0,
+        rescore="float").collect()]
+    i8 = [tuple(r) for r in ivf_probe_indexed(
+        spark, coded, None, qv, k=10, nprobe=8, exclude_id=0).collect()]
+    assert ref == flt == i8 and len(ref) == 10  # auto detected the codes
+
+    df8 = ivf_probe_indexed(spark, coded, None, qv, k=10, nprobe=8,
+                            exclude_id=0, rescore="int8")
+    plan = df8._jdf.queryExecution().executedPlan().toString()
+    scan = next(line for line in plan.split("\n")
+                if "FileScan" in line and "embedding" in line)
+    assert "In(vec_id" in scan.split("PushedFilters:")[1]
+    assert "cell#" in scan.split("PartitionFilters:")[1].split("]")[0]
