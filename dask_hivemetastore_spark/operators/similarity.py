@@ -862,6 +862,180 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
     )
 
 
+def lsh_probe_indexed_batch(emb: DataFrame, index_path: str,
+                            query_ids: list, *,
+                            dim: int | None = None,
+                            bits: int | None = None,
+                            n_tables: int | None = None,
+                            k: int = 5, multiprobe: bool = True,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            seed: int | None = None,
+                            rescore: str = "auto",
+                            shortlist: int | None = None) -> DataFrame:
+    """Top-k for EVERY query in a bounded batch against ONE postings
+    scan — the serving shape (retrieval-augment a prompt batch) that a
+    :func:`lsh_probe_indexed` loop would pay Q postings scans and Q
+    shortlist jobs for. Returns ``(q_id, id_col, cosine)``, ≤ k rows
+    per query; per-query rows are IDENTICAL to the single-query probe
+    at the same config (same planes → same candidates → same screen →
+    same exact scores; pinned in tests/test_layouts.py).
+
+    Plan shape, all three stages batched:
+
+    1. **One postings scan.** The probe sets of all Q queries are
+       computed driver-side; the scan predicate is the same pushable
+       ``OR_t (table = t AND bucket IN ⋃_q probes_qt)`` disjunction as
+       the single-query probe (PartitionFilters on ``table``, bucket
+       IN-lists into row-group skipping — the unions are just wider),
+       and the exact per-(query, table, bucket) membership is then
+       decided by a broadcast join against the tiny probe-set relation
+       (Q·L·(bits+1) rows) — coarse pushed filter + precise broadcast
+       match, so batching never weakens the scan pruning story.
+    2. **One INT8 screen** (when the index carries the sidecar): the
+       distinct ``(q_id, id)`` candidate pairs join the codes once; a
+       per-query Window keeps the ``shortlist`` best screened ids; the
+       collected pair list is bounded by Q·shortlist.
+    3. **One exact rescore**: corpus rows for the UNION of shortlist
+       ids (pushed ``In(id, …)`` literal filter — the float column is
+       decoded only for shortlist rows), re-joined to the broadcast
+       query vectors, exact JVM-fold dot, Window top-k per query.
+
+    Corrupt/absent query ids contribute no rows (no-answer, never
+    wrong — same contract as :func:`knn_topk` / the single probe).
+    ``query_ids`` is bounded by construction (a batch, not a table);
+    tile and union for larger query sets, same plan per tile."""
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    manifest = read_index_manifest(spark, index_path)
+    if manifest is not None:
+        _validate_manifest_params(
+            manifest,
+            {"dim": dim, "bits": bits, "n_tables": n_tables,
+             "seed": seed, "id_col": id_col, "vec_col": vec_col},
+            index_path,
+        )
+    dim = _resolved(manifest, "dim", dim)
+    bits = _resolved(manifest, "bits", bits, 8)
+    n_tables = _resolved(manifest, "n_tables", n_tables, 16)
+    seed = _resolved(manifest, "seed", seed, 42)
+    if dim is None:
+        raise ValueError(
+            "lsh_probe_indexed_batch: dim not given and no manifest at "
+            f"{index_path} — build with lsh_build_index (r13+) or pass "
+            "dim explicitly"
+        )
+    if rescore not in ("auto", "int8", "float"):
+        raise ValueError(
+            f"lsh_probe_indexed_batch: unknown rescore={rescore!r}")
+    if rescore == "auto":
+        has_q = (
+            manifest.get("quantized", False) if manifest is not None
+            else _quantized_store_exists(spark, index_path)
+        )
+        rescore = "int8" if has_q else "float"
+
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        emb.schema[id_col],
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    qrows = (
+        finite_vectors(emb, vec_col, dim)
+        .where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()  # bounded: len(query_ids) rows by construction
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    planes = _hyperplanes(dim, bits, seed=seed, n_tables=n_tables)
+    weights = 1 << np.arange(bits)
+    probe_rows = []       # (q_id, table, bucket) — Q*L*(bits+1), tiny
+    qvec_rows = []        # (q_id, float64 vector)
+    per_table: dict[int, set] = {t: set() for t in range(n_tables)}
+    for r in qrows:
+        qid = int(r[0])
+        qv = np.asarray(r[1], dtype=np.float64)
+        qvec_rows.append((qid, [float(x) for x in qv]))
+        for t in range(n_tables):
+            qb = int((((qv @ planes[t].T) > 0) * weights).sum())
+            probes = [qb] + (
+                [qb ^ (1 << i) for i in range(bits)] if multiprobe else []
+            )
+            per_table[t].update(probes)
+            probe_rows.extend((qid, t, int(b)) for b in probes)
+    probe_df = spark.createDataFrame(
+        probe_rows, "q_id long, table int, bucket long"
+    )
+    qvec_df = spark.createDataFrame(
+        qvec_rows, f"q_id long, __qv array<double>"
+    )
+    # coarse pushed filter (same shape as the single probe, wider
+    # IN-lists) + precise pair membership via the broadcast join
+    coarse = reduce(or_, [
+        (F.col("table") == t) & F.col("bucket").isin(sorted(bs))
+        for t, bs in per_table.items() if bs
+    ])
+    cand = (
+        spark.read.parquet(index_path)
+        .where(coarse)
+        .join(F.broadcast(probe_df), ["table", "bucket"])
+        .where(F.col(id_col) != F.col("q_id"))  # self-pair mask
+        .select("q_id", id_col)
+        .distinct()
+    )
+    exact_dot = F.round(
+        dot_f64(F.col(vec_col), F.col("__qv")), 6
+    ).alias("cosine")
+    rank_w = Window.partitionBy("q_id")
+    if rescore == "int8":
+        keep = shortlist if shortlist is not None else max(4 * k, k + 32)
+        pairs = [(r[0], r[1]) for r in (
+            spark.read.parquet(_lsh_quantized_path(index_path))
+            .join(cand, id_col)
+            .where(F.col("qvec").isNotNull())
+            .dropDuplicates(["q_id", id_col])  # replayed-append dups
+            .join(F.broadcast(qvec_df), "q_id")
+            .select(
+                "q_id", id_col,
+                dot_f64(dequantize_expr(), F.col("__qv")).alias("__a"),
+            )
+            .withColumn("__rn", F.row_number().over(
+                rank_w.orderBy(F.desc("__a"), F.asc(id_col))))
+            .where(F.col("__rn") <= keep)
+            .select("q_id", id_col)
+            .collect()  # bounded: <= Q * shortlist rows
+        )]
+        if not pairs:
+            return spark.createDataFrame([], out_schema)
+        pair_df = spark.createDataFrame(
+            pairs, f"q_id long, {id_col} long"
+        )
+        all_ids = sorted({p[1] for p in pairs})
+        exact_src = (
+            finite_vectors(emb, vec_col, dim)
+            .where(F.col(id_col).isin(all_ids))  # pushed In(id, ...)
+            .join(F.broadcast(pair_df), id_col)
+        )
+    else:
+        exact_src = finite_vectors(emb, vec_col, dim).join(cand, id_col)
+    return (
+        exact_src
+        .join(F.broadcast(qvec_df), "q_id")
+        .select("q_id", id_col, exact_dot)
+        .transform(_finite)
+        .withColumn("__rn", F.row_number().over(
+            rank_w.orderBy(F.desc("cosine"), F.asc(id_col))))
+        .where(F.col("__rn") <= k)
+        .select("q_id", id_col, "cosine")
+    )
+
+
 # ------------------------------------------- ANN index manifests (r13)
 #
 # VERDICT r12 missing #1: an ANN layout that returns its model state

@@ -93,9 +93,11 @@ from .. import streaming  # noqa: F401,E402
 # stream_click_attribution, text_stats_docs, thin_metastore_scan,
 # topn_parts_per_brand, udtf_bigrams, variant_extract_props,
 # window_rank_orders).
-# Round 13 (this window): block 1 = the round's ONE new key
+# Round 13 (this window): block 1 = the round's TWO new keys
 # (stream_lsh_ingest — streaming LSH postings ingest, the
-# stream_ivf_ingest sibling) + the 3 keys whose engine changed this
+# stream_ivf_ingest sibling; knn_lsh_join — the batched postings
+# probe, one scan for a whole query batch, derived recall-verdict
+# oracle) + the 3 keys whose engine changed this
 # round (ivf_drift_check moved to the per-index 3σ threshold derived
 # from ivf_drift_reference; knn_lsh_indexed gained the manifest +
 # INT8-screened rescore path and the explicit (table,bucket) writer
@@ -103,8 +105,10 @@ from .. import streaming  # noqa: F401,E402
 # resolve centroids from the path alone); block 2 = the ENTIRE
 # r8-vintage drift tail (the 27 keys VERDICT r12 missing #2 named,
 # list re-verified by script against the r1–r12 union); block 3 = the
-# 19 alphabetically-first r9-vintage keys — after r13 no driver row
-# predates r9, and 24 r9 stragglers remain for r14: grouped_map_zscore,
+# 18 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
+# displaced by knn_lsh_join under policy #2) — after r13 no driver row
+# predates r9, and 25 r9 stragglers remain for r14: grouped_arrow_minmax,
+# grouped_map_zscore,
 # grouping_sets_sql, incremental_agg_merge, interleave_sources_rr,
 # interval_overlap_longtail, median_mode_agg, pivot_status_by_segment,
 # python_stream_source_agg, quality_percentile_gate, quantile_value,
@@ -119,9 +123,10 @@ from .. import streaming  # noqa: F401,E402
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r13 block 1: the new key + the 3 changed keys (policy #2 and
-    # --- the changed-keys re-cert rule). ---
+    # --- r13 block 1: the two new keys + the 3 changed keys (policy
+    # --- #2 and the changed-keys re-cert rule). ---
     "stream_lsh_ingest",
+    "knn_lsh_join",
     "ivf_drift_check",
     "knn_lsh_indexed",
     "stream_ivf_ingest",
@@ -155,8 +160,8 @@ _CERTIFICATION_PRIORITY = [
     "udtf_bigrams",
     "variant_extract_props",
     "window_rank_orders",
-    # --- r13 block 3: drift re-certification, the 19 alphabetically-
-    # --- first r9-vintage keys (the remaining 24 are listed in the
+    # --- r13 block 3: drift re-certification, the 18 alphabetically-
+    # --- first r9-vintage keys (the remaining 25 are listed in the
     # --- history note above for r14). ---
     "agg_misc",
     "argmin_argmax_orders",
@@ -176,7 +181,6 @@ _CERTIFICATION_PRIORITY = [
     "events_date_parts",
     "events_hourly_gapfill",
     "funnel_signup_purchase",
-    "grouped_arrow_minmax",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

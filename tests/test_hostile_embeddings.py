@@ -395,3 +395,26 @@ def test_stream_lsh_ingest_on_hostile_corpus_properties(spark,
     assert all(np.isfinite(r.cosine) for r in rows)
     assert not corrupt_ids & {r.vec_id for r in rows}
     assert {r.lsh_recall_floor_met for r in rows} <= {0, 1}
+
+
+def test_knn_lsh_join_on_hostile_corpus_properties(spark, hostile_emb_dir):
+    """The r13 batched LSH probe key on the poisoned corpus — property
+    contract, not oracle replay (the mean-recall floor is a
+    clean-fixture pin: the legal norm-8000 vector dominates several
+    queries' exact top-5 here, and whether every probe set collides
+    with its bucket is a recall outcome, not a correctness bug): the
+    key must RUN, return only finite corrupt-free rows (they come from
+    the certified exact knn_join twin), keep exactly <=5 rows per
+    in-corpus query, and COMPUTE a 0/1 verdict."""
+    from dask_hivemetastore_spark import plans
+
+    rows = plans.QUERIES["knn_lsh_join"](spark, hostile_emb_dir).collect()
+    corrupt_ids = {10, 11, 12, 20, 21, 22, 31, 32}
+    assert rows
+    assert all(np.isfinite(r.cosine) for r in rows)
+    assert not corrupt_ids & {r.vec_id for r in rows}
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
+    assert {r.lsh_recall_floor_met for r in rows} <= {0, 1}

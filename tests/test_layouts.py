@@ -496,3 +496,40 @@ def test_ivf_int8_screened_probe_identical_and_schema_uniform(spark,
                 if "FileScan" in line and "embedding" in line)
     assert "In(vec_id" in scan.split("PushedFilters:")[1]
     assert "cell#" in scan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_lsh_batch_probe_identical_to_single_probes(spark, tmp_path):
+    """The r13 batched postings probe (one scan for Q queries,
+    knn_lsh_join's engine): per-query rows must be IDENTICAL to Q
+    independent single-query probes at the same config — same planes,
+    same candidates (coarse pushed filter + broadcast pair match),
+    same INT8 screen, same exact scores. Also pins the no-answer
+    contract: a corrupt/absent query id contributes zero rows without
+    disturbing the others."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        lsh_build_index,
+        lsh_probe_indexed,
+        lsh_probe_indexed_batch,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "lsh_batch")
+    lsh_build_index(emb, idx, dim=64, bits=8, n_tables=8)
+    qids = [0, 1, 2, 3, -999]  # -999: absent -> no rows for it
+    per_q: dict[int, list] = {}
+    for r in lsh_probe_indexed_batch(emb, idx, qids, k=5).collect():
+        per_q.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
+    assert -999 not in per_q
+    assert set(per_q) == {0, 1, 2, 3}
+    for q in (0, 1, 2, 3):
+        single = [(r.vec_id, r.cosine) for r in lsh_probe_indexed(
+            emb, idx, query_id=q, k=5).collect()]
+        assert per_q[q] == single and len(single) == 5, q
+    # float-rescore arm agrees too (screen only prunes)
+    per_qf: dict[int, list] = {}
+    for r in lsh_probe_indexed_batch(emb, idx, [0, 1], k=5,
+                                     rescore="float").collect():
+        per_qf.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
+    assert per_qf[0] == per_q[0] and per_qf[1] == per_q[1]
