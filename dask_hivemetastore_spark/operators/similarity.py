@@ -2206,3 +2206,348 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance: small-file compaction for the materialized ANN layouts
+# ---------------------------------------------------------------------------
+
+
+def ann_index_compact(spark, index_path: str, *,
+                      target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Index-aware small-file compaction for the materialized ANN
+    layouts — the maintenance pass that keeps :func:`ivf_append` /
+    :func:`lsh_append` / the streaming ingest sinks serviceable at
+    100 TB (SURVEY.md §2-K K3 maintenance; VERDICT r12 named per-cell
+    compaction as the appends' standing cost).
+
+    Why the generic :func:`..operators.layout.compact_rewrite` is not
+    enough here:
+
+    - **Ingest-batch folding.** At-least-once streaming ingest keys
+      each micro-batch to its own ``ingest_batch=<id>`` subdirectory
+      (idempotent replay, r12); after N batches every probe scan lists
+      N× the directories and reads N× the footers, and the partition
+      column itself is pure ingest bookkeeping. Compaction FOLDS the
+      batch dimension away: the rewritten layout is partitioned by the
+      index's real key alone (``table`` / ``cell``), byte-shaped as if
+      one-shot built.
+    - **Ordering contract.** The LSH probe's row-group skipping rides
+      on bucket-sorted files (parquet min/max on the sorted ``bucket``
+      column); a content-preserving rewrite that loses that order
+      silently turns every probe into a full-partition read. The
+      rewrite re-sorts ``(table, bucket)`` (resp. ``(cell, id)``) via
+      ``repartitionByRange`` + ``sortWithinPartitions`` — the same
+      clustered-rewrite shape as ``compact_rewrite(sort_cols=...)``.
+    - **Sidecars survive.** The manifest (``_index_manifest``) is never
+      touched; the LSH INT8 store (``_quantized``) is compacted in the
+      same pass — its accumulated ``qbatch=<label>`` subdirectories
+      fold into one ``qbatch=compacted`` label (readers project past
+      the label column, so the fold is invisible to probes).
+
+    Physical rewrite only: every data row is preserved verbatim (no
+    dedup — replayed-append duplicates in the sidecar stay; the probe's
+    any-row-wins ``dropDuplicates`` already handles them exactly).
+    Sizing comes from actual on-disk bytes (ceil(bytes/target_bytes)
+    output slices), like the lakehouse OPTIMIZE it models. The swap is
+    staged-then-renamed (the ``compact_partitions`` choreography): NOT
+    transactional on a plain parquet directory — a real table format
+    would make the swap a log commit; a concurrent probe between delete
+    and rename can see partial data.
+
+    The index must be self-describing (r13 manifest): kind, partition
+    key, id column and sort contract all resolve from the manifest, so
+    the caller passes the path alone.
+
+    Returns ``{"kind", "n_files_in", "bytes_in", "n_files_out",
+    "n_batch_dirs_folded"}``.
+    """
+    from .layout import list_data_files
+
+    manifest = read_index_manifest(spark, index_path)
+    if manifest is None:
+        raise ValueError(
+            f"ann_index_compact: no manifest at {index_path} — only "
+            "self-describing (r13+) indexes compact by path; rebuild "
+            "with ivf_build_index/lsh_build_index"
+        )
+    kind = manifest.get("kind")
+    id_col = manifest.get("id_col", "vec_id")
+    if kind == "lsh":
+        part_col, sort_cols = "table", ["table", "bucket"]
+    elif kind == "ivf":
+        part_col, sort_cols = "cell", ["cell", id_col]
+    else:
+        raise ValueError(f"ann_index_compact: unknown index kind {kind!r}")
+
+    root = index_path.rstrip("/")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    JPath = jvm.org.apache.hadoop.fs.Path
+    jroot = JPath(root)
+    fs = jroot.getFileSystem(hconf)
+
+    def _data_dirs():
+        out = []
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if st.isDirectory() and (
+                name.startswith(f"{part_col}=")
+                or name.startswith("ingest_batch=")
+            ):
+                out.append(st.getPath())
+        return out
+
+    old_dirs = _data_dirs()
+    if not old_dirs:
+        raise ValueError(f"ann_index_compact: no data directories under {root}")
+    n_batch_dirs = sum(
+        1 for p in old_dirs if p.getName().startswith("ingest_batch=")
+    )
+    files_in = [
+        f for d in old_dirs for f in list_data_files(spark, d.toString())
+    ]
+    bytes_in = sum(sz for _, sz in files_in)
+    n_out = max(1, -(-bytes_in // target_bytes))  # ceil
+
+    df = spark.read.parquet(root)
+    data_cols = [c for c in df.columns if c != "ingest_batch"]
+    staging = f"{root}__compact_stage"
+    (
+        df.select(*data_cols)
+        .repartitionByRange(n_out, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(staging)
+    )
+    for d in old_dirs:
+        fs.delete(d, True)
+    for st in fs.listStatus(JPath(staging)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{part_col}="):
+            fs.rename(st.getPath(), JPath(f"{root}/{name}"))
+    fs.delete(JPath(staging), True)
+
+    if kind == "lsh" and _quantized_store_exists(spark, root):
+        qroot = _lsh_quantized_path(root)
+        qbytes = sum(sz for _, sz in list_data_files(spark, qroot))
+        qn_out = max(1, -(-qbytes // target_bytes))
+        q = spark.read.parquet(qroot)
+        qcols = [c for c in q.columns if c != "qbatch"]
+        qstage = f"{root}__compact_qstage"
+        (
+            q.select(*qcols)
+            .repartition(qn_out)
+            .write.mode("overwrite")
+            .parquet(qstage)
+        )
+        fs.delete(JPath(qroot), True)
+        fs.mkdirs(JPath(qroot))
+        fs.rename(JPath(qstage), JPath(f"{qroot}/qbatch=compacted"))
+
+    n_files_out = len(
+        [f for d in _data_dirs() for f in list_data_files(spark, d.toString())]
+    )
+    return {
+        "kind": kind,
+        "n_files_in": len(files_in),
+        "bytes_in": bytes_in,
+        "n_files_out": n_files_out,
+        "n_batch_dirs_folded": n_batch_dirs,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(arms: list, id_col: str, *, k0: int = 60,
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion of bounded ranked lists (Cormack,
+    Clarke & Büttcher, SIGIR 2009): each arm contributes
+    ``1 / (k0 + rank)`` per item; the fused score is the sum over the
+    arms that retrieved it. The standard no-training way to combine a
+    sparse (BM25) and a dense (embedding-cosine) retriever — rank-based,
+    so the arms' incomparable score scales never need calibration.
+
+    Shape: a union of the arms' ``(id, rank)`` projections + one
+    groupBy — generalizes to any number of arms without outer-join
+    chains. Each arm is a TOP-N list bounded by construction (its own
+    TakeOrderedAndProject), so the fusion input is ≤ |arms|·N rows
+    regardless of corpus size: at 100 TB the retrievers do the
+    distributed work and the fusion never touches the corpus.
+
+    Returns ``(id_col, rrf_raw, n_arms)`` — ``rrf_raw`` is the exact
+    double sum (deterministic: ≤ |arms| IEEE additions of
+    rank-determined values; round only at the output edge), ``n_arms``
+    the retriever agreement count, a useful confidence signal.
+    """
+    from functools import reduce as _reduce
+
+    contribs = [
+        a.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+             ).alias("__c"),
+        )
+        for a in arms
+    ]
+    allc = _reduce(lambda x, y: x.unionByName(y), contribs)
+    return allc.groupBy(id_col).agg(
+        F.sum("__c").alias("rrf_raw"),
+        F.count("*").alias("n_arms"),
+    )
+
+
+def ivf_probe_indexed_batch(emb: DataFrame, index_path: str,
+                            query_ids: list, *,
+                            centroids: np.ndarray | None = None,
+                            k: int = 5, nprobe: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            label_col: str = "label",
+                            dim: int | None = None,
+                            rescore: str = "auto",
+                            shortlist: int | None = None) -> DataFrame:
+    """Top-k for EVERY query in a bounded batch against ONE scan of a
+    materialized :func:`ivf_build_index` layout — the IVF sibling of
+    :func:`lsh_probe_indexed_batch` (r13). A production retriever
+    answers batches; an :func:`ivf_probe_indexed` loop pays Q
+    partition-pruned scans, the batch probe pays one.
+
+    Plan shape:
+
+    1. **One pruned scan.** Each query's ``nprobe`` nearest cells are
+       computed driver-side from the manifest centroids (a Q×n_cells
+       GEMM on the driver — centroids are a tiny model by contract);
+       the scan filter is ``cell IN (union of all queries' probes)`` —
+       still a partition-key predicate, so only probed directories are
+       listed (the union is just wider, exactly like the batch LSH
+       probe's bucket IN-lists).
+    2. **Broadcast membership.** Precise (query, cell) pairing is a
+       broadcast join against the Q·nprobe-row probe relation — a
+       corpus row in a shared cell fans out only to the queries that
+       actually probed that cell.
+    3. **Rescore.** Float layouts: exact JVM-fold dot against the
+       broadcast query vectors + one Window top-k per query. INT8
+       layouts (``int8_cols=True`` builds; ``rescore="auto"`` detects
+       the ``qvec`` column): the joined pairs are screened on the
+       dequantized codes first, a per-query Window keeps ``shortlist``
+       (default ``max(4k, k+32)``), and the exact float rescore runs
+       only on the pushed ``In(id, …)`` union of shortlists — same
+       contract as everywhere else: the screen only PRUNES, every
+       returned cosine is the exact fold.
+
+    Per-query rows are IDENTICAL to the single-query probe at the same
+    config (pinned in tests/test_layouts.py). Corrupt/absent query ids
+    contribute no rows (no-answer, never wrong). ``query_ids`` is
+    bounded by construction; tile and union for larger sets.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    manifest = read_index_manifest(spark, index_path)
+    if manifest is not None:
+        _validate_manifest_params(
+            manifest, {"dim": dim, "vec_col": vec_col, "id_col": id_col},
+            index_path,
+        )
+        dim = _resolved(manifest, "dim", dim)
+    if centroids is None:
+        if manifest is None or manifest.get("centroids") is None:
+            raise ValueError(
+                "ivf_probe_indexed_batch: centroids not given and no "
+                f"manifest at {index_path} — build with ivf_build_index "
+                "(r13+) or pass centroids explicitly"
+            )
+        centroids = np.asarray(manifest["centroids"], dtype=np.float64)
+    if rescore not in ("auto", "int8", "float"):
+        raise ValueError(
+            f"ivf_probe_indexed_batch: unknown rescore={rescore!r}")
+
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        emb.schema[id_col],
+        emb.schema[label_col],
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    qrows = (
+        finite_vectors(emb, vec_col, dim)
+        .where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()  # bounded: len(query_ids) rows by construction
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    probe_rows = []   # (q_id, cell) — Q*nprobe, tiny
+    qvec_rows = []    # (q_id, float64 vector)
+    union_cells: set[int] = set()
+    for r in qrows:
+        qid = int(r[0])
+        qv = np.asarray(r[1], dtype=np.float64)
+        qvec_rows.append((qid, [float(x) for x in qv]))
+        cells = [int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe]]
+        union_cells.update(cells)
+        probe_rows.extend((qid, c) for c in cells)
+    probe_df = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    qvec_df = spark.createDataFrame(
+        qvec_rows, "q_id long, __qv array<double>"
+    )
+    idx = (
+        spark.read.parquet(index_path)
+        .where(F.col("cell").isin(sorted(union_cells)))
+        .join(F.broadcast(probe_df), "cell")
+        .where(F.col(id_col) != F.col("q_id"))  # self-pair mask
+    )
+    if rescore == "auto":
+        rescore = "int8" if "qvec" in idx.columns else "float"
+    rank_w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    if rescore == "int8":
+        if "qvec" not in idx.columns:
+            raise ValueError(
+                "ivf_probe_indexed_batch: rescore='int8' needs an index "
+                "built with int8_cols=True (no qvec column found)"
+            )
+        keep = shortlist if shortlist is not None else max(4 * k, k + 32)
+        screen_w = Window.partitionBy("q_id").orderBy(
+            F.desc("__ascore"), F.asc(id_col))
+        pairs = [(r[0], r[1]) for r in (
+            idx.where(F.col("qvec").isNotNull())
+            .join(F.broadcast(qvec_df), "q_id")
+            .select("q_id", id_col,
+                    dot_f64(dequantize_expr(), F.col("__qv"))
+                    .alias("__ascore"))
+            .withColumn("__rn", F.row_number().over(screen_w))
+            .where(F.col("__rn") <= keep)
+            .select("q_id", id_col)
+            .collect()  # bounded: <= Q*keep rows by construction
+        )]
+        if not pairs:
+            return spark.createDataFrame([], out_schema)
+        short_ids = sorted({p[1] for p in pairs})
+        pair_df = spark.createDataFrame(
+            pairs, f"q_id long, {id_col} long")
+        # pushed literal In(id) — the float column decodes only for
+        # shortlist rows (same reasoning as the single probe's screen)
+        exact_src = (
+            spark.read.parquet(index_path)
+            .where(F.col("cell").isin(sorted(union_cells)))
+            .where(F.col(id_col).isin(short_ids))
+            .join(F.broadcast(pair_df), id_col)
+        )
+    else:
+        exact_src = idx
+    return (
+        exact_src.join(F.broadcast(qvec_df), "q_id")
+        .select("q_id", id_col, label_col,
+                F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6)
+                .alias("cosine"))
+        .transform(lambda d: _finite(d))
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", id_col, label_col, "cosine")
+    )

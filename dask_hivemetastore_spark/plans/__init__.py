@@ -93,11 +93,17 @@ from .. import streaming  # noqa: F401,E402
 # stream_click_attribution, text_stats_docs, thin_metastore_scan,
 # topn_parts_per_brand, udtf_bigrams, variant_extract_props,
 # window_rank_orders).
-# Round 13 (this window): block 1 = the round's TWO new keys
+# Round 13 (this window): block 1 = the round's SIX new keys
 # (stream_lsh_ingest — streaming LSH postings ingest, the
 # stream_ivf_ingest sibling; knn_lsh_join — the batched postings
 # probe, one scan for a whole query batch, derived recall-verdict
-# oracle) + the 3 keys whose engine changed this
+# oracle; knn_ivf_compact_probe + knn_lsh_compact_probe — the
+# ann_index_compact maintenance pass, ingest-batch dirs folded +
+# ordering contract restored, identity/files verdicts; knn_ivf_join —
+# the batched IVF probe, one partition-pruned scan per query batch;
+# hybrid_rank_rrf
+# — BM25 + dense reciprocal-rank fusion) + the 3 keys whose engine
+# changed this
 # round (ivf_drift_check moved to the per-index 3σ threshold derived
 # from ivf_drift_reference; knn_lsh_indexed gained the manifest +
 # INT8-screened rescore path and the explicit (table,bucket) writer
@@ -105,9 +111,14 @@ from .. import streaming  # noqa: F401,E402
 # resolve centroids from the path alone); block 2 = the ENTIRE
 # r8-vintage drift tail (the 27 keys VERDICT r12 missing #2 named,
 # list re-verified by script against the r1–r12 union); block 3 = the
-# 18 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
-# displaced by knn_lsh_join under policy #2) — after r13 no driver row
-# predates r9, and 25 r9 stragglers remain for r14: grouped_arrow_minmax,
+# 14 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
+# displaced by knn_lsh_join, and events_date_parts /
+# events_hourly_gapfill / funnel_signup_purchase / domain_cap_docs by
+# the four newest
+# keys, all under policy #2) — after r13 no driver row
+# predates r9, and 29 r9 stragglers remain for r14: domain_cap_docs,
+# events_date_parts,
+# events_hourly_gapfill, funnel_signup_purchase, grouped_arrow_minmax,
 # grouped_map_zscore,
 # grouping_sets_sql, incremental_agg_merge, interleave_sources_rr,
 # interval_overlap_longtail, median_mode_agg, pivot_status_by_segment,
@@ -123,10 +134,14 @@ from .. import streaming  # noqa: F401,E402
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r13 block 1: the two new keys + the 3 changed keys (policy
+    # --- r13 block 1: the five new keys + the 3 changed keys (policy
     # --- #2 and the changed-keys re-cert rule). ---
     "stream_lsh_ingest",
     "knn_lsh_join",
+    "knn_ivf_compact_probe",
+    "knn_lsh_compact_probe",
+    "knn_ivf_join",
+    "hybrid_rank_rrf",
     "ivf_drift_check",
     "knn_lsh_indexed",
     "stream_ivf_ingest",
@@ -160,8 +175,8 @@ _CERTIFICATION_PRIORITY = [
     "udtf_bigrams",
     "variant_extract_props",
     "window_rank_orders",
-    # --- r13 block 3: drift re-certification, the 18 alphabetically-
-    # --- first r9-vintage keys (the remaining 25 are listed in the
+    # --- r13 block 3: drift re-certification, the 14 alphabetically-
+    # --- first r9-vintage keys (the remaining 29 are listed in the
     # --- history note above for r14). ---
     "agg_misc",
     "argmin_argmax_orders",
@@ -177,10 +192,6 @@ _CERTIFICATION_PRIORITY = [
     "decontaminate_docs",
     "describe_lineitem",
     "doc_fingerprint",
-    "domain_cap_docs",
-    "events_date_parts",
-    "events_hourly_gapfill",
-    "funnel_signup_purchase",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

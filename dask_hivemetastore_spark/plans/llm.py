@@ -443,6 +443,315 @@ def knn_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_ivf_join",
+    oracle=f"""
+    WITH el AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM el WHERE vec_id < 8),
+    s AS (SELECT q.q_id, e.vec_id, e.label,
+            ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+              AS cosine
+          FROM el e, q WHERE e.vec_id <> q.q_id),
+    r AS (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn FROM s)
+    SELECT q_id, vec_id, label, cosine, 1 AS ivf_recall_floor_met
+    FROM r WHERE rn <= 5
+    """,
+)
+def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 batched ANN serving, IVF layout (r13): the cell-partitioned
+    index probed for a WHOLE query batch in ONE partition-pruned scan —
+    :func:`..operators.similarity.ivf_probe_indexed_batch`, the IVF
+    sibling of ``knn_lsh_join``. A single-probe loop pays Q pruned
+    scans; the batch probe pays one (the ``cell IN (…)`` union is just
+    wider — still a partition-key predicate, so only probed
+    directories are listed), with precise (query, cell) membership a
+    broadcast join against the Q·nprobe-row probe relation and one
+    exact-fold rescore + per-query Window top-k. Per-query rows are
+    pinned IDENTICAL to the single ``ivf_probe_indexed`` at the same
+    config (tests/test_layouts.py).
+
+    Same derived recall-verdict oracle family as ``knn_lsh_join``: the
+    key runs the batch probe for the 8 queries against a one-shot
+    index, measures mean recall@5 against the exact batch knn
+    (:func:`..operators.similarity.knn_join`), and returns the EXACT
+    top-5 per query annotated with ``ivf_recall_floor_met`` =
+    (mean recall ≥ 0.6), pinned to 1 by the brute-force oracle.
+    Measured mean recall@5 at nprobe=8 of 16 cells: 1.0 at
+    sf0.001/0.01/0.1 (same cached quantizer as ``knn_ivf_topk``, whose
+    full-recall argument this inherits — the floor holds 1.67×
+    margin). Bounded collects only (Q query vectors + Q·k rows per
+    arm)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = scratch_dir("ivfjoin_") + "/index"
+    similarity.ivf_build_index(
+        emb, idx, n_cells=16, cache_key=sf_dir, dim=EMB_DIM,
+        drift_reference=False,
+    )
+    qids = list(range(8))
+    got: dict[int, set] = {}
+    for r in similarity.ivf_probe_indexed_batch(
+        emb, idx, qids, k=5, nprobe=8, dim=EMB_DIM
+    ).collect():  # bounded: <= Q*k rows
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    exact = similarity.knn_join(emb, qids, k=5, dim=EMB_DIM)
+    ex_rows = exact.collect()  # bounded: Q*k rows
+    ex: dict[int, set] = {}
+    for r in ex_rows:
+        ex.setdefault(r.q_id, set()).add(r.vec_id)
+    mean_recall = sum(
+        len(ex[q] & got.get(q, set())) / len(ex[q]) for q in ex
+    ) / len(ex)
+    return exact.withColumn(
+        "ivf_recall_floor_met", F.lit(int(mean_recall >= 0.6))
+    )
+
+
+@query(
+    "knn_ivf_compact_probe",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine,
+           1 AS compact_identity_ok, 1 AS files_reduced
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 index maintenance (r13): COMPACTION of an IVF index grown by
+    batch-keyed streaming-style appends
+    (:func:`..operators.similarity.ann_index_compact`). The assembly
+    mimics the at-least-once ingest sink exactly: manifest written
+    first (no one-shot build), then three ``ingest_batch=<i>`` appends
+    resolved from the manifest alone. After N such batches a probe
+    lists N× the directories and reads N× the parquet footers — the
+    small-files tax that kills 100 TB scans — so compaction folds the
+    ``ingest_batch`` bookkeeping dimension away and rewrites the layout
+    partitioned by ``cell`` alone, byte-shaped as if one-shot built,
+    with the manifest untouched (the post-compaction probe below runs
+    MANIFEST-ONLY: ``centroids=None``).
+
+    Driver-checkable verdicts, both pinned to 1 by the oracle:
+    ``compact_identity_ok`` — the compacted index's ``(cell, vec_id)``
+    content equals a fresh full-corpus assignment (exceptAll both ways,
+    plus all 3 batch dirs folded); ``files_reduced`` — strictly fewer
+    data files after the rewrite. The top-10 itself is the same FULL
+    brute-force oracle as ``knn_ivf_topk`` (same cached quantizer →
+    fixture recall 1.0, deterministic). The identity audit's extra
+    assignment pass is certification-side, same as the recall audits."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = scratch_dir("ivfcompact_") + "/index"
+    C = similarity.ivf_train_centroids(
+        emb, n_cells=16, cache_key=sf_dir, dim=EMB_DIM
+    )
+    similarity.write_index_manifest(
+        spark, idx,
+        similarity.ivf_manifest(emb, C, dim=EMB_DIM, n_cells=16, seed=42,
+                                drift_reference=False),
+    )
+    for b in range(3):
+        similarity.ivf_append(
+            emb.where(F.col("vec_id") % 3 == b),
+            f"{idx}/ingest_batch={b}", mode="overwrite",
+        )
+    stats = similarity.ann_index_compact(spark, idx)
+    got = spark.read.parquet(idx).select("cell", "vec_id")
+    expected = similarity.ivf_assign_full(
+        emb, C, "embedding", dim=EMB_DIM
+    ).select("cell", "vec_id")
+    identity = int(
+        stats["n_batch_dirs_folded"] == 3
+        and got.exceptAll(expected).count() == 0
+        and expected.exceptAll(got).count() == 0
+    )
+    files_reduced = int(stats["n_files_out"] < stats["n_files_in"])
+    qrow = (
+        similarity.finite_vectors(emb, "embedding", EMB_DIM)
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()  # bounded: 1 row
+    )
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    return (
+        similarity.ivf_probe_indexed(
+            spark, idx, None, qv, k=10, nprobe=8, exclude_id=0
+        )
+        .withColumn("compact_identity_ok", F.lit(identity))
+        .withColumn("files_reduced", F.lit(files_reduced))
+    )
+
+
+@query(
+    "knn_lsh_compact_probe",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine,
+           1 AS lsh_recall_floor_met,
+           1 AS compact_identity_ok, 1 AS files_reduced
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 index maintenance (r13), the LSH sibling of
+    ``knn_ivf_compact_probe``: a postings index built over half the
+    corpus then grown by :func:`..operators.similarity.lsh_append` is
+    compacted (:func:`..operators.similarity.ann_index_compact`) — the
+    per-table directories rewritten to right-sized files with the
+    ``(table, bucket)`` within-file sort RESTORED as a contract (the
+    probe's parquet min/max row-group skipping rides on it; a generic
+    content-preserving rewrite would silently lose it), the INT8
+    sidecar's accumulated ``qbatch`` labels folded into one, and the
+    manifest untouched. The post-compaction probe resolves its config
+    from the path alone and runs the default INT8-screened rescore.
+
+    Verdicts pinned to 1 by the oracle: ``compact_identity_ok`` — the
+    compacted postings' ``(table, bucket, vec_id)`` content equals the
+    seeded-plane postings of the full corpus (exceptAll both ways;
+    planes are a pure seeded function, so the expected content is
+    recomputable without a reference build); ``files_reduced`` —
+    strictly fewer postings data files; ``lsh_recall_floor_met`` — the
+    probe's recall@10 against the exact top-10 stays ≥ 0.5 (same
+    derived floor as ``knn_lsh_topk``). The returned rows are the exact
+    brute-force top-10, same oracle family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = scratch_dir("lshcompact_") + "/postings"
+    similarity.lsh_build_index(
+        emb.where(F.col("vec_id") % 2 == 0), idx,
+        dim=EMB_DIM, bits=8, n_tables=16,
+    )
+    similarity.lsh_append(emb.where(F.col("vec_id") % 2 == 1), idx)
+    stats = similarity.ann_index_compact(spark, idx)
+    got = spark.read.parquet(idx).select("table", "bucket", "vec_id")
+    expected = similarity._lsh_postings(
+        emb, dim=EMB_DIM, bits=8, n_tables=16,
+        id_col="vec_id", vec_col="embedding", seed=42,
+    ).select("table", "bucket", "vec_id")
+    identity = int(
+        got.exceptAll(expected).count() == 0
+        and expected.exceptAll(got).count() == 0
+    )
+    files_reduced = int(stats["n_files_out"] < stats["n_files_in"])
+    lsh_ids = {
+        r.vec_id
+        for r in similarity.lsh_probe_indexed(
+            emb, idx, query_id=0, k=10
+        ).collect()  # bounded: k rows
+    }
+    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    exact_ids = {r.vec_id for r in exact.collect()}  # bounded: k rows
+    floor_met = int(len(lsh_ids & exact_ids) >= 5)
+    return (
+        exact.withColumn("lsh_recall_floor_met", F.lit(floor_met))
+        .withColumn("compact_identity_ok", F.lit(identity))
+        .withColumn("files_reduced", F.lit(files_reduced))
+    )
+
+
+@query(
+    "hybrid_rank_rrf",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     AVG(len(ws)) AS avgdl FROM w),
+    tf AS (SELECT doc_id, len(ws) AS dl, t.x AS term,
+                  CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM w, unnest(ws) AS t(x)
+           WHERE t.x IN ('spark', 'hash', 'window')
+           GROUP BY 1, 2, 3),
+    dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dft
+            FROM tf GROUP BY 1),
+    bm AS (SELECT tf.doc_id,
+             ROUND(SUM(ln(1.0 + (stats.n - dft.dft + 0.5) / (dft.dft + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))),
+                 6) AS bm25
+           FROM tf JOIN dft USING (term) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+    sr AS (SELECT doc_id, row_number() OVER
+             (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+    e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+    dn AS (SELECT vec_id AS doc_id,
+             ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+               AS cosine
+           FROM e, q WHERE vec_id <> 0),
+    dr AS (SELECT doc_id, row_number() OVER
+             (ORDER BY cosine DESC, doc_id) AS r FROM dn),
+    u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM sr WHERE r <= 50
+          UNION ALL
+          SELECT doc_id, 1.0 / (60 + r) AS c FROM dr WHERE r <= 50),
+    f AS (SELECT doc_id, SUM(c) AS rrf_raw, COUNT(*) AS n_arms
+          FROM u GROUP BY doc_id)
+    SELECT doc_id, ROUND(rrf_raw, 6) AS rrf, n_arms
+    FROM f ORDER BY rrf_raw DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4 hybrid retrieval (r13): reciprocal-rank fusion of the
+    sparse (Okapi BM25, query bag ['spark','hash','window'] — the
+    ``bm25_rank_docs`` scorer verbatim) and dense (embedding-cosine vs
+    the vec_id-0 query over the id-aligned ``embeddings`` table — the
+    ``knn_cosine_topk`` scorer) retrievers,
+    :func:`..operators.similarity.rrf_fuse` with the standard k0=60.
+    RAG-style serving needs both arms — BM25 wins exact-term lookups,
+    dense wins paraphrase — and RRF is the no-training fusion that
+    needs no score calibration between them.
+
+    Scale shape: each arm ends in its own TakeOrderedAndProject top-50
+    (the corpus-sized work stays inside the arms: BM25's explode is
+    filtered to query-term hits pre-shuffle, the dense arm is the
+    broadcast-1-row map-side scan), ranks come from a 50-row window
+    AFTER the limit, and the fusion is a union + groupBy over ≤100
+    rows. Determinism across engines: ranks derive from the same
+    6dp-ROUNDed scores both sides (the two arms' existing hash-parity),
+    the fused sum is ≤2 IEEE additions of rank-determined doubles, and
+    the final order uses the UNROUNDED sum with a doc_id tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    sparse50 = (
+        text.bm25_scores(docs, ["spark", "hash", "window"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+    )
+    sparse_rank = sparse50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    dense50 = similarity.knn_topk(emb, query_id=0, k=50, dim=EMB_DIM)
+    dense_rank = dense50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("rank"),
+    )
+    fused = similarity.rrf_fuse([sparse_rank, dense_rank], "doc_id", k0=60)
+    return (
+        fused.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("rrf_raw", 6).alias("rrf"), "n_arms")
+    )
+
+
 # ----------------------------------------------------------- K4: text analysis
 
 

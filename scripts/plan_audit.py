@@ -62,6 +62,11 @@ ALLOW: dict[str, str] = {
     " as bm25's corpus-stats row",
     "knn_pq_topk": "crossJoin of a broadcast 1-row query vector over the"
     " 50-row reranked shortlist",
+    "knn_lsh_compact_probe": "crossJoin of a broadcast 1-row query vector"
+    " (the exact-top-10 audit twin, same shape as knn_lsh_indexed; the"
+    " compaction itself runs eagerly inside the function)",
+    "hybrid_rank_rrf": "dense arm = knn_topk's broadcast 1-row query"
+    " vector; the fusion input is two bounded top-50 lists",
 }
 
 # streaming / state-heavy keys: executing them here would start queries,

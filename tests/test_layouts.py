@@ -533,3 +533,189 @@ def test_lsh_batch_probe_identical_to_single_probes(spark, tmp_path):
                                      rescore="float").collect():
         per_qf.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
     assert per_qf[0] == per_q[0] and per_qf[1] == per_q[1]
+
+
+def test_ann_index_compact_lsh_identity_files_and_probe(spark, tmp_path):
+    """ann_index_compact on an LSH postings index grown by appends
+    (r13): the rewrite (a) strictly reduces data files, (b) preserves
+    postings content exactly (identical to a one-shot build over the
+    union), (c) keeps the manifest (the post-compaction probe runs
+    path-only) and folds the INT8 sidecar's qbatch labels into one,
+    and (d) leaves the probe answer identical."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+        lsh_append,
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "grown")
+    ref = str(tmp_path / "oneshot")
+    lsh_build_index(emb.where(F.col("vec_id") % 2 == 0), idx,
+                    dim=64, bits=8, n_tables=4)
+    lsh_append(emb.where(F.col("vec_id") % 2 == 1), idx)
+    top_before = [tuple(r) for r in lsh_probe_indexed(
+        emb, idx, query_id=0, k=10).collect()]
+
+    stats = ann_index_compact(spark, idx)
+    assert stats["kind"] == "lsh"
+    assert stats["n_files_out"] < stats["n_files_in"]
+
+    lsh_build_index(emb, ref, dim=64, bits=8, n_tables=4)
+    got = spark.read.parquet(idx).select("table", "bucket", "vec_id")
+    want = spark.read.parquet(ref).select("table", "bucket", "vec_id")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # sidecar folded to the single compacted label, still INT8-probing
+    qb = spark.read.parquet(f"{idx}/_quantized").select("qbatch").distinct()
+    assert [r[0] for r in qb.collect()] == ["compacted"]
+    top_after = [tuple(r) for r in lsh_probe_indexed(
+        emb, idx, query_id=0, k=10).collect()]
+    assert top_after == top_before and len(top_after) == 10
+
+
+def test_ann_index_compact_ivf_folds_batch_dirs(spark, tmp_path):
+    """ann_index_compact on a streaming-style IVF index (manifest-first,
+    every batch under ingest_batch=<i>): the batch dirs are folded away
+    (root becomes cell=* as if one-shot built), content equals a fresh
+    full-corpus assignment, and the path-only probe answer is unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+        finite_vectors,
+        ivf_append,
+        ivf_assign_full,
+        ivf_manifest,
+        ivf_probe_indexed,
+        ivf_train_centroids,
+        write_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_stream")
+    C = ivf_train_centroids(emb, n_cells=8, cache_key=SF_SMOKE + "_cmp",
+                            dim=64)
+    write_index_manifest(
+        spark, idx,
+        ivf_manifest(emb, C, dim=64, n_cells=8, seed=42,
+                     drift_reference=False),
+    )
+    for b in range(3):
+        ivf_append(emb.where(F.col("vec_id") % 3 == b),
+                   f"{idx}/ingest_batch={b}", mode="overwrite")
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    top_before = [tuple(r) for r in ivf_probe_indexed(
+        spark, idx, None, qv, k=10, nprobe=4, exclude_id=0).collect()]
+
+    stats = ann_index_compact(spark, idx)
+    assert stats["kind"] == "ivf"
+    assert stats["n_batch_dirs_folded"] == 3
+    assert stats["n_files_out"] < stats["n_files_in"]
+
+    root_cols = spark.read.parquet(idx).columns
+    assert "ingest_batch" not in root_cols
+
+    got = spark.read.parquet(idx).select("cell", "vec_id")
+    want = ivf_assign_full(emb, C, "embedding", dim=64).select(
+        "cell", "vec_id")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    top_after = [tuple(r) for r in ivf_probe_indexed(
+        spark, idx, None, qv, k=10, nprobe=4, exclude_id=0).collect()]
+    assert top_after == top_before and len(top_after) == 10
+
+
+def test_ann_index_compact_requires_manifest(spark, tmp_path):
+    """Only self-describing indexes compact by path — a bare parquet
+    directory (no manifest) fails loudly instead of guessing a layout."""
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+    )
+
+    p = str(tmp_path / "bare")
+    spark.range(10).write.parquet(p)
+    with pytest.raises(ValueError, match="no manifest"):
+        ann_index_compact(spark, p)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """rrf_fuse equals the textbook formula on a hand-checkable case:
+    contributions 1/(k0+rank) summed per id, n_arms = retriever
+    agreement."""
+    from dask_hivemetastore_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "id long, rank int")
+    out = {r["id"]: (r["rrf_raw"], r["n_arms"])
+           for r in rrf_fuse([a, b], "id", k0=60).collect()}
+    assert out[1] == (1 / 61, 1)
+    assert out[3] == (1 / 63, 1)
+    assert out[4] == (1 / 62, 1)
+    rrf2, n2 = out[2]
+    assert n2 == 2 and abs(rrf2 - (1 / 62 + 1 / 61)) < 1e-15
+
+
+def test_ivf_batch_probe_identical_to_single_probes(spark, tmp_path):
+    """ivf_probe_indexed_batch (r13) returns, per query, EXACTLY the
+    single-probe answer at the same config — float layout and INT8
+    layout (screened rescore) both — and absent/corrupt query ids
+    contribute no rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivf_build_index,
+        ivf_probe_indexed,
+        ivf_probe_indexed_batch,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qids = [0, 3, 7, 123456]  # last id absent from the corpus
+
+    def qvec(qid):
+        row = (
+            finite_vectors(emb, "embedding", 64)
+            .where(F.col("vec_id") == qid).select("embedding").first()
+        )
+        return None if row is None else np.asarray(row[0], np.float64)
+
+    for int8 in (False, True):
+        idx = str(tmp_path / f"ivf_{int8}")
+        ivf_build_index(emb, idx, n_cells=8, cache_key=SF_SMOKE + "_b",
+                        dim=64, drift_reference=False, int8_cols=int8)
+        batch = ivf_probe_indexed_batch(
+            emb, idx, qids, k=5, nprobe=4, dim=64)
+        got: dict[int, list] = {}
+        for r in batch.collect():
+            got.setdefault(r.q_id, []).append(
+                (r.vec_id, r.label, r.cosine))
+        assert 123456 not in got
+        for qid in (0, 3, 7):
+            single = [
+                (r.vec_id, r.label, r.cosine)
+                for r in ivf_probe_indexed(
+                    spark, idx, None, qvec(qid), k=5, nprobe=4,
+                    exclude_id=qid).collect()
+            ]
+            assert sorted(got[qid]) == sorted(single), (int8, qid)
+            assert len(single) == 5
