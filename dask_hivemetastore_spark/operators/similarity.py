@@ -2551,3 +2551,79 @@ def ivf_probe_indexed_batch(emb: DataFrame, index_path: str,
         .where(F.col("__rn") <= k)
         .select("q_id", id_col, label_col, "cosine")
     )
+
+
+def mmr_rerank(emb: DataFrame, query_id: int, k: int = 10,
+               lam: float = 0.5, shortlist: int = 50,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               label_col: str = "label",
+               dim: int | None = None) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998) of a cosine top-``shortlist``: greedily pick
+    the candidate maximizing ``lam·sim(q,d) − (1−lam)·max_{p∈picked}
+    sim(d,p)`` — the standard rerank that keeps a RAG context window or
+    a labeling batch from filling up with near-duplicates of the same
+    best hit. ``lam=1`` reduces EXACTLY to relevance ranking (the
+    redundancy term vanishes and ties break identically), which is the
+    registered key's machine-checkable contract.
+
+    Distribution boundary, explicit: the corpus-sized work is the exact
+    :func:`knn_topk` shortlist (broadcast-1-row scan +
+    TakeOrderedAndProject — no shuffle); the greedy loop is inherently
+    sequential (pick i depends on picks 1..i−1), so it runs driver-side
+    over the BOUNDED collected shortlist (``shortlist`` rows × dim
+    floats — the same boundedness class as :func:`knn_join`'s query
+    matrix), one numpy pass per pick. Never apply this loop to a
+    corpus: the shortlist is the contract (at 100 TB you still rerank
+    50 rows).
+
+    Returns ``(pick, id_col, label_col, cosine, mmr_score)`` — ``pick``
+    is the 1-based selection order, ``cosine`` the exact JVM-fold
+    relevance the shortlist certified, ``mmr_score`` the objective at
+    selection time (round 6). Deterministic: ties break on id asc, and
+    the shortlist itself is the certified exact top-``shortlist``.
+    """
+    short = knn_topk(emb, query_id, k=shortlist, id_col=id_col,
+                     vec_col=vec_col, dim=dim)
+    src = finite_vectors(emb, vec_col, dim).select(id_col, vec_col)
+    rows = (
+        short.join(src, id_col)
+        .select(id_col, label_col, "cosine", vec_col)
+        .collect()  # bounded: <= shortlist rows by construction
+    )
+    if not rows:
+        from pyspark.sql import types as T
+
+        return emb.sparkSession.createDataFrame([], T.StructType([
+            T.StructField("pick", T.IntegerType()),
+            emb.schema[id_col], emb.schema[label_col],
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]))
+    # deterministic candidate order: relevance desc, id asc (the
+    # shortlist's own certified order) — ties in the greedy argmax then
+    # resolve to the lower id via argmax's first-occurrence rule
+    rows = sorted(rows, key=lambda r: (-r["cosine"], r[0]))
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = [r[1] for r in rows]
+    rel = np.array([r["cosine"] for r in rows], dtype=np.float64)
+    V = np.array([np.asarray(r[3], dtype=np.float64) for r in rows])
+    n = len(ids)
+    picked: list[int] = []
+    max_red = np.full(n, -np.inf)  # max sim to any picked row, so far
+    out = []
+    for pick_no in range(1, min(k, n) + 1):
+        if picked:
+            score = lam * rel - (1.0 - lam) * max_red
+        else:
+            score = lam * rel  # no redundancy term for the first pick
+        score[picked] = -np.inf
+        j = int(score.argmax())
+        picked.append(j)
+        out.append((pick_no, int(ids[j]), labels[j], float(rel[j]),
+                    round(float(score[j]), 6)))
+        red_j = V @ V[j]
+        np.maximum(max_red, red_j, out=max_red)
+    return emb.sparkSession.createDataFrame(
+        out, f"pick int, {id_col} long, {label_col} int, "
+             "cosine double, mmr_score double")

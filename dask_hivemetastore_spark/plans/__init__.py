@@ -93,7 +93,7 @@ from .. import streaming  # noqa: F401,E402
 # stream_click_attribution, text_stats_docs, thin_metastore_scan,
 # topn_parts_per_brand, udtf_bigrams, variant_extract_props,
 # window_rank_orders).
-# Round 13 (this window): block 1 = the round's SIX new keys
+# Round 13 (this window): block 1 = the round's EIGHT new keys
 # (stream_lsh_ingest — streaming LSH postings ingest, the
 # stream_ivf_ingest sibling; knn_lsh_join — the batched postings
 # probe, one scan for a whole query batch, derived recall-verdict
@@ -101,8 +101,11 @@ from .. import streaming  # noqa: F401,E402
 # ann_index_compact maintenance pass, ingest-batch dirs folded +
 # ordering contract restored, identity/files verdicts; knn_ivf_join —
 # the batched IVF probe, one partition-pruned scan per query batch;
-# hybrid_rank_rrf
-# — BM25 + dense reciprocal-rank fusion) + the 3 keys whose engine
+# knn_mmr_rerank — MMR diversification of the certified shortlist,
+# λ=1-identity + picks-validity verdicts; hybrid_rank_rrf +
+# hybrid_rank_weighted
+# — BM25 + dense fusion, rank-based and min-max-weighted) + the 3 keys
+# whose engine
 # changed this
 # round (ivf_drift_check moved to the per-index 3σ threshold derived
 # from ivf_drift_reference; knn_lsh_indexed gained the manifest +
@@ -111,12 +114,14 @@ from .. import streaming  # noqa: F401,E402
 # resolve centroids from the path alone); block 2 = the ENTIRE
 # r8-vintage drift tail (the 27 keys VERDICT r12 missing #2 named,
 # list re-verified by script against the r1–r12 union); block 3 = the
-# 14 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
+# 12 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
 # displaced by knn_lsh_join, and events_date_parts /
-# events_hourly_gapfill / funnel_signup_purchase / domain_cap_docs by
-# the four newest
+# events_hourly_gapfill / funnel_signup_purchase / domain_cap_docs /
+# doc_fingerprint / describe_lineitem by
+# the six newest
 # keys, all under policy #2) — after r13 no driver row
-# predates r9, and 29 r9 stragglers remain for r14: domain_cap_docs,
+# predates r9, and 31 r9 stragglers remain for r14: describe_lineitem,
+# doc_fingerprint, domain_cap_docs,
 # events_date_parts,
 # events_hourly_gapfill, funnel_signup_purchase, grouped_arrow_minmax,
 # grouped_map_zscore,
@@ -141,7 +146,9 @@ _CERTIFICATION_PRIORITY = [
     "knn_ivf_compact_probe",
     "knn_lsh_compact_probe",
     "knn_ivf_join",
+    "knn_mmr_rerank",
     "hybrid_rank_rrf",
+    "hybrid_rank_weighted",
     "ivf_drift_check",
     "knn_lsh_indexed",
     "stream_ivf_ingest",
@@ -175,8 +182,8 @@ _CERTIFICATION_PRIORITY = [
     "udtf_bigrams",
     "variant_extract_props",
     "window_rank_orders",
-    # --- r13 block 3: drift re-certification, the 14 alphabetically-
-    # --- first r9-vintage keys (the remaining 29 are listed in the
+    # --- r13 block 3: drift re-certification, the 12 alphabetically-
+    # --- first r9-vintage keys (the remaining 31 are listed in the
     # --- history note above for r14). ---
     "agg_misc",
     "argmin_argmax_orders",
@@ -190,8 +197,6 @@ _CERTIFICATION_PRIORITY = [
     "data_quality_report",
     "decontaminate_digest_docs",
     "decontaminate_docs",
-    "describe_lineitem",
-    "doc_fingerprint",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

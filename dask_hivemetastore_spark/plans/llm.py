@@ -663,6 +663,83 @@ def knn_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_mmr_rerank",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine,
+           1 AS mmr_lambda1_identity, 1 AS mmr_picks_valid
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 retrieval post-processing (r13): Maximal Marginal Relevance
+    diversification (:func:`..operators.similarity.mmr_rerank`,
+    Carbonell & Goldstein 1998) — rerank the certified exact top-50
+    shortlist so a RAG context window is not k near-copies of the best
+    hit. The corpus-scale work stays in the shortlist scan (broadcast
+    1-row + TakeOrderedAndProject); the greedy loop runs driver-side
+    over the bounded 50-row shortlist — the contract that makes MMR
+    affordable at 100 TB.
+
+    The greedy selection itself is not SQL-expressible (pick i depends
+    on picks 1..i−1), so the key certifies it by its algebraic
+    contracts, both pinned to 1 by the brute-force oracle:
+    ``mmr_lambda1_identity`` — at λ=1 the redundancy term vanishes and
+    MMR must return EXACTLY the relevance top-10 (ids, labels, cosines,
+    order); ``mmr_picks_valid`` — the λ=0.5 picks are 10 distinct
+    shortlist members led by the relevance argmax, whose first pick's
+    ``mmr_score`` equals λ·cosine exactly (no redundancy term exists
+    for pick 1; later picks are NOT inequality-pinned — on this
+    near-orthogonal fixture redundancy dots go NEGATIVE, so the
+    penalty can raise a score, which a naive ≤ λ·cosine pin would
+    wrongly flag). The diversification BEHAVIOR (λ=0.5 skips a planted
+    near-duplicate that λ=1 keeps) is pinned in
+    tests/test_operators.py, where the fixture can plant the
+    duplicate. Returned rows are the exact top-10 (same oracle family
+    as every knn key). Bounded collects only (50-row shortlist + k-row
+    pick lists)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    exact_rows = [
+        (r.vec_id, r.label, r.cosine) for r in exact.collect()
+    ]  # bounded: k rows
+    lam1 = [
+        (r.vec_id, r.label, r.cosine)
+        for r in similarity.mmr_rerank(
+            emb, query_id=0, k=10, lam=1.0, shortlist=50, dim=EMB_DIM
+        ).collect()  # bounded: k rows, pick-ordered
+    ]
+    lambda1_identity = int(lam1 == exact_rows)
+    short_ids = {
+        r.vec_id
+        for r in similarity.knn_topk(
+            emb, query_id=0, k=50, dim=EMB_DIM
+        ).collect()  # bounded: 50 rows
+    }
+    picks = similarity.mmr_rerank(
+        emb, query_id=0, k=10, lam=0.5, shortlist=50, dim=EMB_DIM
+    ).collect()  # bounded: k rows
+    picks_valid = int(
+        len(picks) == 10
+        and len({r.vec_id for r in picks}) == 10
+        and all(r.vec_id in short_ids for r in picks)
+        and picks[0].vec_id == exact_rows[0][0]
+        and abs(picks[0].mmr_score - round(0.5 * picks[0].cosine, 6))
+        <= 1e-9
+    )
+    return (
+        exact.withColumn("mmr_lambda1_identity", F.lit(lambda1_identity))
+        .withColumn("mmr_picks_valid", F.lit(picks_valid))
+    )
+
+
+@query(
     "hybrid_rank_rrf",
     oracle=f"""
     WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
@@ -749,6 +826,119 @@ def hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.round("rrf_raw", 6).alias("rrf"), "n_arms")
+    )
+
+
+@query(
+    "hybrid_rank_weighted",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     AVG(len(ws)) AS avgdl FROM w),
+    tf AS (SELECT doc_id, len(ws) AS dl, t.x AS term,
+                  CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM w, unnest(ws) AS t(x)
+           WHERE t.x IN ('spark', 'hash', 'window')
+           GROUP BY 1, 2, 3),
+    dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dft
+            FROM tf GROUP BY 1),
+    bm AS (SELECT tf.doc_id,
+             ROUND(SUM(ln(1.0 + (stats.n - dft.dft + 0.5) / (dft.dft + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))),
+                 6) AS bm25
+           FROM tf JOIN dft USING (term) CROSS JOIN stats
+           GROUP BY tf.doc_id),
+    sr AS (SELECT doc_id, bm25, row_number() OVER
+             (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+    s50 AS (SELECT doc_id, bm25 FROM sr WHERE r <= 50),
+    sn AS (SELECT doc_id,
+             CASE WHEN mx = mn THEN 0.0
+                  ELSE (bm25 - mn) / (mx - mn) END AS nrm
+           FROM s50 CROSS JOIN
+             (SELECT MIN(bm25) AS mn, MAX(bm25) AS mx FROM s50)),
+    e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+    dn AS (SELECT vec_id AS doc_id,
+             ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+               AS cosine
+           FROM e, q WHERE vec_id <> 0),
+    dr AS (SELECT doc_id, cosine, row_number() OVER
+             (ORDER BY cosine DESC, doc_id) AS r FROM dn),
+    d50 AS (SELECT doc_id, cosine FROM dr WHERE r <= 50),
+    dnn AS (SELECT doc_id,
+             CASE WHEN mx = mn THEN 0.0
+                  ELSE (cosine - mn) / (mx - mn) END AS nrm
+           FROM d50 CROSS JOIN
+             (SELECT MIN(cosine) AS mn, MAX(cosine) AS mx FROM d50)),
+    u AS (SELECT doc_id, 0.5 * nrm AS c FROM sn
+          UNION ALL
+          SELECT doc_id, 0.5 * nrm AS c FROM dnn),
+    f AS (SELECT doc_id, SUM(c) AS score_raw, COUNT(*) AS n_arms
+          FROM u GROUP BY doc_id)
+    SELECT doc_id, ROUND(score_raw, 6) AS score, n_arms
+    FROM f ORDER BY score_raw DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4 hybrid retrieval, the convex-combination twin of
+    ``hybrid_rank_rrf``: each arm's top-50 scores are MIN-MAX
+    NORMALIZED to [0,1] within the retrieved list, then fused as
+    ``0.5·sparse + 0.5·dense`` (CombSUM with normalization — the other
+    standard no-training fusion; weighted score fusion preserves score
+    MAGNITUDE information that rank-based RRF deliberately discards,
+    which wins when one arm's confidence spread is meaningful).
+
+    Same scale shape as the RRF key: the corpus-sized work ends at each
+    arm's TakeOrderedAndProject top-50; the min/max are 1-row
+    aggregates over 50-row lists crossJoin-broadcast back; the fusion
+    is a union + groupBy over ≤100 rows. Determinism: normalization is
+    an affine map of the arms' 6dp-ROUNDed scores (identical doubles
+    both engines, degenerate max=min guarded to 0 identically), the
+    fused sum is ≤2 IEEE additions, final order uses the UNROUNDED sum
+    with a doc_id tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _minmax_norm(df50: DataFrame, score_col: str) -> DataFrame:
+        stats = df50.agg(
+            F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx")
+        )
+        return df50.crossJoin(F.broadcast(stats)).select(
+            "doc_id",
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(0.0))
+            .otherwise(
+                (F.col(score_col) - F.col("__mn"))
+                / (F.col("__mx") - F.col("__mn"))
+            )
+            .alias("nrm"),
+        )
+
+    sparse50 = (
+        text.bm25_scores(docs, ["spark", "hash", "window"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+    )
+    dense50 = (
+        similarity.knn_topk(emb, query_id=0, k=50, dim=EMB_DIM)
+        .select(F.col("vec_id").alias("doc_id"), "cosine")
+    )
+    fused = (
+        _minmax_norm(sparse50, "bm25")
+        .select("doc_id", (F.lit(0.5) * F.col("nrm")).alias("__c"))
+        .unionByName(
+            _minmax_norm(dense50, "cosine")
+            .select("doc_id", (F.lit(0.5) * F.col("nrm")).alias("__c"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__c").alias("score_raw"), F.count("*").alias("n_arms"))
+    )
+    return (
+        fused.orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score_raw", 6).alias("score"), "n_arms")
     )
 
 

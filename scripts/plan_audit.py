@@ -67,6 +67,12 @@ ALLOW: dict[str, str] = {
     " compaction itself runs eagerly inside the function)",
     "hybrid_rank_rrf": "dense arm = knn_topk's broadcast 1-row query"
     " vector; the fusion input is two bounded top-50 lists",
+    "hybrid_rank_weighted": "dense arm = knn_topk's broadcast 1-row query"
+    " vector; per-arm min/max are broadcast 1-row aggregates over the"
+    " bounded top-50 lists",
+    "knn_mmr_rerank": "crossJoin of a broadcast 1-row query vector"
+    " (the exact-top-10 audit twin + the bounded 50-row shortlist scan;"
+    " the greedy rerank runs driver-side on collected rows)",
 }
 
 # streaming / state-heavy keys: executing them here would start queries,

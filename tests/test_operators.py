@@ -1237,3 +1237,46 @@ def test_ivf_drift_dial_monotonic_in_shift_magnitude(spark, sf_dir):
         for alpha in (0.0, 0.5, 1.0, 2.0)
     }
     assert flags == {0.0: False, 0.5: False, 1.0: True, 2.0: True}, flags
+
+
+def test_mmr_rerank_skips_planted_duplicate_and_reduces_at_lambda1(spark):
+    """mmr_rerank (r13): on a corpus with a planted near-duplicate of
+    the best hit, λ=0.5 must SKIP the duplicate at pick 2 (the
+    redundancy penalty) while λ=1 keeps it (pure relevance — and must
+    equal knn_topk exactly, the registered key's contract)."""
+    import math
+
+    from dask_hivemetastore_spark.operators.similarity import (
+        knn_topk,
+        mmr_rerank,
+    )
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # query 0 = e1. id 1 and id 2 are near-identical top hits; id 3 is
+    # a distinct direction with slightly lower relevance.
+    rows = [
+        (0, unit([1.0, 0.0, 0.0, 0.0]), 0),
+        (1, unit([0.9, 0.1, 0.0, 0.0]), 1),     # best hit
+        (2, unit([0.9, 0.11, 0.0, 0.0]), 2),    # its near-duplicate
+        (3, unit([0.7, 0.0, 0.6, 0.0]), 3),     # diverse runner-up
+        (4, unit([0.1, 0.0, 0.0, 1.0]), 4),     # low relevance
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    relevance = mmr_rerank(emb, query_id=0, k=3, lam=1.0, shortlist=4,
+                           dim=4)
+    rel_ids = [r.vec_id for r in relevance.collect()]
+    exact_ids = [r.vec_id for r in knn_topk(emb, 0, k=3, dim=4).collect()]
+    assert rel_ids == exact_ids  # λ=1 ≡ relevance ranking
+    assert rel_ids[:2] in ([1, 2], [2, 1])  # the duplicate pair leads
+
+    diversified = mmr_rerank(emb, query_id=0, k=3, lam=0.5, shortlist=4,
+                             dim=4)
+    div = [r.vec_id for r in diversified.collect()]
+    assert div[0] == rel_ids[0]      # first pick is the relevance argmax
+    assert div[1] == 3               # duplicate penalized, diverse row wins
+    assert set(div) == {rel_ids[0], 3, 4} or set(div) == {1, 2, 3} and div[1] == 3
