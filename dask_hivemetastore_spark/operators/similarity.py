@@ -2253,7 +2253,14 @@ def ann_index_compact(spark, index_path: str, *,
     staged-then-renamed (the ``compact_partitions`` choreography): NOT
     transactional on a plain parquet directory — a real table format
     would make the swap a log commit; a concurrent probe between delete
-    and rename can see partial data.
+    and rename can see partial data. Concurrent APPENDS are worse than
+    probes: an ``lsh_append``/``ivf_append`` that lands after this
+    function's read but before the delete is silently LOST with the old
+    directories. Run compaction in the ingest loop's quiet window
+    (e.g. between ``foreachBatch`` invocations — micro-batches are
+    serialized per query, so a maintenance pass keyed off batch_id % N
+    inside foreachBatch is safe by construction), or on a table format
+    whose commit protocol orders the two.
 
     The index must be self-describing (r13 manifest): kind, partition
     key, id column and sort contract all resolve from the manifest, so

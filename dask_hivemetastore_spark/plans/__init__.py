@@ -93,7 +93,7 @@ from .. import streaming  # noqa: F401,E402
 # stream_click_attribution, text_stats_docs, thin_metastore_scan,
 # topn_parts_per_brand, udtf_bigrams, variant_extract_props,
 # window_rank_orders).
-# Round 13 (this window): block 1 = the round's EIGHT new keys
+# Round 13 (this window): block 1 = the round's NINE new keys
 # (stream_lsh_ingest — streaming LSH postings ingest, the
 # stream_ivf_ingest sibling; knn_lsh_join — the batched postings
 # probe, one scan for a whole query batch, derived recall-verdict
@@ -101,6 +101,7 @@ from .. import streaming  # noqa: F401,E402
 # ann_index_compact maintenance pass, ingest-batch dirs folded +
 # ordering contract restored, identity/files verdicts; knn_ivf_join —
 # the batched IVF probe, one partition-pruned scan per query batch;
+# knn_filtered_topk — metadata-PRE-filtered vector search;
 # knn_mmr_rerank — MMR diversification of the certified shortlist,
 # λ=1-identity + picks-validity verdicts; hybrid_rank_rrf +
 # hybrid_rank_weighted
@@ -114,13 +115,14 @@ from .. import streaming  # noqa: F401,E402
 # resolve centroids from the path alone); block 2 = the ENTIRE
 # r8-vintage drift tail (the 27 keys VERDICT r12 missing #2 named,
 # list re-verified by script against the r1–r12 union); block 3 = the
-# 12 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
+# 11 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
 # displaced by knn_lsh_join, and events_date_parts /
 # events_hourly_gapfill / funnel_signup_purchase / domain_cap_docs /
-# doc_fingerprint / describe_lineitem by
-# the six newest
+# doc_fingerprint / describe_lineitem / decontaminate_docs by
+# the seven newest
 # keys, all under policy #2) — after r13 no driver row
-# predates r9, and 31 r9 stragglers remain for r14: describe_lineitem,
+# predates r9, and 32 r9 stragglers remain for r14: decontaminate_docs,
+# describe_lineitem,
 # doc_fingerprint, domain_cap_docs,
 # events_date_parts,
 # events_hourly_gapfill, funnel_signup_purchase, grouped_arrow_minmax,
@@ -146,6 +148,7 @@ _CERTIFICATION_PRIORITY = [
     "knn_ivf_compact_probe",
     "knn_lsh_compact_probe",
     "knn_ivf_join",
+    "knn_filtered_topk",
     "knn_mmr_rerank",
     "hybrid_rank_rrf",
     "hybrid_rank_weighted",
@@ -182,8 +185,8 @@ _CERTIFICATION_PRIORITY = [
     "udtf_bigrams",
     "variant_extract_props",
     "window_rank_orders",
-    # --- r13 block 3: drift re-certification, the 12 alphabetically-
-    # --- first r9-vintage keys (the remaining 31 are listed in the
+    # --- r13 block 3: drift re-certification, the 11 alphabetically-
+    # --- first r9-vintage keys (the remaining 32 are listed in the
     # --- history note above for r14). ---
     "agg_misc",
     "argmin_argmax_orders",
@@ -196,7 +199,6 @@ _CERTIFICATION_PRIORITY = [
     "custom_agg_geomean",
     "data_quality_report",
     "decontaminate_digest_docs",
-    "decontaminate_docs",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -663,6 +663,63 @@ def knn_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_filtered_topk",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+    elig AS (SELECT e.* FROM e
+             JOIN documents d ON d.doc_id = e.vec_id
+             WHERE d.lang = 'en')
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine
+    FROM elig, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 metadata-FILTERED vector search (r13): top-10 cosine among
+    only the vectors whose paired document satisfies a predicate
+    (``documents.lang = 'en'`` over the id-aligned tables) — the
+    everyday RAG shape ("retrieve only English / only this tenant /
+    only after this date").
+
+    Semantics matter more than mechanics here: this is a PRE-filter —
+    the predicate restricts the CANDIDATE SET and the top-k ranks
+    inside it, always returning k rows when k eligible rows exist. The
+    tempting post-filter (rank first, filter the top-k after) silently
+    returns FEWER than k whenever the unfiltered neighborhood is
+    predicate-sparse — at an 'en' share of ~44% a post-filtered top-10
+    averages ~4 rows. Plan shape: the predicate pushes into the
+    documents scan (PushedFilters on ``lang``), the id-aligned
+    left-semi join restricts the embeddings scan BEFORE any vector
+    math, and the ranking is the same broadcast-1-row
+    TakeOrderedAndProject as ``knn_cosine_topk`` — no shuffle of
+    either corpus. On a materialized layout the same pre-filter drops
+    into the probe's rescore stage (filter the index rows in the
+    probed cells before ranking).
+
+    FULL brute-force oracle — the filter is plain SQL, so no verdict
+    derivation is needed.
+
+    The query row rides OUTSIDE the predicate (``doc_id = 0`` is kept
+    regardless of its lang): the filter scopes the CANDIDATES, not the
+    query — dropping the query row with it would silently turn a
+    non-'en' query into an empty answer while the oracle still ranks
+    (the filter-membership of the query is irrelevant to the result:
+    ``knn_topk`` excludes ``query_id`` from candidates either way)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.where(
+        (F.col("lang") == "en") | (F.col("doc_id") == 0)
+    ).select(F.col("doc_id").alias("vec_id"))
+    filtered = emb.join(keep, "vec_id", "left_semi")
+    return similarity.knn_topk(filtered, query_id=0, k=10, dim=EMB_DIM)
+
+
+@query(
     "knn_mmr_rerank",
     oracle=f"""
     WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),

@@ -70,6 +70,9 @@ ALLOW: dict[str, str] = {
     "hybrid_rank_weighted": "dense arm = knn_topk's broadcast 1-row query"
     " vector; per-arm min/max are broadcast 1-row aggregates over the"
     " bounded top-50 lists",
+    "knn_filtered_topk": "crossJoin of a broadcast 1-row query vector"
+    " (knn_topk over the predicate-restricted corpus — the semi-join"
+    " restriction happens before the broadcast)",
     "knn_mmr_rerank": "crossJoin of a broadcast 1-row query vector"
     " (the exact-top-10 audit twin + the bounded 50-row shortlist scan;"
     " the greedy rerank runs driver-side on collected rows)",
