@@ -715,7 +715,8 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
                       k: int = 10, multiprobe: bool = True,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       seed: int | None = None, rescore: str = "auto",
-                      shortlist: int | None = None) -> DataFrame:
+                      shortlist: int | None = None,
+                      row_filter: Column | None = None) -> DataFrame:
     """Top-k against a :func:`lsh_build_index` postings layout. The
     query's per-table probe sets are computed driver-side from the same
     seeded planes (one bounded 1-row fetch for the query vector); the
@@ -746,7 +747,15 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
     dimension), so the result stays identical to the inline
     :func:`lsh_topk` at the same config — the identity pin in
     tests/test_operators.py runs THIS default path. ``rescore="float"``
-    keeps the direct exact rescore of all candidates."""
+    keeps the direct exact rescore of all candidates.
+
+    ``row_filter`` (r13): metadata PRE-filter — a Column predicate over
+    ``emb``'s columns that scopes the CANDIDATE set (candidates
+    semi-join the filtered corpus before the screen, the exact rescore
+    reads the filtered corpus), while the query row is fetched outside
+    the predicate. Equals ``lsh_topk`` over the pre-filtered corpus
+    (with the query row retained) — pinned in tests/test_layouts.py on
+    both rescore arms."""
     from functools import reduce
     from operator import or_
 
@@ -783,6 +792,14 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
         .select(vec_col)
         .first()  # bounded: 1 row
     )
+    # metadata PRE-filter (r13, the knn_filtered_topk semantics pushed
+    # into the index probe): the predicate scopes the CANDIDATES — the
+    # query row is fetched above, BEFORE the filter, so a query outside
+    # the predicate still answers. The filter restricts both the screen
+    # (via the candidate semi-join below) and the exact rescore, so the
+    # top-k ranks inside the filtered set — never the post-filter trap
+    # of ranking first and under-returning.
+    corpus = emb if row_filter is None else emb.where(row_filter)
     if qrow is None:  # corrupt/absent query → no-answer, never wrong
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -810,6 +827,11 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
         .select(id_col)
         .distinct()
     )
+    if row_filter is not None:
+        # restrict candidates BEFORE the screen: otherwise the INT8
+        # shortlist fills with predicate-failing ids (the sidecar has
+        # no metadata) and the final k under-returns
+        cand = cand.join(corpus.select(id_col), id_col, "left_semi")
     qcol = F.array(*[F.lit(float(x)) for x in qv])
     if rescore == "int8":
         keep = shortlist if shortlist is not None else max(4 * k, k + 32)
@@ -844,11 +866,11 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
         # only decoded for surviving rows. A semi-join would scan the
         # FULL float column (no pushdown through a join), which is
         # exactly the cost the INT8 screen exists to avoid.
-        exact_src = finite_vectors(emb, vec_col, dim).where(
+        exact_src = finite_vectors(corpus, vec_col, dim).where(
             F.col(id_col).isin(short_ids)
         )
     else:
-        exact_src = finite_vectors(emb, vec_col, dim).join(
+        exact_src = finite_vectors(corpus, vec_col, dim).join(
             cand, id_col, "left_semi"
         )
     return (
@@ -1712,12 +1734,24 @@ def ivf_probe_indexed(spark, index_path: str,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       exclude_id: int | None = None,
                       rescore: str = "auto",
-                      shortlist: int | None = None) -> DataFrame:
+                      shortlist: int | None = None,
+                      row_filter: Column | None = None) -> DataFrame:
     """Top-k against a materialized :func:`ivf_build_index` layout. The
     ``cell IN (probes)`` filter is a partition-key predicate → the scan
     lists only the probed directories. ``centroids=None`` (r13) resolves
     the quantizer from the index manifest — a probe needs only the path
     and the query vector.
+
+    ``row_filter`` (r13): metadata PRE-filter over the INDEX ROW's
+    columns (the IVF layout carries the full row, so label/metadata
+    predicates apply directly) — applied right after cell pruning and
+    BEFORE the screen/rescore, so the top-k ranks inside the filtered
+    set (never the post-filter under-return trap). Exactness pin: with
+    ``nprobe = n_cells`` the filtered probe equals brute-force knn over
+    the filtered corpus (tests/test_layouts.py). At real nprobe the
+    usual IVF recall caveat compounds with selectivity: a sparse
+    predicate empties probed cells — raise nprobe for highly selective
+    filters.
 
     Rescore (r13, opt-in — the IVF twin of the LSH INT8 screen): on an
     index built with ``int8_cols=True``, ``rescore="int8"`` (or "auto",
@@ -1743,6 +1777,8 @@ def ivf_probe_indexed(spark, index_path: str,
     qv = np.asarray(query_vec, dtype=np.float64)
     probes = [int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe]]
     idx = spark.read.parquet(index_path).where(F.col("cell").isin(probes))
+    if row_filter is not None:
+        idx = idx.where(row_filter)
     if exclude_id is not None:
         idx = idx.where(F.col(id_col) != exclude_id)
     if rescore not in ("auto", "int8", "float"):

@@ -719,3 +719,70 @@ def test_ivf_batch_probe_identical_to_single_probes(spark, tmp_path):
             ]
             assert sorted(got[qid]) == sorted(single), (int8, qid)
             assert len(single) == 5
+
+
+def test_probe_row_filter_prefilter_semantics(spark, tmp_path):
+    """row_filter (r13) on both index probes is a PRE-filter: the top-k
+    ranks inside the predicate-restricted candidate set. Pins:
+    - LSH: filtered probe (int8 AND float arms) == inline lsh_topk over
+      the pre-filtered corpus with the query row retained;
+    - IVF at nprobe=n_cells: filtered probe == brute knn_topk over the
+      filtered corpus (exact, since every cell is probed);
+    - the filter never returns a predicate-failing id, and a query row
+      OUTSIDE the predicate still answers."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivf_build_index,
+        ivf_probe_indexed,
+        knn_topk,
+        lsh_build_index,
+        lsh_probe_indexed,
+        lsh_topk,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pred = (F.col("vec_id") % 3 == 1) | (F.col("vec_id") == 0)
+    filtered = emb.where((F.col("vec_id") % 3 == 1) | (F.col("vec_id") == 0))
+
+    # --- LSH: both rescore arms equal the inline filtered path
+    lidx = str(tmp_path / "lshf")
+    lsh_build_index(emb, lidx, dim=64, bits=8, n_tables=4)
+    inline = [tuple(r) for r in lsh_topk(
+        filtered, 0, k=10, dim=64, bits=8, n_tables=4).collect()]
+    for arm in ("int8", "float"):
+        got = [tuple(r) for r in lsh_probe_indexed(
+            emb, lidx, query_id=0, k=10, rescore=arm,
+            row_filter=pred).collect()]
+        assert got == inline and len(got) == 10, arm
+        assert all(vid % 3 == 1 for vid, _ in got), arm
+
+    # --- IVF at nprobe=n_cells: exact on the filtered corpus
+    iidx = str(tmp_path / "ivff")
+    ivf_build_index(emb, iidx, n_cells=8, cache_key=SF_SMOKE + "_rf",
+                    dim=64, drift_reference=False)
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    got = [(r.vec_id, r.label, r.cosine) for r in ivf_probe_indexed(
+        spark, iidx, None, qv, k=10, nprobe=8, exclude_id=0,
+        row_filter=(F.col("vec_id") % 3 == 1)).collect()]
+    brute = [(r.vec_id, r.label, r.cosine) for r in knn_topk(
+        filtered, 0, k=10, dim=64).collect()]
+    assert got == brute and len(got) == 10
+    assert all(vid % 3 == 1 for vid, _, _ in got)
+
+    # --- query outside the predicate still answers (query_id=0 is NOT
+    # %3==1; all asserts above already ran with that query) — and a
+    # strict predicate that EXCLUDES everything returns empty, not k
+    # wrong rows
+    empty = lsh_probe_indexed(
+        emb, lidx, query_id=0, k=10,
+        row_filter=F.col("vec_id") < 0).collect()
+    assert empty == []
