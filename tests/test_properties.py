@@ -580,3 +580,58 @@ def test_dedup_incremental_equals_naive(spark, old_rows, new_rows, threshold):
         ).collect()
     }
     assert got == expect
+
+
+ranks_st = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=20),  # item ids per arm
+        min_size=1, max_size=10, unique=True,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@SETTINGS
+@given(arms=ranks_st, k0=st.integers(min_value=1, max_value=100))
+def test_rrf_fuse_matches_reference_and_is_arm_order_invariant(
+    spark, arms, k0
+):
+    """rrf_fuse (r13) vs a pure-python reference on ANY arm set: the
+    fused score is exactly sum(1/(k0+rank)) per id, n_arms counts
+    retriever agreement, and the result is invariant under arm-order
+    permutation (the union+groupBy shape must not care which retriever
+    is listed first)."""
+    from dask_hivemetastore_spark.operators.similarity import rrf_fuse
+
+    # 1-based ranks: the position in each generated arm list
+    expect: dict[int, tuple[float, int]] = {}
+    for arm in arms:
+        for rank, item in enumerate(arm, start=1):
+            s, n = expect.get(item, (0.0, 0))
+            expect[item] = (s + 1.0 / (k0 + rank), n + 1)
+
+    dfs = [
+        spark.createDataFrame(
+            [(item, rank) for rank, item in enumerate(arm, start=1)],
+            "id long, rank int",
+        )
+        for arm in arms
+    ]
+    got = {
+        r["id"]: (r["rrf_raw"], r["n_arms"])
+        for r in rrf_fuse(dfs, "id", k0=k0).collect()
+    }
+    rev = {
+        r["id"]: (r["rrf_raw"], r["n_arms"])
+        for r in rrf_fuse(list(reversed(dfs)), "id", k0=k0).collect()
+    }
+    assert set(got) == set(expect)
+    for item, (s, n) in expect.items():
+        assert got[item][1] == n
+        assert abs(got[item][0] - s) < 1e-12, (item, got[item], s)
+    # arm-order invariance: counts exact; scores to IEEE-reassociation
+    # tolerance (a 3-arm sum may reassociate across the two runs)
+    assert set(rev) == set(got)
+    for item in got:
+        assert rev[item][1] == got[item][1]
+        assert abs(rev[item][0] - got[item][0]) < 1e-12
