@@ -894,7 +894,8 @@ def lsh_probe_indexed_batch(emb: DataFrame, index_path: str,
                             vec_col: str = "embedding",
                             seed: int | None = None,
                             rescore: str = "auto",
-                            shortlist: int | None = None) -> DataFrame:
+                            shortlist: int | None = None,
+                            row_filter: Column | None = None) -> DataFrame:
     """Top-k for EVERY query in a bounded batch against ONE postings
     scan — the serving shape (retrieval-augment a prompt batch) that a
     :func:`lsh_probe_indexed` loop would pay Q postings scans and Q
@@ -975,6 +976,10 @@ def lsh_probe_indexed_batch(emb: DataFrame, index_path: str,
     )
     if not qrows:
         return spark.createDataFrame([], out_schema)
+    # metadata PRE-filter (r13): same contract as the single probe —
+    # query rows fetched above OUTSIDE the predicate, candidates and
+    # rescore scoped inside it (see lsh_probe_indexed)
+    corpus = emb if row_filter is None else emb.where(row_filter)
     planes = _hyperplanes(dim, bits, seed=seed, n_tables=n_tables)
     weights = 1 << np.arange(bits)
     probe_rows = []       # (q_id, table, bucket) — Q*L*(bits+1), tiny
@@ -1011,6 +1016,10 @@ def lsh_probe_indexed_batch(emb: DataFrame, index_path: str,
         .select("q_id", id_col)
         .distinct()
     )
+    if row_filter is not None:
+        # restrict pairs BEFORE the screen (sidecar carries no
+        # metadata) — same under-return reasoning as the single probe
+        cand = cand.join(corpus.select(id_col), id_col, "left_semi")
     exact_dot = F.round(
         dot_f64(F.col(vec_col), F.col("__qv")), 6
     ).alias("cosine")
@@ -1040,12 +1049,12 @@ def lsh_probe_indexed_batch(emb: DataFrame, index_path: str,
         )
         all_ids = sorted({p[1] for p in pairs})
         exact_src = (
-            finite_vectors(emb, vec_col, dim)
+            finite_vectors(corpus, vec_col, dim)
             .where(F.col(id_col).isin(all_ids))  # pushed In(id, ...)
             .join(F.broadcast(pair_df), id_col)
         )
     else:
-        exact_src = finite_vectors(emb, vec_col, dim).join(cand, id_col)
+        exact_src = finite_vectors(corpus, vec_col, dim).join(cand, id_col)
     return (
         exact_src
         .join(F.broadcast(qvec_df), "q_id")
@@ -2453,7 +2462,8 @@ def ivf_probe_indexed_batch(emb: DataFrame, index_path: str,
                             label_col: str = "label",
                             dim: int | None = None,
                             rescore: str = "auto",
-                            shortlist: int | None = None) -> DataFrame:
+                            shortlist: int | None = None,
+                            row_filter: Column | None = None) -> DataFrame:
     """Top-k for EVERY query in a bounded batch against ONE scan of a
     materialized :func:`ivf_build_index` layout — the IVF sibling of
     :func:`lsh_probe_indexed_batch` (r13). A production retriever
@@ -2545,6 +2555,11 @@ def ivf_probe_indexed_batch(emb: DataFrame, index_path: str,
         .join(F.broadcast(probe_df), "cell")
         .where(F.col(id_col) != F.col("q_id"))  # self-pair mask
     )
+    if row_filter is not None:
+        # metadata PRE-filter (r13): index rows carry the full row, so
+        # the predicate applies directly, before screen/rescore — same
+        # contract and caveats as ivf_probe_indexed's row_filter
+        idx = idx.where(row_filter)
     if rescore == "auto":
         rescore = "int8" if "qvec" in idx.columns else "float"
     rank_w = Window.partitionBy("q_id").orderBy(

@@ -786,3 +786,63 @@ def test_probe_row_filter_prefilter_semantics(spark, tmp_path):
         emb, lidx, query_id=0, k=10,
         row_filter=F.col("vec_id") < 0).collect()
     assert empty == []
+
+
+def test_batch_probe_row_filter_matches_single(spark, tmp_path):
+    """row_filter on the BATCH probes (r13): per-query rows equal the
+    single filtered probe at the same config, on both index families."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivf_build_index,
+        ivf_probe_indexed,
+        ivf_probe_indexed_batch,
+        lsh_build_index,
+        lsh_probe_indexed,
+        lsh_probe_indexed_batch,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pred = F.col("vec_id") % 3 == 1
+    qids = [0, 5]
+
+    lidx = str(tmp_path / "lshbf")
+    lsh_build_index(emb, lidx, dim=64, bits=8, n_tables=4)
+    got: dict[int, set] = {}
+    for r in lsh_probe_indexed_batch(
+        emb, lidx, qids, k=5, row_filter=pred
+    ).collect():
+        got.setdefault(r.q_id, set()).add((r.vec_id, r.cosine))
+    for qid in qids:
+        single = {
+            (r.vec_id, r.cosine)
+            for r in lsh_probe_indexed(
+                emb, lidx, query_id=qid, k=5, row_filter=pred).collect()
+        }
+        assert got.get(qid, set()) == single and len(single) == 5, qid
+
+    iidx = str(tmp_path / "ivfbf")
+    ivf_build_index(emb, iidx, n_cells=8, cache_key=SF_SMOKE + "_bf",
+                    dim=64, drift_reference=False)
+    got = {}
+    for r in ivf_probe_indexed_batch(
+        emb, iidx, qids, k=5, nprobe=4, dim=64, row_filter=pred
+    ).collect():
+        got.setdefault(r.q_id, set()).add((r.vec_id, r.cosine))
+    for qid in qids:
+        qv = np.asarray(
+            finite_vectors(emb, "embedding", 64)
+            .where(F.col("vec_id") == qid).select("embedding").first()[0],
+            dtype=np.float64,
+        )
+        single = {
+            (r.vec_id, r.cosine)
+            for r in ivf_probe_indexed(
+                spark, iidx, None, qv, k=5, nprobe=4, exclude_id=qid,
+                row_filter=pred).collect()
+        }
+        assert got.get(qid, set()) == single and len(single) == 5, qid
