@@ -418,3 +418,31 @@ def test_knn_lsh_join_on_hostile_corpus_properties(spark, hostile_emb_dir):
         per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
     assert all(n <= 5 for n in per_q.values())
     assert {r.lsh_recall_floor_met for r in rows} <= {0, 1}
+
+
+def test_mmr_rerank_absent_query_empty_schema_stable(spark, sf_dir):
+    """MMR on a corrupt/absent query id: empty result with the stable
+    output schema (no-answer, never wrong — the knn_topk contract
+    propagates through the rerank)."""
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = mmr_rerank(emb, query_id=987654321, k=5, dim=64)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "pick", "vec_id", "label", "cosine", "mmr_score"]
+
+
+def test_rrf_fuse_empty_arm_degrades_to_other_arm(spark):
+    """Hybrid fusion with one EMPTY arm (e.g. no document matches any
+    query term): the fused ranking degrades to the surviving arm's
+    contributions — no crash, no phantom rows, n_arms = 1."""
+    from dask_hivemetastore_spark.operators.similarity import rrf_fuse
+
+    dense = spark.createDataFrame(
+        [(7, 1), (3, 2)], "id long, rank int")
+    empty = spark.createDataFrame([], "id long, rank int")
+    out = {r["id"]: (r["rrf_raw"], r["n_arms"])
+           for r in rrf_fuse([empty, dense], "id", k0=60).collect()}
+    assert out == {7: (1 / 61, 1), 3: (1 / 62, 1)}
