@@ -93,7 +93,7 @@ from .. import streaming  # noqa: F401,E402
 # stream_click_attribution, text_stats_docs, thin_metastore_scan,
 # topn_parts_per_brand, udtf_bigrams, variant_extract_props,
 # window_rank_orders).
-# Round 13 (this window): block 1 = the round's NINE new keys
+# Round 13 (this window): block 1 = the round's TEN new keys
 # (stream_lsh_ingest — streaming LSH postings ingest, the
 # stream_ivf_ingest sibling; knn_lsh_join — the batched postings
 # probe, one scan for a whole query batch, derived recall-verdict
@@ -102,6 +102,8 @@ from .. import streaming  # noqa: F401,E402
 # ordering contract restored, identity/files verdicts; knn_ivf_join —
 # the batched IVF probe, one partition-pruned scan per query batch;
 # knn_filtered_topk — metadata-PRE-filtered vector search;
+# quality_calibrate_by_source — per-source quality-percentile
+# calibration for mixture curation;
 # knn_mmr_rerank — MMR diversification of the certified shortlist,
 # λ=1-identity + picks-validity verdicts; hybrid_rank_rrf +
 # hybrid_rank_weighted
@@ -115,13 +117,15 @@ from .. import streaming  # noqa: F401,E402
 # resolve centroids from the path alone); block 2 = the ENTIRE
 # r8-vintage drift tail (the 27 keys VERDICT r12 missing #2 named,
 # list re-verified by script against the r1–r12 union); block 3 = the
-# 11 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
+# 10 alphabetically-first r9-vintage keys (grouped_arrow_minmax was
 # displaced by knn_lsh_join, and events_date_parts /
 # events_hourly_gapfill / funnel_signup_purchase / domain_cap_docs /
-# doc_fingerprint / describe_lineitem / decontaminate_docs by
-# the seven newest
+# doc_fingerprint / describe_lineitem / decontaminate_docs /
+# decontaminate_digest_docs by
+# the eight newest
 # keys, all under policy #2) — after r13 no driver row
-# predates r9, and 32 r9 stragglers remain for r14: decontaminate_docs,
+# predates r9, and 33 r9 stragglers remain for r14:
+# decontaminate_digest_docs, decontaminate_docs,
 # describe_lineitem,
 # doc_fingerprint, domain_cap_docs,
 # events_date_parts,
@@ -149,6 +153,7 @@ _CERTIFICATION_PRIORITY = [
     "knn_lsh_compact_probe",
     "knn_ivf_join",
     "knn_filtered_topk",
+    "quality_calibrate_by_source",
     "knn_mmr_rerank",
     "hybrid_rank_rrf",
     "hybrid_rank_weighted",
@@ -185,8 +190,8 @@ _CERTIFICATION_PRIORITY = [
     "udtf_bigrams",
     "variant_extract_props",
     "window_rank_orders",
-    # --- r13 block 3: drift re-certification, the 11 alphabetically-
-    # --- first r9-vintage keys (the remaining 32 are listed in the
+    # --- r13 block 3: drift re-certification, the 10 alphabetically-
+    # --- first r9-vintage keys (the remaining 33 are listed in the
     # --- history note above for r14). ---
     "agg_misc",
     "argmin_argmax_orders",
@@ -198,7 +203,6 @@ _CERTIFICATION_PRIORITY = [
     "cumsum_orders",
     "custom_agg_geomean",
     "data_quality_report",
-    "decontaminate_digest_docs",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

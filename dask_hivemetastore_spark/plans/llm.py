@@ -663,6 +663,65 @@ def knn_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_calibrate_by_source",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {text.QUALITY_SCORE_ORACLE_EXPR} AS q
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+      SELECT source, q, PERCENT_RANK() OVER
+        (PARTITION BY source ORDER BY q, doc_id) AS pct
+      FROM scored
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE pct >= 0.8) AS n_kept,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(q) FILTER (WHERE pct >= 0.8), 6) AS cutoff_score
+    FROM ranked GROUP BY source
+    """,
+)
+def quality_calibrate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 curation: PER-SOURCE quality calibration — keep each source's
+    top quality quintile by WITHIN-SOURCE percent rank instead of one
+    global score threshold. The mixing problem this solves is standard:
+    heterogeneous sources put their quality mass on different scales
+    (a forum's 90th percentile may score below an encyclopedia's
+    median), so a global cutoff silently drops whole sources from the
+    mixture while a per-source percentile keeps the best fraction of
+    EACH — the returned ``cutoff_score`` column makes the per-source
+    thresholds (what a global constant cannot be) directly visible.
+
+    Plan: one scan computes the deterministic quality score
+    (:func:`..operators.text.quality_features` — the repo's single
+    score definition, exact rational arithmetic both engines), one
+    window per source partition assigns ``percent_rank`` (ties broken
+    by doc_id identically in both engines; the rank is
+    (rank−1)/(n−1), an exact integer-ratio double), one groupBy
+    aggregates per source. At 100 TB: the window shuffles by
+    ``source`` — a bounded-cardinality key; a skewed mega-source is
+    the known salting/AQE case and the rank within it is exactly the
+    per-group-top-N shape E6 already serves. NULL texts are excluded
+    explicitly on BOTH sides (Spark sorts NULLS FIRST ascending,
+    DuckDB NULLS LAST — the r9 cumsum lesson applied preemptively)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    scored = text.quality_features(docs).select(
+        "doc_id", "source", F.col("quality_score").alias("q")
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = scored.withColumn("pct", F.percent_rank().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.when(F.col("pct") >= 0.8, 1)).alias("n_kept"),
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.min(F.when(F.col("pct") >= 0.8, F.col("q"))), 6
+        ).alias("cutoff_score"),
+    )
+
+
+@query(
     "knn_filtered_topk",
     oracle=f"""
     WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
