@@ -846,3 +846,46 @@ def test_batch_probe_row_filter_matches_single(spark, tmp_path):
                 row_filter=pred).collect()
         }
         assert got.get(qid, set()) == single and len(single) == 5, qid
+
+
+def test_ann_index_compact_preserves_ivf_int8_columns(spark, tmp_path):
+    """ann_index_compact on an int8_cols IVF layout: the in-row qvec /
+    scale columns survive the rewrite (the rewrite projects all data
+    columns, folding only ingest_batch) and the INT8-screened probe
+    answers identically after compaction."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+        finite_vectors,
+        ivf_append,
+        ivf_build_index,
+        ivf_probe_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_int8")
+    ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), idx, n_cells=8,
+                    cache_key=SF_SMOKE + "_ci", dim=64,
+                    drift_reference=False, int8_cols=True)
+    # append follows the build's int8 schema automatically
+    ivf_append(emb.where(F.col("vec_id") % 2 == 1), idx)
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    before = [tuple(r) for r in ivf_probe_indexed(
+        spark, idx, None, qv, k=10, nprobe=4, exclude_id=0,
+        rescore="int8").collect()]
+    stats = ann_index_compact(spark, idx)
+    assert stats["n_files_out"] < stats["n_files_in"]
+    cols = set(spark.read.parquet(idx).columns)
+    assert {"qvec", "scale"} <= cols, cols
+    after = [tuple(r) for r in ivf_probe_indexed(
+        spark, idx, None, qv, k=10, nprobe=4, exclude_id=0,
+        rescore="int8").collect()]
+    assert after == before and len(after) == 10
