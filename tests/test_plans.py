@@ -563,3 +563,19 @@ def test_lsh_postings_probe_pushes_filters_and_prunes_columns(spark, tmp_path):
     corpus_scan = next(line for line in plan8.split("\n")
                        if "FileScan" in line and "embedding" in line)
     assert "In(vec_id" in corpus_scan.split("PushedFilters:")[1]
+
+
+def test_quality_calibrate_prefilter_plan_shape(spark):
+    """r14 skew path for per-source calibration: one approximate
+    pre-aggregate (count + percentile_approx) broadcasts back onto the
+    scan ahead of the exact per-source window — the domain_cap_prefiltered
+    recipe verbatim, and still zero Python in the plan."""
+    from dask_hivemetastore_spark import plans
+
+    df = plans.QUERIES["quality_calibrate_prefiltered"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan
+    for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
