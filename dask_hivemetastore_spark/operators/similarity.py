@@ -598,10 +598,12 @@ def lsh_manifest(*, dim: int, bits: int = 8, n_tables: int = 16,
     assemblies (e.g. streaming ingest, where every micro-batch lands
     under its own ``ingest_batch=<id>`` subdirectory and nothing is
     ever one-shot-built at the root) can write the same
-    self-describing manifest before their first append — required,
-    because a root that mixes built ``table=*`` dirs with batch
-    subdirs breaks partition discovery, so streaming indexes hold
-    ONLY batch subdirs."""
+    self-describing manifest before their first append. (Streaming
+    indexes hold ONLY batch subdirs by convention; since r14 a MIXED
+    root — one-shot build plus batch-keyed appends — also reads fine:
+    probes and ``ann_index_compact`` go through
+    :func:`_read_index_root`, which handles the conflicting partition
+    depths plain ``spark.read.parquet`` rejects.)"""
     return {
         "kind": "lsh",
         "dim": dim,
@@ -828,7 +830,7 @@ def lsh_probe_indexed(emb: DataFrame, index_path: str, query_id: int,
             (F.col("table") == t) & F.col("bucket").isin(probes)
         )
     cand = (
-        spark.read.parquet(index_path)
+        _read_index_root(spark, index_path, "table")
         .where(reduce(or_, conds))
         .select(id_col)
         .distinct()
@@ -1015,7 +1017,7 @@ def lsh_probe_indexed_batch(emb: DataFrame, index_path: str,
         for t, bs in per_table.items() if bs
     ])
     cand = (
-        spark.read.parquet(index_path)
+        _read_index_root(spark, index_path, "table")
         .where(coarse)
         .join(F.broadcast(probe_df), ["table", "bucket"])
         .where(F.col(id_col) != F.col("q_id"))  # self-pair mask
@@ -1442,6 +1444,38 @@ def _check_stale_append_markers(spark, index_root: str, epoch: int,
             "directories). Re-ingest or verify those batches, then delete "
             f"the markers under {_APPEND_LOG_DIR}/ to clear the flag."
         )
+
+
+def _read_index_root(spark, index_path: str, part_col: str) -> DataFrame:
+    """Read a materialized index root, tolerant of the MIXED layout
+    :func:`lsh_append`'s at-least-once docs describe — one-shot build
+    dirs (``table=*``/``cell=*``) at the root PLUS later batch-keyed
+    ``ingest_batch=<i>`` subdirs — where a plain ``spark.read.parquet``
+    fails partition discovery on conflicting depths (r14, r13 advisor;
+    the :func:`ann_index_compact` fix applied to every probe). Uniform
+    layouts take the plain read (the extra cost is one driver-side
+    listing); mixed roots read per depth group under ``basePath`` and
+    union on the shared columns. The bookkeeping ``ingest_batch``
+    column is dropped either way — probes never key on it."""
+    root = index_path.rstrip("/")
+    fs, JPath = _hadoop_fs(spark, root)
+    if fs is not None:
+        built, batched = [], []
+        for st in fs.listStatus(JPath(root)):
+            name = st.getPath().getName()
+            if not st.isDirectory():
+                continue
+            if name.startswith(f"{part_col}="):
+                built.append(st.getPath().toString())
+            elif name.startswith("ingest_batch="):
+                batched.append(st.getPath().toString())
+        if built and batched:
+            a = spark.read.option("basePath", root).parquet(*built)
+            b = spark.read.option("basePath", root).parquet(*batched)
+            cols = [c for c in b.columns if c != "ingest_batch"]
+            return a.select(*cols).unionByName(b.select(*cols))
+    df = spark.read.parquet(root)
+    return df.drop("ingest_batch") if "ingest_batch" in df.columns else df
 
 
 def _commit_append_marker(spark, index_root: str, epoch: int,
@@ -2105,7 +2139,8 @@ def ivf_probe_indexed(spark, index_path: str,
         centroids = np.asarray(m["centroids"], dtype=np.float64)
     qv = np.asarray(query_vec, dtype=np.float64)
     probes = [int(c) for c in (centroids @ qv).argsort()[::-1][:nprobe]]
-    idx = spark.read.parquet(index_path).where(F.col("cell").isin(probes))
+    idx = _read_index_root(spark, index_path, "cell") \
+        .where(F.col("cell").isin(probes))
     if row_filter is not None:
         idx = idx.where(row_filter)
     if exclude_id is not None:
@@ -2799,9 +2834,14 @@ def ann_index_compact(spark, index_path: str, *,
             .write.mode("overwrite")
             .parquet(qstage)
         )
-        fs.delete(JPath(qroot), True)
+        # same tombstone choreography as the data dirs: a crash between
+        # the rename pair leaves the old sidecar recoverable (and the
+        # leftover-tombstone check at the next compact fails fast)
+        qtomb = f"{root}/_tomb_quantized"
+        fs.rename(JPath(qroot), JPath(qtomb))
         fs.mkdirs(JPath(qroot))
         fs.rename(JPath(qstage), JPath(f"{qroot}/qbatch=compacted"))
+        fs.delete(JPath(qtomb), True)
 
     # Success: consume the snapshotted markers BEFORE bumping the epoch
     # (a crash between the two leaves markers at the CURRENT epoch —
@@ -2970,7 +3010,7 @@ def ivf_probe_indexed_batch(emb: DataFrame, index_path: str,
         qvec_rows, "q_id long, __qv array<double>"
     )
     idx = (
-        spark.read.parquet(index_path)
+        _read_index_root(spark, index_path, "cell")
         .where(F.col("cell").isin(sorted(union_cells)))
         .join(F.broadcast(probe_df), "cell")
         .where(F.col(id_col) != F.col("q_id"))  # self-pair mask
@@ -3012,7 +3052,7 @@ def ivf_probe_indexed_batch(emb: DataFrame, index_path: str,
         # pushed literal In(id) — the float column decodes only for
         # shortlist rows (same reasoning as the single probe's screen)
         exact_src = (
-            spark.read.parquet(index_path)
+            _read_index_root(spark, index_path, "cell")
             .where(F.col("cell").isin(sorted(union_cells)))
             .where(F.col(id_col).isin(short_ids))
             .join(F.broadcast(pair_df), id_col)

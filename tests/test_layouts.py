@@ -1202,3 +1202,63 @@ def test_hybrid_fusion_identical_over_indexed_dense_arm(spark, tmp_path):
         ]
 
     assert fused(dense_brute) == fused(dense_indexed)
+
+
+def test_probes_answer_on_mixed_layout_root(spark, tmp_path):
+    """r14: both families' probes (single + batch) answer on a MIXED
+    root — one-shot build dirs plus a batch-keyed append subdir — and
+    identically to the same index grown with a plain (uniform) append.
+    Before _read_index_root, plain spark.read.parquet failed partition
+    discovery on the conflicting depths."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivf_append,
+        ivf_build_index,
+        ivf_probe_indexed,
+        lsh_append,
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+
+    # LSH: build at root, append batch-keyed -> mixed depths
+    mixed = str(tmp_path / "lsh_mixed")
+    plain = str(tmp_path / "lsh_plain")
+    for p in (mixed, plain):
+        lsh_build_index(even, p, dim=64, bits=8, n_tables=2,
+                        quantized=False)
+    lsh_append(odd, mixed, subdir="ingest_batch=1", mode="overwrite")
+    lsh_append(odd, plain)
+    a = [tuple(r) for r in lsh_probe_indexed(
+        emb, mixed, query_id=0, k=10).collect()]
+    b = [tuple(r) for r in lsh_probe_indexed(
+        emb, plain, query_id=0, k=10).collect()]
+    assert a == b and len(a) == 10
+
+    # IVF: same shape
+    imixed = str(tmp_path / "ivf_mixed")
+    iplain = str(tmp_path / "ivf_plain")
+    for p in (imixed, iplain):
+        ivf_build_index(even, p, n_cells=8,
+                        cache_key=SF_SMOKE + "_mx", dim=64,
+                        drift_reference=False)
+    ivf_append(odd, f"{imixed}/ingest_batch=1", mode="overwrite")
+    ivf_append(odd, iplain)
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    ia = [tuple(r) for r in ivf_probe_indexed(
+        spark, imixed, None, qv, k=10, nprobe=4, exclude_id=0).collect()]
+    ib = [tuple(r) for r in ivf_probe_indexed(
+        spark, iplain, None, qv, k=10, nprobe=4, exclude_id=0).collect()]
+    assert ia == ib and len(ia) == 10
