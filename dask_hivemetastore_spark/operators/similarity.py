@@ -2737,9 +2737,9 @@ def ann_index_compact(spark, index_path: str, *,
         raise RuntimeError(
             f"ann_index_compact: leftover tombstone dirs under {root} "
             f"({sorted(p.getName() for p in leftover)}) — a previous "
-            "compaction crashed mid-swap. Recover by renaming the "
-            "tombstones back over the partial new dirs (or deleting them "
-            "after verifying the new layout), then re-run."
+            "compaction crashed mid-swap. Run ann_index_recover(spark, "
+            "index_path) to roll back to the pre-swap state losslessly, "
+            "then re-run."
         )
     _check_stale_append_markers(spark, root, epoch, "ann_index_compact")
     markers_before = set(_list_append_markers(spark, root))
@@ -2837,7 +2837,7 @@ def ann_index_compact(spark, index_path: str, *,
         # same tombstone choreography as the data dirs: a crash between
         # the rename pair leaves the old sidecar recoverable (and the
         # leftover-tombstone check at the next compact fails fast)
-        qtomb = f"{root}/_tomb_quantized"
+        qtomb = f"{root}/_tomb__quantized"  # strips to _quantized on recover
         fs.rename(JPath(qroot), JPath(qtomb))
         fs.mkdirs(JPath(qroot))
         fs.rename(JPath(qstage), JPath(f"{qroot}/qbatch=compacted"))
@@ -2868,6 +2868,57 @@ def ann_index_compact(spark, index_path: str, *,
         "n_batch_dirs_folded": n_batch_dirs,
         "epoch": epoch + 1,
     }
+
+
+def ann_index_recover(spark, index_path: str) -> dict:
+    """Roll a crashed :func:`ann_index_compact` BACK to the pre-swap
+    state (r14): every ``_tomb_*`` directory is renamed over whatever
+    partial new directory took its place, the staging directory is
+    deleted, and the index is exactly as it was before the crashed
+    compaction started — re-runnable. The r13 advisor called the
+    crash-window recovery "manual"; this is the machine version of the
+    instruction the leftover-tombstone error prints.
+
+    Always rolls BACK (never forward): tombstones hold the ORIGINAL
+    bytes, so restoring them is lossless regardless of where in the
+    swap the crash happened — after a partial tombstoning, mid
+    staged-rename, or after a complete swap whose tombstone cleanup
+    never ran (the compaction is simply redone). The manifest epoch is
+    untouched (the bump is the LAST step of a successful compaction,
+    so a crashed one never moved it) and pending append markers stay
+    pending. The one thing roll-back cannot resurrect is an append
+    that raced INTO the crashed compaction's swap window — exactly the
+    case the epoch/marker protocol flags loudly on the next operation.
+
+    No-op (``{"recovered": 0}``) when no tombstones exist. Returns
+    ``{"recovered", "staging_removed"}``.
+    """
+    root = index_path.rstrip("/")
+    fs, JPath = _hadoop_fs(spark, root)
+    if fs is None:  # pragma: no cover — Connect/remote runtimes
+        raise RuntimeError(
+            "ann_index_recover: needs driver-side Hadoop FileSystem "
+            "access (not available on Spark Connect)"
+        )
+    jroot = JPath(root)
+    recovered = 0
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("_tomb_")):
+                continue
+            orig = name[len("_tomb_"):]
+            target = JPath(f"{root}/{orig}")
+            if fs.exists(target):  # partial new dir — originals win
+                fs.delete(target, True)
+            fs.rename(st.getPath(), target)
+            recovered += 1
+    staging_removed = 0
+    for stage in (f"{root}__compact_stage", f"{root}__compact_qstage"):
+        if fs.exists(JPath(stage)):
+            fs.delete(JPath(stage), True)
+            staging_removed += 1
+    return {"recovered": recovered, "staging_removed": staging_removed}
 
 
 # ---------------------------------------------------------------------------

@@ -1262,3 +1262,67 @@ def test_probes_answer_on_mixed_layout_root(spark, tmp_path):
     ib = [tuple(r) for r in ivf_probe_indexed(
         spark, iplain, None, qv, k=10, nprobe=4, exclude_id=0).collect()]
     assert ia == ib and len(ia) == 10
+
+
+def test_ann_index_recover_rolls_back_crashed_swap(spark, tmp_path):
+    """r14: ann_index_recover restores the pre-swap state from the
+    tombstones a crashed compaction leaves behind — simulated at three
+    crash points (mid-tombstoning; mid staged-rename with a partial new
+    dir in place; post-swap with cleanup unfinished) — after which the
+    probe answers exactly as before and a fresh compaction succeeds."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+        ann_index_recover,
+        lsh_append,
+        lsh_probe_indexed,
+    )
+
+    emb, idx = _small_lsh_index(spark, tmp_path, "recover_idx")
+    lsh_append(emb.where(F.col("vec_id") % 2 == 1), idx)
+    want = [tuple(r) for r in lsh_probe_indexed(
+        emb, idx, query_id=0, k=10).collect()]
+
+    # crash state: one table dir tombstoned, one still in place, a
+    # partial "new" dir under the tombstoned name, staging half-written
+    os.rename(f"{idx}/table=0", f"{idx}/_tomb_table=0")
+    os.makedirs(f"{idx}/table=0")  # partial new dir (would be lost data)
+    with open(f"{idx}/table=0/part-partial.parquet", "w") as f:
+        f.write("junk")
+    os.makedirs(f"{idx}__compact_stage/table=0")
+
+    stats = ann_index_recover(spark, idx)
+    assert stats["recovered"] == 1 and stats["staging_removed"] == 1
+    assert not os.path.exists(f"{idx}/_tomb_table=0")
+    assert not os.path.exists(f"{idx}__compact_stage")
+
+    got = [tuple(r) for r in lsh_probe_indexed(
+        emb, idx, query_id=0, k=10).collect()]
+    assert got == want and len(got) == 10
+
+    # compaction now runs clean over the recovered index
+    cstats = ann_index_compact(spark, idx)
+    assert cstats["epoch"] == 1
+    got2 = [tuple(r) for r in lsh_probe_indexed(
+        emb, idx, query_id=0, k=10).collect()]
+    assert got2 == want
+
+    # post-swap crash shape: every dir tombstoned, new dirs in place --
+    # roll-back still restores a consistent (pre-compact) index
+    tables = [d for d in os.listdir(idx) if d.startswith("table=")]
+    for d in tables:
+        shutil.copytree(f"{idx}/{d}", f"{idx}/__copy_{d}")
+        os.rename(f"{idx}/{d}", f"{idx}/_tomb_{d}")
+        os.rename(f"{idx}/__copy_{d}", f"{idx}/{d}")
+    stats2 = ann_index_recover(spark, idx)
+    assert stats2["recovered"] == len(tables)
+    got3 = [tuple(r) for r in lsh_probe_indexed(
+        emb, idx, query_id=0, k=10).collect()]
+    assert got3 == want
+
+    # idempotent no-op when nothing to recover
+    assert ann_index_recover(spark, idx)["recovered"] == 0
