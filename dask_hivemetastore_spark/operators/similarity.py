@@ -1092,6 +1092,7 @@ def lsh_probe_indexed_batch(emb: DataFrame, index_path: str,
 
 _MANIFEST_DIR = "_index_manifest"
 _CENTROID_SIDECAR_DIR = "_index_manifest_centroids"
+_CODEBOOK_SIDECAR_DIR = "_index_manifest_codebooks"
 _APPEND_LOG_DIR = "_append_log"
 
 
@@ -1176,6 +1177,14 @@ def write_index_manifest(spark, index_path: str, manifest: dict) -> None:
             manifest = dict(manifest)
             del manifest["centroids"]
             manifest["centroids_sidecar"] = sidecar_rel
+    if manifest.get("codebooks") is not None:
+        cb_rel = f"{_CODEBOOK_SIDECAR_DIR}/codebooks.parquet"
+        if _write_codebook_sidecar(
+            spark, f"{root}/{cb_rel}", manifest["codebooks"]
+        ):
+            manifest = dict(manifest)
+            del manifest["codebooks"]
+            manifest["codebooks_sidecar"] = cb_rel
     payload = json.dumps(manifest, sort_keys=True)
     target = f"{root}/{_MANIFEST_DIR}"
     fs, JPath = _hadoop_fs(spark, target)
@@ -1248,41 +1257,118 @@ def _read_centroid_sidecar(spark, root: str, rel: str) -> list:
     return [list(c) for c in d["centroid"]]
 
 
+def _write_codebook_sidecar(spark, path: str, codebooks) -> bool:
+    """PQ codebooks ((m, ksub, dsub) — one row per (subspace, code)) as
+    a parquet blob, written like the centroid sidecar; False without a
+    JVM FileSystem (caller keeps them inline)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arr = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, _ = arr.shape
+    table = pa.table({
+        "subspace": pa.array(
+            [j for j in range(m) for _ in range(ksub)], pa.int32()),
+        "code": pa.array(list(range(ksub)) * m, pa.int32()),
+        "centroid": pa.array(
+            [arr[j, c].tolist() for j in range(m) for c in range(ksub)],
+            pa.list_(pa.float64())),
+    })
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    return _fs_write_bytes(spark, path, buf.getvalue())
+
+
+def _read_codebook_sidecar(spark, root: str, rel: str) -> list:
+    """Load the codebook sidecar back to the nested (m, ksub, dsub)
+    list shape ``pq_*`` callers expect."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    path = f"{root.rstrip('/')}/{rel}"
+    local = _local_path(path)
+    if local is not None:
+        table = pq.read_table(local)
+    else:  # pragma: no cover — remote schemes
+        fs, JPath = _hadoop_fs(spark, path)
+        if fs is not None:
+            stream = fs.open(JPath(path))
+            try:
+                data = bytes(
+                    spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                        stream
+                    )
+                )
+            finally:
+                stream.close()
+            table = pq.read_table(io.BytesIO(data))
+        else:
+            rows = (
+                spark.read.parquet(path)
+                .orderBy("subspace", "code").collect()
+            )
+            m = 1 + max(r["subspace"] for r in rows)
+            per = len(rows) // m
+            return [
+                [list(rows[j * per + c]["centroid"]) for c in range(per)]
+                for j in range(m)
+            ]
+    d = table.sort_by([("subspace", "ascending"),
+                       ("code", "ascending")]).to_pydict()
+    m = 1 + max(d["subspace"])
+    per = len(d["code"]) // m
+    return [
+        [list(d["centroid"][j * per + c]) for c in range(per)]
+        for j in range(m)
+    ]
+
+
+#: lazy manifest keys → the JSON pointer naming their parquet sidecar
+_SIDECAR_KEYS = {
+    "centroids": ("centroids_sidecar", _read_centroid_sidecar),
+    "codebooks": ("codebooks_sidecar", _read_codebook_sidecar),
+}
+
+
 class _SidecarManifest(dict):
-    """An index manifest whose centroids live in the parquet sidecar:
-    behaves as a plain dict, but the ``centroids`` key is materialized
-    lazily on first access — path-only probes/appends/drift checks read
-    config + drift stats for free and pay the centroid load only when
-    they actually rank cells. ``dict(m)`` copies the RAW entries
-    (pointer, no load), which is how :func:`ann_index_compact`'s epoch
-    bump rewrites the JSON without ever touching centroid bytes."""
+    """An index manifest whose model payloads (centroids, PQ codebooks)
+    live in parquet sidecars: behaves as a plain dict, but each sidecar
+    key is materialized lazily on first access — path-only
+    probes/appends/drift checks read config + drift stats for free and
+    pay the payload load only when they actually rank cells / build a
+    LUT. ``dict(m)`` copies the RAW entries (pointers, no load), which
+    is how :func:`ann_index_compact`'s epoch bump rewrites the JSON
+    without ever touching payload bytes."""
 
     def __init__(self, data: dict, spark, root: str):
         super().__init__(data)
         self._spark = spark
         self._root = root
 
-    def _materialize(self) -> None:
-        if not dict.__contains__(self, "centroids"):
-            rel = dict.get(self, "centroids_sidecar")
+    def _materialize(self, key: str) -> None:
+        pointer, loader = _SIDECAR_KEYS[key]
+        if not dict.__contains__(self, key):
+            rel = dict.get(self, pointer)
             if rel:
                 dict.__setitem__(
-                    self, "centroids",
-                    _read_centroid_sidecar(self._spark, self._root, rel),
+                    self, key, loader(self._spark, self._root, rel)
                 )
 
     def __getitem__(self, key):
-        if key == "centroids":
-            self._materialize()
+        if key in _SIDECAR_KEYS:
+            self._materialize(key)
         return dict.__getitem__(self, key)
 
     def get(self, key, default=None):
-        if key == "centroids":
-            self._materialize()
+        if key in _SIDECAR_KEYS:
+            self._materialize(key)
         return dict.get(self, key, default)
 
     def __contains__(self, key):
-        if key == "centroids" and dict.get(self, "centroids_sidecar"):
+        if key in _SIDECAR_KEYS and dict.get(self, _SIDECAR_KEYS[key][0]):
             return True
         return dict.__contains__(self, key)
 
@@ -1327,7 +1413,7 @@ def read_index_manifest(spark, index_path: str, *,
         if rows:  # single JSON line by construction; collect is 1 row
             m = json.loads("\n".join(r[0] for r in rows))
             m["_root"] = cand
-            if m.get("centroids_sidecar"):
+            if m.get("centroids_sidecar") or m.get("codebooks_sidecar"):
                 return _SidecarManifest(m, spark, cand)
             return m
     return None
@@ -2609,6 +2695,230 @@ def pq_topk_reranked(emb: DataFrame, query_id: int, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# Materialized IVF+PQ index (r14): the canonical big-ANN serving layout
+# ---------------------------------------------------------------------------
+
+
+def pq_encode_rows(df: DataFrame, codebooks: np.ndarray,
+                   vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """All input columns + the PQ ``pq_code`` column (m one-byte
+    centroid ids) — the row shape the materialized IVF+PQ index stores.
+    Unlike :func:`pq_encode` (which projects down to id/label/code for
+    the in-memory ADC path), this keeps every column so cell
+    assignment, metadata and the float vector ride the same row into
+    the partitioned write. One vectorized ``mapInPandas`` pass, no
+    shuffle; corrupt (non-finite) vectors are excluded — same index
+    hygiene as :func:`ivf_assign_full`."""
+    from pyspark.sql import types as T
+
+    books = codebooks.copy()
+    m, ksub, dsub = books.shape
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("pq_code", T.ArrayType(T.ByteType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(x), m), dtype=np.int8)
+            for j in range(m):
+                sub = x[:, j * dsub:(j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1).astype(np.int8)
+            pdf = pdf.copy()
+            pdf["pq_code"] = [c.tolist() for c in codes]
+            yield pdf
+
+    return finite_vectors(df, vec_col, dim).mapInPandas(
+        encode, schema=schema
+    )
+
+
+def _adc_score_expr(codebooks: np.ndarray, query_vec: np.ndarray,
+                    code_col: str = "pq_code") -> Column:
+    """The asymmetric-distance score as a pure-JVM literal-LUT
+    expression (deliberately mirrors :func:`pq_adc_topk`'s certified
+    expression, kept separate so the registered PQ key's engine is
+    untouched): the (m × ksub) query·centroid table ships as a literal
+    nested array and each code row costs m ``element_at`` lookups —
+    the scan reads ONLY the code column."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.einsum("mkd,md->mk", codebooks, q.reshape(m, dsub))
+    lut_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+        for row in lut
+    ) + ")"
+    return F.expr(
+        f"aggregate(sequence(1, {m}), 0D, (acc, i) -> acc + "
+        f"element_at(element_at({lut_sql}, i), "
+        f"CAST({code_col}[i-1] AS INT) + 1))"
+    )
+
+
+def ivfpq_build_index(emb: DataFrame, index_path: str, *,
+                      n_cells: int = 16, m: int = 16, ksub: int = 32,
+                      seed: int = 42, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      dim: int | None = None,
+                      cache_key: str | None = None,
+                      drift_reference: bool = True):
+    """Materialize the IVF+PQ index (r14) — the layout FAISS calls
+    IVFPQ and every planet-scale vector store converges on: rows
+    hive-partitioned by coarse ``cell`` (k-means, :func:`
+    ivf_train_centroids`) and carrying BOTH the 16-byte PQ code
+    (:func:`pq_train_codebooks` / :func:`pq_encode_rows`) and the float
+    vector.
+
+    Why this is the 100 TB serving shape: a probe (a) partition-prunes
+    to ``nprobe`` cell directories, (b) ADC-screens those cells reading
+    ONLY the code column — 16 B/row instead of 256 B, the 16× I/O cut
+    that keeps the scan memory-resident — and (c) exact-rescores just
+    the bounded shortlist through a pushed ``In(id, …)`` literal filter
+    (float pages decode only for survivors). The cell pruning composes
+    with the PQ compression MULTIPLICATIVELY: nprobe/n_cells of the
+    corpus × 1/16 of the bytes.
+
+    Self-describing like its siblings: the manifest stores config +
+    centroids AND codebooks in lazily-loaded parquet sidecars, so
+    :func:`ivfpq_probe_indexed` / :func:`ivfpq_append` take the path
+    alone and :func:`ann_index_compact` maintains the layout by path
+    (kind ``ivfpq``). The per-batch drift monitor
+    (:func:`ivf_drift_check_batch`) works unchanged — the coarse
+    quantizer is the same artifact. Returns ``(centroids, codebooks)``.
+    """
+    C = ivf_train_centroids(
+        emb, n_cells=n_cells, seed=seed, vec_col=vec_col,
+        cache_key=cache_key, dim=dim,
+    )
+    books = pq_train_codebooks(
+        emb, m=m, ksub=ksub, seed=seed, id_col=id_col, vec_col=vec_col,
+        cache_key=cache_key, dim=dim,
+    )
+    rows = pq_encode_rows(
+        ivf_assign_full(emb, C, vec_col, dim=dim), books, vec_col, dim=dim
+    )
+    rows.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    manifest = ivf_manifest(emb, C, dim=dim, n_cells=n_cells, seed=seed,
+                            id_col=id_col, vec_col=vec_col,
+                            drift_reference=drift_reference)
+    manifest["kind"] = "ivfpq"
+    manifest["m"] = m
+    manifest["ksub"] = ksub
+    manifest["codebooks"] = books.tolist()
+    write_index_manifest(emb.sparkSession, index_path, manifest)
+    return C, books
+
+
+def ivfpq_append(new_emb: DataFrame, index_path: str, *,
+                 mode: str = "append") -> None:
+    """Incremental IVF+PQ maintenance — :func:`ivf_append`'s shape with
+    the PQ encode folded in: assign ONLY the arriving batch to the
+    manifest's centroids, encode against the manifest's codebooks, and
+    append under the cell partitions. Both model artifacts are fixed at
+    build time (coarse-quantizer drift is the retrain trigger's job;
+    codebook drift follows the same argument — quality saturates on a
+    bounded training sample), so a grown index is content-identical to
+    a one-shot build over the union (pinned). Batch-keyed at-least-once
+    callers use ``{index}/ingest_batch=<id>`` + ``mode="overwrite"``
+    exactly like :func:`ivf_append`. Participates in the epoch/marker
+    race protocol."""
+    spark = new_emb.sparkSession
+    manifest = read_index_manifest(spark, index_path)
+    if manifest is None or manifest.get("kind") != "ivfpq":
+        raise ValueError(
+            f"ivfpq_append: no ivfpq manifest at {index_path} — build "
+            "with ivfpq_build_index"
+        )
+    dim = manifest.get("dim")
+    vec_col = manifest.get("vec_col", "embedding")
+    C = np.asarray(manifest["centroids"], dtype=np.float64)
+    books = np.asarray(manifest["codebooks"], dtype=np.float64)
+    root = manifest.get("_root", index_path)
+    epoch = int(manifest.get("epoch", 0))
+    _check_stale_append_markers(spark, root, epoch, "ivfpq_append")
+    rows = pq_encode_rows(
+        ivf_assign_full(new_emb, C, vec_col, dim=dim), books, vec_col,
+        dim=dim,
+    )
+    rows.write.mode(mode).partitionBy("cell").parquet(index_path)
+    _commit_append_marker(spark, root, epoch, "ivfpq_append")
+
+
+def ivfpq_probe_indexed(spark, index_path: str, query_vec, k: int = 10,
+                        nprobe: int = 8, shortlist: int | None = None,
+                        exclude_id: int | None = None,
+                        row_filter: Column | None = None) -> DataFrame:
+    """Top-k against a materialized :func:`ivfpq_build_index` layout,
+    path-only: cells ranked against the manifest's centroids →
+    ``cell IN (probes)`` partition pruning → ADC screen over the probed
+    cells reading ONLY the ``pq_code`` column (literal-LUT JVM
+    aggregate, :func:`_adc_score_expr`) → bounded shortlist collected →
+    exact JVM-fold rescore of just those rows via a pushed
+    ``In(id, …)`` literal filter. Every returned ``cosine`` is the
+    exact dot — ADC only prunes, it never decides (the
+    :func:`pq_topk_reranked` contract on the partitioned layout).
+
+    ``row_filter`` is the same metadata PRE-filter as
+    :func:`ivf_probe_indexed`'s: applied after cell pruning and before
+    the screen, so the top-k ranks inside the filtered set. Recall
+    caveats compose: cells not probed AND codes mis-ranked outside the
+    shortlist both cost recall — raise ``nprobe``/``shortlist`` for
+    guarantees (at ``nprobe = n_cells`` with a corpus-sized shortlist
+    this converges to brute force, the derived-oracle argument)."""
+    manifest = read_index_manifest(spark, index_path)
+    if manifest is None or manifest.get("kind") != "ivfpq":
+        raise ValueError(
+            f"ivfpq_probe_indexed: no ivfpq manifest at {index_path} — "
+            "build with ivfpq_build_index"
+        )
+    id_col = manifest.get("id_col", "vec_id")
+    C = np.asarray(manifest["centroids"], dtype=np.float64)
+    books = np.asarray(manifest["codebooks"], dtype=np.float64)
+    vec_col = manifest.get("vec_col", "embedding")
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probes = [int(c) for c in (C @ qv).argsort()[::-1][:nprobe]]
+    idx = _read_index_root(spark, index_path, "cell").where(
+        F.col("cell").isin(probes)
+    )
+    if row_filter is not None:
+        idx = idx.where(row_filter)
+    if exclude_id is not None:
+        idx = idx.where(F.col(id_col) != exclude_id)
+    keep = shortlist if shortlist is not None else max(4 * k, k + 32)
+    short_ids = [r[0] for r in (
+        idx.select(id_col, _adc_score_expr(books, qv).alias("__adc"))
+        .orderBy(F.desc("__adc"), F.asc(id_col))
+        .limit(keep)
+        .collect()  # bounded: <= keep rows by construction
+    )]
+    if not short_ids:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        return spark.createDataFrame([], StructType([
+            idx.schema[id_col], idx.schema["label"],
+            StructField("cosine", DoubleType()),
+        ]))
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        idx.where(F.col(id_col).isin(short_ids))
+        .select(id_col, "label",
+                F.round(dot_f64(F.col(vec_col), qcol), 6).alias("cosine"))
+        .transform(_finite)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Index maintenance: small-file compaction for the materialized ANN layouts
 # ---------------------------------------------------------------------------
 
@@ -2710,7 +3020,7 @@ def ann_index_compact(spark, index_path: str, *,
     epoch = int(manifest.get("epoch", 0))
     if kind == "lsh":
         part_col, sort_cols = "table", ["table", "bucket"]
-    elif kind == "ivf":
+    elif kind in ("ivf", "ivfpq"):  # same cell layout, codes ride the row
         part_col, sort_cols = "cell", ["cell", id_col]
     else:
         raise ValueError(f"ann_index_compact: unknown index kind {kind!r}")

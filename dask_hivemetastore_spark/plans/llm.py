@@ -380,6 +380,75 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_ivfpq_topk",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE {_ELIG}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cosine,
+           1 AS ivfpq_recall_floor_met
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 materialized IVF+PQ layout (r14) — the composition FAISS
+    calls IVFPQ, the canonical planet-scale serving shape: rows
+    hive-partitioned by coarse k-means ``cell`` AND carrying the
+    16-byte PQ code next to the float vector
+    (:func:`..operators.similarity.ivfpq_build_index`). The probe
+    (:func:`..operators.similarity.ivfpq_probe_indexed`, path-only —
+    centroids and codebooks resolve from the manifest's lazy parquet
+    sidecars) composes the two prunings MULTIPLICATIVELY: partition
+    pruning reads nprobe/n_cells of the directories, the ADC screen
+    inside them reads ONLY the 16 B/row code column (literal-LUT JVM
+    aggregate — 16× fewer bytes than the float column), and the exact
+    JVM-fold rescore decodes float pages for just the bounded
+    shortlist via a pushed ``In(vec_id, …)`` literal filter. Appends
+    (:func:`..operators.similarity.ivfpq_append`), compaction
+    (``ann_index_compact``, kind ``ivfpq``), the drift monitor and the
+    epoch/marker race protocol all apply unchanged — pinned in
+    tests/test_layouts.py.
+
+    Same derived RECALL-VERDICT full oracle as ``knn_lsh_topk`` /
+    ``knn_lsh_indexed``: the key returns the exact top-10 annotated
+    with ``ivfpq_recall_floor_met`` = (probe recall@10 ≥ 0.5 at the
+    serving config nprobe=8/16, shortlist=50), which the oracle pins
+    to 1 — measured 1.0 at sf0.01 and 0.8 at sf0.001 (cell pruning,
+    not ADC, costs the tail; nprobe=12 recovers 1.0 — the standard
+    IVF recall/nprobe trade, stated not hidden). Both collects are
+    bounded (10 rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = scratch_dir("ivfpq_") + "/index"
+    similarity.ivfpq_build_index(
+        emb, idx, n_cells=16, m=16, ksub=32, cache_key=sf_dir,
+        dim=EMB_DIM, drift_reference=False,
+    )
+    qrow = (
+        similarity.finite_vectors(emb, "embedding", EMB_DIM)
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()  # bounded: 1 row
+    )
+    import numpy as np
+
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    got = {
+        r.vec_id
+        for r in similarity.ivfpq_probe_indexed(
+            spark, idx, qv, k=10, nprobe=8, shortlist=50, exclude_id=0
+        ).collect()  # bounded: k rows
+    }
+    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    exact_ids = {r.vec_id for r in exact.collect()}  # bounded: k rows
+    floor_met = int(len(got & exact_ids) >= 5)
+    return exact.withColumn("ivfpq_recall_floor_met", F.lit(floor_met))
+
+
+@query(
     "knn_lsh_join",
     oracle=f"""
     WITH el AS (SELECT * FROM embeddings WHERE {_ELIG}),

@@ -1326,3 +1326,192 @@ def test_ann_index_recover_rolls_back_crashed_swap(spark, tmp_path):
 
     # idempotent no-op when nothing to recover
     assert ann_index_recover(spark, idx)["recovered"] == 0
+
+
+# ---------------------------------------------------------------------------
+# r14: materialized IVF+PQ layout
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_probe_exact_at_full_config_and_sidecars(spark, tmp_path):
+    """ivfpq_build_index + ivfpq_probe_indexed: at nprobe=n_cells with a
+    wide shortlist the exact rescore recovers the brute-force top-10
+    verbatim (ADC only prunes); the manifest JSON holds POINTERS for
+    both model payloads (centroids + codebooks) and the lazy loads
+    round-trip the trained artifacts exactly."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+        knn_topk,
+        read_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivfpq_idx")
+    C, books = ivfpq_build_index(
+        emb, idx, n_cells=16, m=16, ksub=32,
+        cache_key=SF_SMOKE + "_pq", dim=64, drift_reference=False,
+    )
+
+    raw = _json.loads(open(f"{idx}/_index_manifest/manifest.json").read())
+    assert "centroids" not in raw and "codebooks" not in raw
+    assert raw["centroids_sidecar"] and raw["codebooks_sidecar"]
+    mf = read_index_manifest(spark, idx)
+    assert np.allclose(np.asarray(mf["centroids"]), C)
+    assert np.allclose(np.asarray(mf["codebooks"]), books)
+
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    got = [tuple(r) for r in ivfpq_probe_indexed(
+        spark, idx, qv, k=10, nprobe=16, shortlist=200,
+        exclude_id=0).collect()]
+    want = [tuple(r) for r in knn_topk(
+        emb, 0, k=10, dim=64).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_ivfpq_append_content_identical_and_compactable(spark, tmp_path):
+    """An IVFPQ index grown by ivfpq_append equals a one-shot build over
+    the union row-for-row (assignment AND codes are pure functions of
+    the fixed artifacts), probes answer identically on both, and
+    ann_index_compact maintains the layout (kind ivfpq) with the probe
+    answer preserved and the epoch bumped."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+        finite_vectors,
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    grown = str(tmp_path / "pq_grown")
+    oneshot = str(tmp_path / "pq_oneshot")
+    ck = SF_SMOKE + "_pqg"
+    ivfpq_build_index(emb.where(F.col("vec_id") % 2 == 0), grown,
+                      n_cells=8, m=16, ksub=32, cache_key=ck, dim=64,
+                      drift_reference=False)
+    ivfpq_append(emb.where(F.col("vec_id") % 2 == 1), grown)
+    ivfpq_build_index(emb.where(F.col("vec_id") % 2 == 0), oneshot,
+                      n_cells=8, m=16, ksub=32, cache_key=ck, dim=64,
+                      drift_reference=False)
+    # one-shot over the union: rebuild with the SAME cached artifacts
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_assign_full,
+        ivf_train_centroids,
+        pq_encode_rows,
+        pq_train_codebooks,
+    )
+    C = ivf_train_centroids(emb.where(F.col("vec_id") % 2 == 0),
+                            n_cells=8, cache_key=ck, dim=64)
+    books = pq_train_codebooks(emb.where(F.col("vec_id") % 2 == 0),
+                               m=16, ksub=32, cache_key=ck, dim=64)
+    want_rows = pq_encode_rows(
+        ivf_assign_full(emb, C, "embedding", dim=64), books,
+        "embedding", dim=64,
+    ).select("cell", "vec_id", F.col("pq_code").cast("string"))
+    got_rows = spark.read.parquet(grown).select(
+        "cell", "vec_id", F.col("pq_code").cast("string"))
+    assert got_rows.exceptAll(want_rows).count() == 0
+    assert want_rows.exceptAll(got_rows).count() == 0
+
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    before = [tuple(r) for r in ivfpq_probe_indexed(
+        spark, grown, qv, k=10, nprobe=8, shortlist=100,
+        exclude_id=0).collect()]
+    stats = ann_index_compact(spark, grown)
+    assert stats["kind"] == "ivfpq"
+    assert stats["n_files_out"] < stats["n_files_in"]
+    assert stats["epoch"] == 1
+    after = [tuple(r) for r in ivfpq_probe_indexed(
+        spark, grown, qv, k=10, nprobe=8, shortlist=100,
+        exclude_id=0).collect()]
+    assert after == before and len(after) == 10
+
+
+def test_ivfpq_probe_plan_shapes(spark, tmp_path):
+    """The three scan claims of the IVFPQ probe, at the PLAN level:
+    (a) the ADC screen's scan carries the cell partition filter and
+    reads ONLY (id, pq_code) — the float embedding column must NOT be
+    in its ReadSchema; (b) the exact rescore scan carries the pushed
+    In(vec_id, ...) literal filter; (c) no Python anywhere — the screen
+    is a pure-JVM literal-LUT aggregate."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        _adc_score_expr,
+        _read_index_root,
+        dot_f64,
+        finite_vectors,
+        ivfpq_build_index,
+        read_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "pq_plan_idx")
+    ivfpq_build_index(emb, idx, n_cells=8, m=16, ksub=32,
+                      cache_key=SF_SMOKE + "_pqp", dim=64,
+                      drift_reference=False)
+    mf = read_index_manifest(spark, idx)
+    books = np.asarray(mf["codebooks"], dtype=np.float64)
+    C = np.asarray(mf["centroids"], dtype=np.float64)
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    probes = [int(c) for c in (C @ qv).argsort()[::-1][:4]]
+
+    screen = (
+        _read_index_root(spark, idx, "cell")
+        .where(F.col("cell").isin(probes))
+        .select("vec_id", _adc_score_expr(books, qv).alias("__adc"))
+        .orderBy(F.desc("__adc"), F.asc("vec_id"))
+        .limit(50)
+    )
+    plan = screen._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_schemas, plan
+    for rs in read_schemas:
+        assert "embedding" not in rs, rs  # the 16x I/O claim
+        assert "pq_code" in rs, rs
+    for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+    short_ids = [r[0] for r in screen.collect()]
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    rescore = (
+        _read_index_root(spark, idx, "cell")
+        .where(F.col("cell").isin(probes))
+        .where(F.col("vec_id").isin(short_ids))
+        .select("vec_id", F.round(dot_f64(F.col("embedding"), qcol), 6)
+                .alias("cosine"))
+    )
+    rplan = rescore._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in rplan and "In(vec_id" in rplan, rplan
