@@ -44,6 +44,9 @@ ALLOW: dict[str, str] = {
     " same shape as knn_cosine_topk)",
     "knn_lsh_indexed": "crossJoin of a broadcast 1-row query vector"
     " (the exact-top-10 audit twin, same shape as knn_cosine_topk)",
+    "knn_ivfpq_topk": "crossJoin of a broadcast 1-row query vector"
+    " (the exact-top-10 audit twin, same shape as knn_lsh_indexed; the"
+    " IVFPQ probe itself is collected eagerly inside the function)",
     "knn_ivf_topk": "crossJoin of a broadcast 1-row query vector",
     "embedding_near_pairs": "block x block tiling joins on range predicates"
     " after a BLAS screen; candidate volume bounded by tile size",

@@ -635,3 +635,48 @@ def test_rrf_fuse_matches_reference_and_is_arm_order_invariant(
     for item in got:
         assert rev[item][1] == got[item][1]
         assert abs(rev[item][0] - got[item][0]) < 1e-12
+
+
+calib_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # group id
+        st.integers(min_value=0, max_value=9),     # coarse score (forces ties)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SETTINGS
+@given(rows=calib_rows_st,
+       frac=st.sampled_from([0.0, 0.2, 0.5, 0.8, 0.95]),
+       threshold=st.integers(min_value=1, max_value=8))
+def test_percent_rank_prefilter_gate_identity(spark, rows, frac, threshold):
+    """For ANY grouped, tie-heavy input, gate fraction, and hot-group
+    threshold, the rows at or above the percent-rank cutoff — and their
+    exact pct values — are IDENTICAL between the plain window and
+    percent_rank_top_prefiltered (the r14 calibration skew path). The
+    rank-error argument in the docstring, checked mechanically."""
+    from pyspark.sql import Window
+
+    from dask_hivemetastore_spark.operators.curation import (
+        percent_rank_top_prefiltered,
+    )
+
+    data = [(i, f"g{g}", float(sc) / 3.0) for i, (g, sc) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, grp string, score double")
+
+    w = Window.partitionBy("grp").orderBy("score", "id")
+    plain = {
+        (r.grp, r.id): round(r.pct, 12)
+        for r in df.withColumn("pct", F.percent_rank().over(w))
+        .where(F.col("pct") >= frac)
+        .collect()
+    }
+    pre = {
+        (r.grp, r.id): round(r.pct, 12)
+        for r in percent_rank_top_prefiltered(
+            df, "score", "grp", "id", frac, hot_group_threshold=threshold
+        ).where(F.col("pct") >= frac).collect()
+    }
+    assert pre == plain
