@@ -2918,6 +2918,126 @@ def ivfpq_probe_indexed(spark, index_path: str, query_vec, k: int = 10,
     )
 
 
+def ivfpq_probe_indexed_batch(emb: DataFrame, index_path: str,
+                              query_ids: list, *, k: int = 5,
+                              nprobe: int = 8,
+                              shortlist: int | None = None,
+                              row_filter: Column | None = None
+                              ) -> DataFrame:
+    """Top-k for EVERY query in a bounded batch against ONE scan of a
+    materialized :func:`ivfpq_build_index` layout — completing batch
+    parity across all three families (:func:`lsh_probe_indexed_batch`,
+    :func:`ivf_probe_indexed_batch`). Same plan shape as the IVF batch
+    probe: one ``cell IN (union)`` partition-pruned scan, broadcast
+    Q·nprobe probe relation for precise (query, cell) membership — with
+    the ADC screen batched by shipping each query's (m × ksub) LUT as a
+    COLUMN of the broadcast query relation instead of a literal (the
+    single probe's literal LUT would grow the plan by Q × m × ksub
+    doubles): the screen is still a pure-JVM ``aggregate`` over
+    ``element_at(element_at(__lut, i), code+1)``, reading ONLY the code
+    column of the probed cells. A per-query Window keeps ``shortlist``,
+    the exact float rescore runs on the pushed ``In(id, …)`` union of
+    shortlists joined back to (q_id, id) pairs — the screen only
+    PRUNES, every returned cosine is the exact fold. Per-query rows are
+    IDENTICAL to :func:`ivfpq_probe_indexed` at the same config (pinned
+    in tests/test_layouts.py)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    manifest = read_index_manifest(spark, index_path)
+    if manifest is None or manifest.get("kind") != "ivfpq":
+        raise ValueError(
+            f"ivfpq_probe_indexed_batch: no ivfpq manifest at "
+            f"{index_path} — build with ivfpq_build_index"
+        )
+    id_col = manifest.get("id_col", "vec_id")
+    label_col = "label"
+    vec_col = manifest.get("vec_col", "embedding")
+    dim = manifest.get("dim")
+    C = np.asarray(manifest["centroids"], dtype=np.float64)
+    books = np.asarray(manifest["codebooks"], dtype=np.float64)
+    m, ksub, dsub = books.shape
+
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        emb.schema[id_col],
+        emb.schema[label_col],
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    qrows = (
+        finite_vectors(emb, vec_col, dim)
+        .where(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()  # bounded: len(query_ids) rows by construction
+    )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    probe_rows = []   # (q_id, cell) — Q*nprobe, tiny
+    qvec_rows = []    # (q_id, float64 vector, per-query ADC LUT)
+    union_cells: set[int] = set()
+    for r in qrows:
+        qid = int(r[0])
+        qv = np.asarray(r[1], dtype=np.float64)
+        lut = np.einsum("mkd,md->mk", books, qv.reshape(m, dsub))
+        qvec_rows.append((
+            qid, [float(x) for x in qv],
+            [[float(v) for v in row] for row in lut],
+        ))
+        cells = [int(c) for c in (C @ qv).argsort()[::-1][:nprobe]]
+        union_cells.update(cells)
+        probe_rows.extend((qid, c) for c in cells)
+    probe_df = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    qvec_df = spark.createDataFrame(
+        qvec_rows,
+        "q_id long, __qv array<double>, __lut array<array<double>>",
+    )
+    idx = (
+        _read_index_root(spark, index_path, "cell")
+        .where(F.col("cell").isin(sorted(union_cells)))
+        .join(F.broadcast(probe_df), "cell")
+        .where(F.col(id_col) != F.col("q_id"))  # self-pair mask
+    )
+    if row_filter is not None:
+        idx = idx.where(row_filter)
+    keep = shortlist if shortlist is not None else max(4 * k, k + 32)
+    adc = F.expr(
+        f"aggregate(sequence(1, {m}), 0D, (acc, i) -> acc + "
+        f"element_at(element_at(__lut, i), "
+        f"CAST(pq_code[i-1] AS INT) + 1))"
+    )
+    screen_w = Window.partitionBy("q_id").orderBy(
+        F.desc("__adc"), F.asc(id_col))
+    pairs = [(r[0], r[1]) for r in (
+        idx.join(F.broadcast(qvec_df.select("q_id", "__lut")), "q_id")
+        .select("q_id", id_col, adc.alias("__adc"))
+        .withColumn("__rn", F.row_number().over(screen_w))
+        .where(F.col("__rn") <= keep)
+        .select("q_id", id_col)
+        .collect()  # bounded: <= Q*keep rows by construction
+    )]
+    if not pairs:
+        return spark.createDataFrame([], out_schema)
+    short_ids = sorted({p[1] for p in pairs})
+    pair_df = spark.createDataFrame(pairs, f"q_id long, {id_col} long")
+    rank_w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc(id_col))
+    return (
+        _read_index_root(spark, index_path, "cell")
+        .where(F.col("cell").isin(sorted(union_cells)))
+        .where(F.col(id_col).isin(short_ids))
+        .join(F.broadcast(pair_df), id_col)
+        .join(F.broadcast(qvec_df.select("q_id", "__qv")), "q_id")
+        .select("q_id", id_col, label_col,
+                F.round(dot_f64(F.col(vec_col), F.col("__qv")), 6)
+                .alias("cosine"))
+        .transform(lambda d: _finite(d))
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", id_col, label_col, "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Index maintenance: small-file compaction for the materialized ANN layouts
 # ---------------------------------------------------------------------------

@@ -1515,3 +1515,45 @@ def test_ivfpq_probe_plan_shapes(spark, tmp_path):
     )
     rplan = rescore._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in rplan and "In(vec_id" in rplan, rplan
+
+
+def test_ivfpq_batch_probe_identical_to_single_probes(spark, tmp_path):
+    """r14 batch parity for IVFPQ: per-query rows of
+    ivfpq_probe_indexed_batch equal a single-probe loop at the same
+    config, row-for-row — including the ADC screen batched via the
+    broadcast LUT column instead of a literal."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+        ivfpq_probe_indexed_batch,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "pq_batch_idx")
+    ivfpq_build_index(emb, idx, n_cells=8, m=16, ksub=32,
+                      cache_key=SF_SMOKE + "_pqb", dim=64,
+                      drift_reference=False)
+    qids = [0, 1, 2, 3, 999_999_999]  # last id absent: no rows, not wrong
+    loop: dict = {}
+    for q in qids[:-1]:
+        qv = np.asarray(
+            finite_vectors(emb, "embedding", 64)
+            .where(F.col("vec_id") == q).select("embedding").first()[0],
+            dtype=np.float64,
+        )
+        loop[q] = {(r.vec_id, r.cosine) for r in ivfpq_probe_indexed(
+            spark, idx, qv, k=5, nprobe=4, shortlist=30,
+            exclude_id=q).collect()}
+    batch: dict = {}
+    for r in ivfpq_probe_indexed_batch(
+        emb, idx, qids, k=5, nprobe=4, shortlist=30
+    ).collect():
+        batch.setdefault(r.q_id, set()).add((r.vec_id, r.cosine))
+    assert batch == loop
+    assert 999_999_999 not in batch
