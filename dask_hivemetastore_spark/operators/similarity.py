@@ -2807,15 +2807,37 @@ def ivfpq_build_index(emb: DataFrame, index_path: str, *,
         ivf_assign_full(emb, C, vec_col, dim=dim), books, vec_col, dim=dim
     )
     rows.write.mode("overwrite").partitionBy("cell").parquet(index_path)
-    manifest = ivf_manifest(emb, C, dim=dim, n_cells=n_cells, seed=seed,
+    write_index_manifest(
+        emb.sparkSession, index_path,
+        ivfpq_manifest(emb, C, books, dim=dim, n_cells=n_cells, m=m,
+                       ksub=ksub, seed=seed, id_col=id_col,
+                       vec_col=vec_col, drift_reference=drift_reference),
+    )
+    return C, books
+
+
+def ivfpq_manifest(emb: DataFrame, centroids: np.ndarray,
+                   codebooks: np.ndarray, *, dim: int | None = None,
+                   n_cells: int | None = None, m: int | None = None,
+                   ksub: int | None = None, seed: int | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   drift_reference: bool = True) -> dict:
+    """Assemble the IVF+PQ manifest dict (the :func:`ivf_manifest`
+    shape plus PQ config + codebooks) — split out of
+    :func:`ivfpq_build_index` for the same reason as its siblings:
+    append-only assemblies (e.g. a streaming ingest that never
+    one-shot-builds) write the same self-describing manifest before
+    their first append."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    manifest = ivf_manifest(emb, np.asarray(centroids, dtype=np.float64),
+                            dim=dim, n_cells=n_cells, seed=seed,
                             id_col=id_col, vec_col=vec_col,
                             drift_reference=drift_reference)
     manifest["kind"] = "ivfpq"
-    manifest["m"] = m
-    manifest["ksub"] = ksub
+    manifest["m"] = m if m is not None else int(books.shape[0])
+    manifest["ksub"] = ksub if ksub is not None else int(books.shape[1])
     manifest["codebooks"] = books.tolist()
-    write_index_manifest(emb.sparkSession, index_path, manifest)
-    return C, books
+    return manifest
 
 
 def ivfpq_append(new_emb: DataFrame, index_path: str, *,

@@ -125,14 +125,16 @@ from .. import streaming  # noqa: F401,E402
 # the eight newest
 # keys, all under policy #2) — after r13 no driver row
 # predates r9 (the full r13 window is in git history of this file).
-# Round 14 (this window): block 1 = the round's THREE new keys
+# Round 14 (this window): block 1 = the round's FOUR new keys
 # (quality_calibrate_prefiltered — the hot-source skew path for the
 # per-source calibration, the domain_cap_prefiltered recipe ahead of
 # the exact window; knn_ivfpq_topk — the materialized IVF+PQ layout,
 # cell partition pruning × 16-byte ADC codes × pushed-In exact
 # rescore, recall-verdict oracle; knn_ivfpq_join — its batched probe,
-# per-query ADC LUTs shipped as a broadcast column) + the 10 keys
-# whose ENGINE changed
+# per-query ADC LUTs shipped as a broadcast column;
+# stream_ivfpq_ingest — the IVFPQ index maintained by a stream,
+# manifest-first batch-keyed idempotent appends, ingest parity across
+# all three families) + the 10 keys whose ENGINE changed
 # this round
 # (every key that builds/appends/compacts/probes a MATERIALIZED ANN
 # index traverses the r14 epoch/append-marker race protocol and the
@@ -143,8 +145,8 @@ from .. import streaming  # noqa: F401,E402
 # now derived from the corpus schema on the non-empty path); block 2 =
 # the ENTIRE r9-vintage drift tail (the 33 keys VERDICT r13 missing #3
 # / next #1 named — after r14 no driver row predates r10); block 3 =
-# the 4 alphabetically-first r10-vintage keys (array_set_ops …
-# compact_partition_scoped); the remaining 38 r10 stragglers are
+# the 3 alphabetically-first r10-vintage keys (array_set_ops …
+# cohort_retention_weekly); the remaining 39 r10 stragglers are
 # r15's block.
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
@@ -158,6 +160,7 @@ _CERTIFICATION_PRIORITY = [
     "quality_calibrate_prefiltered",
     "knn_ivfpq_topk",
     "knn_ivfpq_join",
+    "stream_ivfpq_ingest",
     "knn_lsh_join",
     "knn_ivf_join",
     "knn_ivf_compact_probe",
@@ -204,15 +207,14 @@ _CERTIFICATION_PRIORITY = [
     "train_test_split_docs",
     "unpivot_lineitem_metrics",
     "window_value_funcs",
-    # --- r14 block 3: drift re-certification, the 4 alphabetically-
-    # --- first r10-vintage keys (csv_roundtrip_agg and
-    # --- crosstab_status_segment were displaced by knn_ivfpq_topk and
-    # --- knn_ivfpq_join under policy #2; the remaining 38 are r15's
-    # --- block). ---
+    # --- r14 block 3: drift re-certification, the 3 alphabetically-
+    # --- first r10-vintage keys (csv_roundtrip_agg,
+    # --- crosstab_status_segment and compact_partition_scoped were
+    # --- displaced by the three newest keys under policy #2; the
+    # --- remaining 39 are r15's block). ---
     "array_set_ops",
     "cdc_apply_changes",
     "cohort_retention_weekly",
-    "compact_partition_scoped",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

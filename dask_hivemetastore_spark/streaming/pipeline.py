@@ -1040,6 +1040,110 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.withColumn("lsh_recall_floor_met", F.lit(floor_met))
 
 
+@query(
+    "stream_ivfpq_ingest",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings
+               WHERE {similarity.ORACLE_FINITE.format(v='embedding',
+                                                      d=64)}),
+    q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(list_sum(list_transform(list_zip(embedding, qv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+               AS cosine,
+           1 AS ivfpq_recall_floor_met
+    FROM e, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 × streaming (r14): the IVF+PQ index maintained by a stream —
+    completing ingest parity across all three materialized ANN
+    families (``stream_ivf_ingest`` / ``stream_lsh_ingest`` siblings).
+    Manifest-FIRST: centroids, PQ codebooks and config
+    (:func:`..operators.similarity.ivfpq_manifest` — payloads in the
+    lazy parquet sidecars) are written once before ingest; each
+    micro-batch is then assigned AND PQ-encoded against those fixed
+    artifacts by ``foreachBatch`` → :func:`..operators.similarity.
+    ivfpq_append`, batch-keyed to its own ``ingest_batch=<batch_id>``
+    subdirectory with ``mode="overwrite"`` — idempotent under
+    at-least-once replay — and every append participates in the
+    epoch/marker race protocol. Both model artifacts are pure fixed
+    functions, so the stream-grown index is content-identical to a
+    one-shot :func:`..operators.similarity.ivfpq_build_index` (the
+    same argument as both siblings; build identity pinned in
+    tests/test_layouts.py). After the drain,
+    :func:`..operators.similarity.ivfpq_probe_indexed` answers from
+    the path alone: cell pruning × ADC over the 16-byte codes × pushed
+    ``In(id)`` exact rescore.
+
+    Same derived RECALL-VERDICT full oracle as ``knn_ivfpq_topk``:
+    exact top-10 annotated with ``ivfpq_recall_floor_met`` =
+    (probe recall@10 ≥ 0.5 at nprobe=8/16, shortlist=50), pinned to 1.
+    Bounded collects only (1 query vector + 2×10 rows)."""
+    import numpy as np
+
+    from ..catalog import load_table
+
+    ensure_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="stream_ivfpq_")
+    idx = f"{base}/index"
+    C = similarity.ivf_train_centroids(
+        emb, n_cells=16, cache_key=sf_dir, dim=_IVF_DIM
+    )
+    books = similarity.pq_train_codebooks(
+        emb, m=16, ksub=32, cache_key=sf_dir, dim=_IVF_DIM
+    )
+    similarity.write_index_manifest(
+        spark, idx,
+        similarity.ivfpq_manifest(emb, C, books, dim=_IVF_DIM,
+                                  n_cells=16, m=16, ksub=32, seed=42,
+                                  drift_reference=False),
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    raw = spark.readStream.schema(batch_schema).option("basePath", sf_dir)
+    mft = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES")
+    if mft:
+        raw = raw.option("maxFilesPerTrigger", int(mft))
+    stream = raw.parquet(f"{sf_dir}/embeddings.parque[t]")
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        similarity.ivfpq_append(  # artifacts from the root manifest
+            batch_df, f"{idx}/ingest_batch={batch_id}", mode="overwrite"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    qrow = (
+        similarity.finite_vectors(emb, "embedding", _IVF_DIM)
+        .where(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()  # bounded: 1 row
+    )
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    got = {
+        r.vec_id
+        for r in similarity.ivfpq_probe_indexed(
+            spark, idx, qv, k=10, nprobe=8, shortlist=50, exclude_id=0
+        ).collect()  # bounded: k rows
+    }
+    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=_IVF_DIM)
+    exact_ids = {r.vec_id for r in exact.collect()}  # bounded: k rows
+    floor_met = int(len(got & exact_ids) >= 5)
+    return exact.withColumn("ivfpq_recall_floor_met", F.lit(floor_met))
+
+
 # ------------------------------------------- state-store observability
 
 

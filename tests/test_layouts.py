@@ -1557,3 +1557,52 @@ def test_ivfpq_batch_probe_identical_to_single_probes(spark, tmp_path):
         batch.setdefault(r.q_id, set()).add((r.vec_id, r.cosine))
     assert batch == loop
     assert 999_999_999 not in batch
+
+
+def test_ivfpq_row_filter_prefilter_semantics(spark, tmp_path):
+    """r14: the IVFPQ probes' row_filter is a PRE-filter — candidates
+    are scoped before the ADC screen and the exact rescore, so at the
+    full config (nprobe=n_cells, wide shortlist) the filtered probe
+    equals brute-force knn over the filtered corpus, k rows returned —
+    on the single AND the batched probe."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+        ivfpq_probe_indexed_batch,
+        knn_topk,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "pq_rf_idx")
+    ivfpq_build_index(emb, idx, n_cells=8, m=16, ksub=32,
+                      cache_key=SF_SMOKE + "_pqrf", dim=64,
+                      drift_reference=False)
+    pred = F.col("label") == 1
+    want = [tuple(r) for r in knn_topk(
+        emb.where(pred | (F.col("vec_id") == 0)), 0, k=10, dim=64
+    ).collect()]
+
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    got = [tuple(r) for r in ivfpq_probe_indexed(
+        spark, idx, qv, k=10, nprobe=8, shortlist=500, exclude_id=0,
+        row_filter=pred).collect()]
+    assert got == want and len(got) == 10
+
+    batch = [
+        (r.vec_id, r.cosine)
+        for r in ivfpq_probe_indexed_batch(
+            emb, idx, [0], k=10, nprobe=8, shortlist=500,
+            row_filter=pred,
+        ).collect()
+    ]
+    assert batch == [(r[0], r[2]) for r in want]  # same ids, same cosines
