@@ -170,6 +170,42 @@ def main() -> int:
         "int8_qvec": col_bytes(ivf_q, "qvec"),
         "pq_code": col_bytes(pq, "pq_code"),
     }
+
+    # ---- batch vs loop (Q=8), identity wired into the exit code ----
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivfpq_probe_indexed_batch,
+    )
+
+    qids = list(range(8))
+    qvecs = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64)
+        for r in finite_vectors(flat, "embedding", dim)
+        .where(F.col("vec_id").isin(qids))
+        .select("vec_id", "embedding").collect()
+    }
+
+    def pq_loop():
+        out = {}
+        for q in qids:
+            out[q] = {(r.vec_id, r.cosine) for r in ivfpq_probe_indexed(
+                spark, pq, qvecs[q], k=5, nprobe=8, shortlist=40,
+                exclude_id=q).collect()}
+        return out
+
+    def pq_batch():
+        out = {}
+        for r in ivfpq_probe_indexed_batch(
+            flat, pq, qids, k=5, nprobe=8, shortlist=40
+        ).collect():
+            out.setdefault(r.q_id, set()).add((r.vec_id, r.cosine))
+        return out
+
+    ok &= pq_batch() == pq_loop()
+    results["pq_loop_sec"] = _best(args.timing_reps, pq_loop)
+    results["pq_batch_sec"] = _best(args.timing_reps, pq_batch)
+    results["pq_batch_speedup_x"] = round(
+        results["pq_loop_sec"] / results["pq_batch_sec"], 2)
+
     print(json.dumps(results))
     spark.stop()
     return 0 if ok else 1
