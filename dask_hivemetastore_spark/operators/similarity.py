@@ -3301,9 +3301,10 @@ def ann_index_compact(spark, index_path: str, *,
     log_root = f"{root}/{_APPEND_LOG_DIR}"
     for name in markers_before:
         fs.delete(JPath(f"{log_root}/{name}"), False)
-    bumped = dict(manifest)  # raw entries: sidecar pointer, no load
-    if bumped.get("centroids_sidecar"):
-        bumped.pop("centroids", None)  # keep the pointer authoritative
+    bumped = dict(manifest)  # raw entries: sidecar pointers, no load
+    for payload, (pointer, _) in _SIDECAR_KEYS.items():
+        if bumped.get(pointer):
+            bumped.pop(payload, None)  # keep the pointer authoritative
     bumped["epoch"] = epoch + 1
     write_index_manifest(spark, root, bumped)
 

@@ -1606,3 +1606,72 @@ def test_ivfpq_row_filter_prefilter_semantics(spark, tmp_path):
         ).collect()
     ]
     assert batch == [(r[0], r[2]) for r in want]  # same ids, same cosines
+
+
+def test_hybrid_fusion_identical_over_ivfpq_dense_arm(spark, tmp_path):
+    """r14: the third family plugs into the same fusion — dense arm
+    served by ivfpq_probe_indexed at its recall-1.0 config
+    (nprobe=n_cells, corpus-wide shortlist ⇒ the exact rescore IS the
+    brute ranking) fuses identically to the brute arm."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators import text
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+        knn_topk,
+        rrf_fuse,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "pq_fuse_idx")
+    ivfpq_build_index(emb, idx, n_cells=8, m=16, ksub=32,
+                      cache_key=SF_SMOKE + "_pqf", dim=64,
+                      drift_reference=False)
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    dense_brute = knn_topk(emb, query_id=0, k=50, dim=64)
+    dense_indexed = ivfpq_probe_indexed(
+        spark, idx, qv, k=50, nprobe=8, shortlist=10_000, exclude_id=0)
+    a = [(r.vec_id, r.cosine) for r in dense_brute.collect()]
+    b = [(r.vec_id, r.cosine) for r in dense_indexed.collect()]
+    assert a == b and len(a) == 50
+
+    sparse_rank = (
+        text.bm25_scores(docs, ["spark", "hash", "window"])
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )
+
+    def fused(dense50):
+        dense_rank = dense50.select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+            .alias("rank"),
+        )
+        f = rrf_fuse([sparse_rank, dense_rank], "doc_id", k0=60)
+        return [
+            tuple(r)
+            for r in f.orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+            .limit(10)
+            .select("doc_id", F.round("rrf_raw", 6).alias("rrf"), "n_arms")
+            .collect()
+        ]
+
+    assert fused(dense_brute) == fused(dense_indexed)
