@@ -3374,6 +3374,156 @@ def ann_index_recover(spark, index_path: str) -> dict:
     return {"recovered": recovered, "staging_removed": staging_removed}
 
 
+def ann_index_verify(spark, index_path: str, *, deep: bool = False) -> dict:
+    """Integrity check for a materialized ANN index — the fsck that
+    completes the maintenance triad (:func:`ann_index_compact`,
+    :func:`ann_index_recover`, verify). Cheap by default: metadata and
+    bounded reads only; ``deep=True`` adds full-scan checks a 100 TB
+    operator schedules, not inlines.
+
+    Default checks (bounded):
+
+    - manifest present, known ``kind``, integer ``epoch``;
+    - race state: leftover ``_tomb_*`` dirs (crashed compaction —
+      run :func:`ann_index_recover`), leftover staging dirs, stale
+      append markers (epoch older than the manifest's — possible lost
+      rows), pending marker count (normal, consumed by the next
+      compaction);
+    - layout: data dirs exist; mixed build+batch depth flagged
+      (readable everywhere since r14, but compaction-worthy);
+    - schema: the kind's required columns exist (postings/cell/code
+      columns); one sampled row's vector length equals the manifest
+      ``dim`` and (ivfpq) code length equals ``m``;
+    - partition values inside the model's range (``cell < n_cells`` /
+      ``table < n_tables`` — a partition-column-only aggregate);
+    - sidecars: the LSH INT8 store's presence matches the manifest's
+      ``quantized`` flag; centroid/codebook sidecar files load.
+
+    Deep checks (full scans, opt-in): duplicate ids per (table,) key —
+    LSH postings legitimately hold one row per table, so the dup check
+    keys on the kind; row count reported.
+
+    Returns ``{"ok": bool, "kind", "epoch", "problems": [...],
+    "checks": {...}}`` — ``ok`` is False iff ``problems`` is non-empty;
+    informational counts live in ``checks``.
+    """
+    problems: list[str] = []
+    checks: dict = {}
+    manifest = read_index_manifest(spark, index_path)
+    if manifest is None:
+        return {"ok": False, "kind": None, "epoch": None,
+                "problems": [f"no manifest at {index_path}"], "checks": {}}
+    kind = manifest.get("kind")
+    epoch = int(manifest.get("epoch", 0))
+    root = manifest.get("_root", index_path).rstrip("/")
+    if kind not in ("lsh", "ivf", "ivfpq"):
+        problems.append(f"unknown index kind {kind!r}")
+        return {"ok": False, "kind": kind, "epoch": epoch,
+                "problems": problems, "checks": checks}
+    part_col = "table" if kind == "lsh" else "cell"
+    id_col = manifest.get("id_col", "vec_id")
+
+    fs, JPath = _hadoop_fs(spark, root)
+    if fs is not None:
+        names = [st.getPath().getName() for st in fs.listStatus(JPath(root))
+                 if st.isDirectory()]
+        tombs = [n for n in names if n.startswith("_tomb_")]
+        if tombs:
+            problems.append(
+                f"leftover tombstones {sorted(tombs)} — crashed compaction;"
+                " run ann_index_recover")
+        for stage in (f"{root}__compact_stage", f"{root}__compact_qstage"):
+            if fs.exists(JPath(stage)):
+                problems.append(f"leftover staging dir {stage}")
+        built = [n for n in names if n.startswith(f"{part_col}=")]
+        batched = [n for n in names if n.startswith("ingest_batch=")]
+        checks["n_built_dirs"] = len(built)
+        checks["n_batch_dirs"] = len(batched)
+        checks["mixed_layout"] = bool(built and batched)
+        if not built and not batched:
+            problems.append(f"no data directories under {root}")
+    markers = _list_append_markers(spark, root)
+    stale = {n: e for n, e in markers.items() if e < epoch}
+    checks["pending_append_markers"] = len(markers) - len(stale)
+    if stale:
+        problems.append(
+            f"stale append markers {sorted(stale)} (epoch(s) "
+            f"{sorted(set(stale.values()))} < manifest epoch {epoch}) — "
+            "an append overlapped a compaction; rows may be lost")
+
+    if not problems or (checks.get("n_built_dirs") or
+                        checks.get("n_batch_dirs")):
+        df = _read_index_root(spark, root, part_col)
+        need = {
+            "lsh": {"table", "bucket", id_col},
+            "ivf": {"cell", id_col, manifest.get("vec_col", "embedding")},
+            "ivfpq": {"cell", id_col, manifest.get("vec_col", "embedding"),
+                      "pq_code"},
+        }[kind]
+        missing = need - set(df.columns)
+        if missing:
+            problems.append(f"missing columns {sorted(missing)}")
+        else:
+            n_parts = manifest.get(
+                "n_cells" if kind != "lsh" else "n_tables")
+            if n_parts is not None:
+                mx = df.agg(F.max(part_col)).first()[0]
+                checks[f"max_{part_col}"] = mx
+                if mx is not None and int(mx) >= int(n_parts):
+                    problems.append(
+                        f"{part_col}={mx} outside the model range "
+                        f"[0, {n_parts})")
+            sample = df.limit(1).collect()
+            if sample and kind in ("ivf", "ivfpq"):
+                dim = manifest.get("dim")
+                vec = sample[0][manifest.get("vec_col", "embedding")]
+                if dim is not None and vec is not None \
+                        and len(vec) != int(dim):
+                    problems.append(
+                        f"sampled vector length {len(vec)} != manifest "
+                        f"dim {dim}")
+                if kind == "ivfpq":
+                    m = manifest.get("m")
+                    code = sample[0]["pq_code"]
+                    if m is not None and code is not None \
+                            and len(code) != int(m):
+                        problems.append(
+                            f"sampled pq_code length {len(code)} != "
+                            f"manifest m {m}")
+            if deep:
+                checks["n_rows"] = df.count()
+                key = ["table", id_col] if kind == "lsh" else [id_col]
+                dups = checks["n_rows"] - df.select(*key).distinct().count()
+                checks["duplicate_rows"] = dups
+                # duplicates are EXPECTED under at-least-once plain
+                # appends; report, flag only for the postings store
+                # where probe dedup assumes (table,bucket,id) identity
+                if kind == "lsh" and dups:
+                    checks["note"] = (
+                        "postings duplicates are benign (probes "
+                        "dropDuplicates) but compaction-worthy")
+
+    if kind == "lsh":
+        has_q = _quantized_store_exists(spark, root)
+        checks["quantized_store"] = has_q
+        if bool(manifest.get("quantized", False)) != has_q:
+            problems.append(
+                f"manifest quantized={manifest.get('quantized')} but INT8 "
+                f"store {'present' if has_q else 'MISSING'}")
+    for payload, (pointer, loader) in _SIDECAR_KEYS.items():
+        rel = dict.get(manifest, pointer) if isinstance(manifest, dict) \
+            else None
+        if rel:
+            try:
+                loader(spark, root, rel)
+                checks[f"{payload}_sidecar"] = "ok"
+            except Exception as ex:  # noqa: BLE001 — fsck reports, not raises
+                problems.append(f"{payload} sidecar unreadable: {ex}")
+
+    return {"ok": not problems, "kind": kind, "epoch": epoch,
+            "problems": problems, "checks": checks}
+
+
 # ---------------------------------------------------------------------------
 # Hybrid retrieval: reciprocal-rank fusion
 # ---------------------------------------------------------------------------

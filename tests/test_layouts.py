@@ -1675,3 +1675,78 @@ def test_hybrid_fusion_identical_over_ivfpq_dense_arm(spark, tmp_path):
         ]
 
     assert fused(dense_brute) == fused(dense_indexed)
+
+
+def test_ann_index_verify_healthy_and_damaged(spark, tmp_path):
+    """r14 fsck: ann_index_verify passes a healthy index of each kind
+    (deep included), and flags — without raising — a stale append
+    marker, a leftover tombstone, a missing INT8 store, and an
+    out-of-range partition value."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        _record_append_marker,
+        ann_index_compact,
+        ann_index_verify,
+        ivfpq_build_index,
+        lsh_append,
+        lsh_build_index,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    lidx = str(tmp_path / "v_lsh")
+    lsh_build_index(emb.where(F.col("vec_id") % 2 == 0), lidx,
+                    dim=64, bits=8, n_tables=2)
+    lsh_append(emb.where(F.col("vec_id") % 2 == 1), lidx)
+    rep = ann_index_verify(spark, lidx, deep=True)
+    assert rep["ok"], rep
+    assert rep["kind"] == "lsh" and rep["epoch"] == 0
+    assert rep["checks"]["pending_append_markers"] == 1
+    assert rep["checks"]["quantized_store"] is True
+    assert rep["checks"]["duplicate_rows"] == 0
+
+    pidx = str(tmp_path / "v_pq")
+    ivfpq_build_index(emb, pidx, n_cells=8, m=16, ksub=32,
+                      cache_key=SF_SMOKE + "_vfy", dim=64,
+                      drift_reference=False)
+    rep = ann_index_verify(spark, pidx, deep=True)
+    assert rep["ok"], rep
+    assert rep["checks"]["centroids_sidecar"] == "ok"
+    assert rep["checks"]["codebooks_sidecar"] == "ok"
+
+    # damage 1: stale marker (after a compaction bumps the epoch)
+    stats = ann_index_compact(spark, lidx)
+    assert stats["epoch"] == 1
+    _record_append_marker(spark, lidx, 0)
+    rep = ann_index_verify(spark, lidx)
+    assert not rep["ok"] and any("stale append" in p for p in rep["problems"])
+    log = f"{lidx}/_append_log"
+    for n in os.listdir(log):
+        os.remove(f"{log}/{n}")
+
+    # damage 2: leftover tombstone
+    os.makedirs(f"{lidx}/_tomb_table=0")
+    rep = ann_index_verify(spark, lidx)
+    assert not rep["ok"] and any("tombstone" in p for p in rep["problems"])
+    os.rmdir(f"{lidx}/_tomb_table=0")
+
+    # damage 3: INT8 store missing while the manifest claims it
+    import shutil
+
+    shutil.rmtree(f"{lidx}/_quantized")
+    rep = ann_index_verify(spark, lidx)
+    assert not rep["ok"] and any("INT8 store MISSING" in p
+                                 for p in rep["problems"])
+
+    # damage 4: out-of-range partition dir (cell id beyond the model)
+    src = f"{pidx}/cell=0"
+    shutil.copytree(src, f"{pidx}/cell=99")
+    rep = ann_index_verify(spark, pidx)
+    assert not rep["ok"] and any("outside the model range" in p
+                                 for p in rep["problems"])
