@@ -1750,3 +1750,89 @@ def test_ann_index_verify_healthy_and_damaged(spark, tmp_path):
     rep = ann_index_verify(spark, pidx)
     assert not rep["ok"] and any("outside the model range" in p
                                  for p in rep["problems"])
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_ann_lifecycle_random_sequences_stay_exact(spark, tmp_path, seed):
+    """Randomized maintenance-lifecycle soak (r14): from a seeded RNG,
+    apply a random sequence of appends and compactions to LSH and IVFPQ
+    indexes, and after EVERY step assert (a) the recall-1.0-config
+    probe equals brute-force knn over exactly the ingested rows, and
+    (b) ann_index_verify stays clean. Catches ordering/epoch/sidecar
+    interactions no single-shot pin exercises."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+        ann_index_verify,
+        finite_vectors,
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+        knn_topk,
+        lsh_append,
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    rng = random.Random(seed)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    slices = [emb.where(F.col("vec_id") % 4 == i) for i in range(4)]
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+
+    lidx = str(tmp_path / "soak_lsh")
+    pidx = str(tmp_path / "soak_pq")
+    # bits=1 -> every bucket probed -> exact; nprobe=n_cells -> exact
+    lsh_build_index(slices[0], lidx, dim=64, bits=1, n_tables=2)
+    ivfpq_build_index(slices[0], pidx, n_cells=4, m=16, ksub=32,
+                      cache_key=SF_SMOKE + f"_soak{seed}", dim=64,
+                      drift_reference=False)
+    ingested = [0]
+
+    def check():
+        cur = slices[ingested[0]]
+        for i in ingested[1:]:
+            cur = cur.unionByName(slices[i])
+        want = [(r.vec_id, r.cosine) for r in knn_topk(
+            cur, 0, k=8, dim=64).collect()]
+        lg = [(r.vec_id, r.cosine) for r in lsh_probe_indexed(
+            emb, lidx, query_id=0, k=8).collect()]
+        pg = [(r.vec_id, r.cosine) for r in ivfpq_probe_indexed(
+            spark, pidx, qv, k=8, nprobe=4, shortlist=2000,
+            exclude_id=0).collect()]
+        assert lg == want, (ingested, lg, want)
+        assert pg == want, (ingested, pg, want)
+        for idx in (lidx, pidx):
+            rep = ann_index_verify(spark, idx)
+            assert rep["ok"], rep
+
+    check()
+    next_slice = 1
+    for _ in range(5):
+        op = rng.choice(["append", "compact", "compact", "append"])
+        if op == "append" and next_slice < 4:
+            if rng.random() < 0.5:  # batch-keyed idempotent shape
+                lsh_append(slices[next_slice], lidx,
+                           subdir=f"ingest_batch={next_slice}",
+                           mode="overwrite")
+                ivfpq_append(slices[next_slice],
+                             f"{pidx}/ingest_batch={next_slice}",
+                             mode="overwrite")
+            else:
+                lsh_append(slices[next_slice], lidx)
+                ivfpq_append(slices[next_slice], pidx)
+            ingested.append(next_slice)
+            next_slice += 1
+        else:
+            ann_index_compact(spark, lidx)
+            ann_index_compact(spark, pidx)
+        check()
