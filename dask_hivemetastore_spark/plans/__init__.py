@@ -146,8 +146,23 @@ from .. import streaming  # noqa: F401,E402
 # the ENTIRE r9-vintage drift tail (the 33 keys VERDICT r13 missing #3
 # / next #1 named — after r14 no driver row predates r10); block 3 =
 # the 3 alphabetically-first r10-vintage keys (array_set_ops …
-# cohort_retention_weekly); the remaining 39 r10 stragglers are
-# r15's block.
+# cohort_retention_weekly); the remaining 39 r10 stragglers for r15:
+# compact_partition_scoped, crosstab_status_segment, csv_roundtrip_agg,
+# dedup_embedding_components, dedup_exact_selfunion,
+# domain_cap_prefiltered, embedding_near_pairs,
+# embedding_quantize_roundtrip, explode_words_top, fuzzy_match_nations,
+# interpolate_hourly_events, interval_order_span_ym, interval_user_span,
+# knn_cosine_topk, knn_ivf_topk, knn_join_batch, lang_id_docs,
+# lm_quality_score_docs, map_arrow_net_price, observed_write_metrics,
+# paginate_orders, pandas_api_groupby, parameterized_sql_orders,
+# parquet_partitioned_roundtrip, parquet_schema_evolution,
+# persist_cache_agg, q13_customer_distribution, q21_suppliers_waiting,
+# q2_min_cost_supplier, q8_market_share, q9_product_profit,
+# recursive_month_spine, stream_foreach_batch_snapshot,
+# stream_observe_metrics, stream_static_enrich, table_diff_snapshots,
+# try_arithmetic_safety, udtf_polymorphic_firstwords, window_rank_kinds
+# (39 + r15's new/changed keys fit one 50-key window with room for
+# r11 stragglers).
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only

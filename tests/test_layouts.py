@@ -1836,3 +1836,36 @@ def test_ann_lifecycle_random_sequences_stay_exact(spark, tmp_path, seed):
             ann_index_compact(spark, lidx)
             ann_index_compact(spark, pidx)
         check()
+
+
+def test_ivf_drift_check_works_on_ivfpq_manifest(spark, tmp_path):
+    """r14 composition: the |batch|-cost drift monitor reads centroids +
+    the training-time reference off ANY manifest that carries them —
+    an IVFPQ build with drift_reference=True monitors exactly like the
+    plain IVF layout (same coarse quantizer artifact), in-distribution
+    batches unflagged, shifted batches flagged."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ivf_drift_check_batch,
+        ivfpq_build_index,
+        shift_vectors,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "pq_drift_idx")
+    # n_cells=16 = the registered drift key's config, where the
+    # shifted-batch margin is measured (PERF.md drift arm)
+    ivfpq_build_index(emb, idx, n_cells=16, m=16, ksub=32,
+                      cache_key=SF_SMOKE + "_pqd", dim=64,
+                      drift_reference=True)
+
+    ok_batch = emb.where(F.col("vec_id") % 7 == 3)
+    stats, flagged = ivf_drift_check_batch(ok_batch, idx)
+    assert not flagged, stats
+
+    shifted = shift_vectors(ok_batch, alpha=2.0)
+    stats2, flagged2 = ivf_drift_check_batch(shifted, idx)
+    assert flagged2, stats2
