@@ -1869,3 +1869,81 @@ def test_ivf_drift_check_works_on_ivfpq_manifest(spark, tmp_path):
     shifted = shift_vectors(ok_batch, alpha=2.0)
     stats2, flagged2 = ivf_drift_check_batch(shifted, idx)
     assert flagged2, stats2
+
+
+def test_ivfpq_residual_variant_exact_and_append_identical(spark, tmp_path):
+    """r14: residual IVFPQ (codes over x − centroid[cell], the FAISS
+    formulation) — full-config probe equals brute force (ADC still only
+    prunes), batch equals the single-probe loop, and an appended index
+    equals a one-shot build row-for-row (the residual encode is a pure
+    function of the fixed artifacts + the assigned cell)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        finite_vectors,
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+        ivfpq_probe_indexed_batch,
+        knn_topk,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ck = SF_SMOKE + "_res"
+    idx = str(tmp_path / "pq_res")
+    ivfpq_build_index(emb, idx, n_cells=8, m=16, ksub=32, cache_key=ck,
+                      dim=64, drift_reference=False, residual=True)
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    got = [(r.vec_id, r.cosine) for r in ivfpq_probe_indexed(
+        spark, idx, qv, k=10, nprobe=8, shortlist=2000,
+        exclude_id=0).collect()]
+    want = [(r.vec_id, r.cosine) for r in knn_topk(
+        emb, 0, k=10, dim=64).collect()]
+    assert got == want and len(got) == 10
+
+    qids = [0, 1, 2]
+    loop: dict = {}
+    for q in qids:
+        qq = np.asarray(
+            finite_vectors(emb, "embedding", 64)
+            .where(F.col("vec_id") == q).select("embedding").first()[0],
+            dtype=np.float64,
+        )
+        loop[q] = {(r.vec_id, r.cosine) for r in ivfpq_probe_indexed(
+            spark, idx, qq, k=5, nprobe=4, shortlist=30,
+            exclude_id=q).collect()}
+    batch: dict = {}
+    for r in ivfpq_probe_indexed_batch(
+        emb, idx, qids, k=5, nprobe=4, shortlist=30
+    ).collect():
+        batch.setdefault(r.q_id, set()).add((r.vec_id, r.cosine))
+    assert batch == loop
+
+    grown = str(tmp_path / "pq_res_grown")
+    ivfpq_build_index(emb.where(F.col("vec_id") % 2 == 0), grown,
+                      n_cells=8, m=16, ksub=32, cache_key=ck + "g",
+                      dim=64, drift_reference=False, residual=True)
+    ivfpq_append(emb.where(F.col("vec_id") % 2 == 1), grown)
+    g = spark.read.parquet(grown).select(
+        "cell", "vec_id", F.col("pq_code").cast("string"))
+    # re-encode the union with the grown index's own artifacts
+    from dask_hivemetastore_spark.operators.similarity import (
+        pq_encode_rows,
+        ivf_assign_full,
+        read_index_manifest,
+    )
+    mf = read_index_manifest(spark, grown)
+    C = np.asarray(mf["centroids"], dtype=np.float64)
+    books = np.asarray(mf["codebooks"], dtype=np.float64)
+    w = pq_encode_rows(
+        ivf_assign_full(emb, C, "embedding", dim=64), books,
+        "embedding", dim=64, centroids=C,
+    ).select("cell", "vec_id", F.col("pq_code").cast("string"))
+    assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
