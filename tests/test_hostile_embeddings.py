@@ -60,6 +60,14 @@ _FULL_ORACLE_KEYS = [
     # margin, not knife-edge values)
     "knn_lsh_topk",
     "knn_lsh_indexed",
+    # r14: the IVFPQ family's recall-verdict oracles hold on the
+    # poisoned corpus too — eligibility excludes the corrupt rows from
+    # BOTH the index (finite_vectors in assign/encode) and the exact
+    # twin, and the 0.5/0.6 floors carry margin even with the
+    # quantizer retrained on the poisoned eligible set (verified
+    # empirically before pinning; contrast knn_ivf_topk's note below)
+    "knn_ivfpq_topk",
+    "knn_ivfpq_join",
     # ivf_drift_check is NOT in the full-oracle replay: its pinned
     # shifted-flag verdict is a clean-fixture contract. On THIS corpus
     # the legal norm-8000 all-ones vector hands KMeans a cell aligned
