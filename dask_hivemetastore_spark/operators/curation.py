@@ -339,6 +339,40 @@ def percent_rank_top_prefiltered(df: DataFrame, score_col: str, by: str,
     )
 
 
+def decontaminate_fuzzy(train: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Drop training docs that are NEAR-duplicates of any benchmark doc
+    (word-``n``-gram Jaccard ≥ ``threshold``) — the fuzzy sibling of
+    :func:`decontaminate` (r14). Exact n-gram overlap misses the
+    paraphrased-contamination case the eval-integrity literature warns
+    about: a benchmark item lightly rewritten into the training set
+    shares almost all of its shingles but not necessarily any single
+    verbatim 5-gram run at the boundary, and conversely one shared
+    idiom should NOT nuke a document the way any-overlap does at small
+    n. The Jaccard threshold measures whole-document resemblance.
+
+    Spark-first shape: :func:`..operators.dedup.ngram_jaccard_probe`
+    with the TRAIN side as the probe (prefix-filtered — only a
+    ``(1−t)`` fraction of each train doc's grams shuffles) and the
+    tiny benchmark as the full inverted index (broadcastable). The
+    prefix filter is LOSSLESS (pigeonhole — see the probe's docstring)
+    and candidates are exact-verified on full gram sets, so the
+    survivor set is deterministic and oracle-checkable: a train doc is
+    dropped iff its exact Jaccard against some bench doc reaches the
+    threshold. |train|-proportional work, never |train|×|bench| beyond
+    the bounded candidate set."""
+    from .dedup import ngram_jaccard_probe
+
+    bad = (
+        ngram_jaccard_probe(train, bench, id_col=id_col,
+                            text_col=text_col, n=n, threshold=threshold)
+        .select(F.col("probe_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
 # ------------------------------------------------------------- SemDeDup
 
 def semdedup_pairs(emb: DataFrame, threshold: float, n_cells: int = 16,

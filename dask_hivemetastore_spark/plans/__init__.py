@@ -125,7 +125,7 @@ from .. import streaming  # noqa: F401,E402
 # the eight newest
 # keys, all under policy #2) — after r13 no driver row
 # predates r9 (the full r13 window is in git history of this file).
-# Round 14 (this window): block 1 = the round's FOUR new keys
+# Round 14 (this window): block 1 = the round's FIVE new keys
 # (quality_calibrate_prefiltered — the hot-source skew path for the
 # per-source calibration, the domain_cap_prefiltered recipe ahead of
 # the exact window; knn_ivfpq_topk — the materialized IVF+PQ layout,
@@ -134,7 +134,10 @@ from .. import streaming  # noqa: F401,E402
 # per-query ADC LUTs shipped as a broadcast column;
 # stream_ivfpq_ingest — the IVFPQ index maintained by a stream,
 # manifest-first batch-keyed idempotent appends, ingest parity across
-# all three families) + the 10 keys whose ENGINE changed
+# all three families; decontaminate_fuzzy_docs — near-duplicate
+# Jaccard decontamination, the paraphrased-contamination case, exact
+# prefix-filtered candidates + brute pairwise oracle) + the 10 keys
+# whose ENGINE changed
 # this round
 # (every key that builds/appends/compacts/probes a MATERIALIZED ANN
 # index traverses the r14 epoch/append-marker race protocol and the
@@ -145,8 +148,9 @@ from .. import streaming  # noqa: F401,E402
 # now derived from the corpus schema on the non-empty path); block 2 =
 # the ENTIRE r9-vintage drift tail (the 33 keys VERDICT r13 missing #3
 # / next #1 named — after r14 no driver row predates r10); block 3 =
-# the 3 alphabetically-first r10-vintage keys (array_set_ops …
-# cohort_retention_weekly); the remaining 39 r10 stragglers for r15:
+# the 2 alphabetically-first r10-vintage keys (array_set_ops,
+# cdc_apply_changes); the r10 stragglers for r15 (39 below +
+# cohort_retention_weekly = 40):
 # compact_partition_scoped, crosstab_status_segment, csv_roundtrip_agg,
 # dedup_embedding_components, dedup_exact_selfunion,
 # domain_cap_prefiltered, embedding_near_pairs,
@@ -176,6 +180,7 @@ _CERTIFICATION_PRIORITY = [
     "knn_ivfpq_topk",
     "knn_ivfpq_join",
     "stream_ivfpq_ingest",
+    "decontaminate_fuzzy_docs",
     "knn_lsh_join",
     "knn_ivf_join",
     "knn_ivf_compact_probe",
@@ -222,14 +227,14 @@ _CERTIFICATION_PRIORITY = [
     "train_test_split_docs",
     "unpivot_lineitem_metrics",
     "window_value_funcs",
-    # --- r14 block 3: drift re-certification, the 3 alphabetically-
+    # --- r14 block 3: drift re-certification, the 2 alphabetically-
     # --- first r10-vintage keys (csv_roundtrip_agg,
-    # --- crosstab_status_segment and compact_partition_scoped were
-    # --- displaced by the three newest keys under policy #2; the
-    # --- remaining 39 are r15's block). ---
+    # --- crosstab_status_segment, compact_partition_scoped and
+    # --- cohort_retention_weekly were displaced by the four newest
+    # --- keys under policy #2; the remaining 40 r10 keys are r15's
+    # --- block — the 39 listed below plus cohort_retention_weekly).
     "array_set_ops",
     "cdc_apply_changes",
-    "cohort_retention_weekly",
 ]
 
 # The r5 window (see git history of this file) was fully certified in

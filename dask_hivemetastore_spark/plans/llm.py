@@ -2365,6 +2365,53 @@ def decontaminate_digest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_fuzzy_docs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+          FROM w WHERE len(ws) >= 3),
+    bg AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+    tg AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+    pairs AS (SELECT tg.doc_id,
+                CAST(len(list_intersect(tg.gs, bg.gs)) AS DOUBLE)
+                  / (len(tg.gs) + len(bg.gs)
+                     - len(list_intersect(tg.gs, bg.gs))) AS j
+              FROM tg, bg),
+    bad AS (SELECT DISTINCT doc_id FROM pairs WHERE j >= 0.8)
+    SELECT doc_id FROM documents
+    WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def decontaminate_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 FUZZY decontamination (r14): drop training docs whose
+    word-3-gram Jaccard against any eval doc reaches 0.8 — the
+    paraphrased-contamination case exact n-gram overlap
+    (``decontaminate_docs``) misses, and the whole-document resemblance
+    measure that one shared idiom cannot trip. Every 10th doc plays the
+    eval set (the fixture's planted near-dup pairs straddle this split,
+    so the key actually drops documents at every sf — 6 at sf0.01, 46
+    at sf0.1 — instead of vacuously keeping everything).
+
+    Plan (:func:`..operators.curation.decontaminate_fuzzy` →
+    :func:`..operators.dedup.ngram_jaccard_probe`): the tiny benchmark
+    contributes its FULL hashed-gram inverted index; the corpus side is
+    prefix-filtered (lossless by pigeonhole — only a (1−t) fraction of
+    each train doc's grams shuffles), candidates pass a length filter
+    and EXACT full-gram-set verification, so the survivor set is
+    deterministic and the brute-force pairwise-Jaccard DuckDB oracle
+    applies verbatim. At 100 TB: |train|-proportional, the benchmark
+    index is the broadcast side, and the train corpus is read once."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    return curation.decontaminate_fuzzy(
+        train, bench, "doc_id", n=3, threshold=0.8
+    ).select("doc_id")
+
+
+@query(
     "quality_percentile_gate",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents

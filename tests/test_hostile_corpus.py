@@ -70,6 +70,7 @@ _KEYS = [
     "doc_chunk_windows",
     "repetition_score_docs",
     "decontaminate_docs",
+    "decontaminate_fuzzy_docs",  # r14: exact-verified Jaccard oracle
     "quality_percentile_gate",
     "train_test_split_docs",
     "lm_quality_score_docs",
