@@ -3,12 +3,23 @@
 
 Prints ONE JSON line:
   {"metric": "total_headline_sec", "value": N, "unit": "sec",
-   "queries": {key: best_sec, ...}, "sf": 0.1}
+   "queries": {key: best_sec, ...}, "sf": 0.1,
+   "baseline_paired": {key: best_sec, ...},      # r15: see below
+   "ratio_paired": {key: r, ...}, "ratio_paired_total": r}
 
 Methodology mirrors BASELINE.md: warm session (JVM startup excluded),
 best of 3 runs of execute+fetch-all per query. Keys match BASELINE.md's
 table so the driver's BENCH_r{N}.json is directly comparable
 (knn_cosine_top10 there == knn_cosine_topk in the registry).
+
+r15 (VERDICT r14 next #2): the artifact is self-adjudicating — after
+the engine cells, the eight NEUTRAL baseline cells are re-measured in
+the same box session (scripts/remeasure_baseline_cells.py subprocess,
+the exact plain-declarative forms + local[8] protocol BASELINE.md was
+measured with) and emitted alongside. ratio_paired is numerator and
+denominator under IDENTICAL box state; the committed BASELINE.md
+ratios remain for cross-round comparison. SPARK_GRAFT_BENCH_PAIRED=0
+skips the pairing for fast iteration.
 """
 
 from __future__ import annotations
@@ -97,6 +108,43 @@ def main() -> None:
         "queries": results,
         "sf": sf,
     }
+
+    # Paired-baseline re-measure (r15, VERDICT r14 next #2). BASELINE.md's
+    # committed denominators were drawn on a quiet box on a different day;
+    # a contended box can print a >2x cell with ZERO code change (r14's
+    # events cell: 2.04x from 1-9% CPU steal — the exculpatory evidence
+    # took a judge session to assemble). So every BENCH artifact now
+    # carries its own box-state-matched denominator: the eight NEUTRAL
+    # plain-declarative cells (scripts/remeasure_baseline_cells.py, the
+    # exact forms BASELINE.md was measured with, own local[8] JVM per the
+    # baseline protocol) re-measured in the same box session, and the
+    # per-cell ratio against THAT. The 2.0x triggers read ratio_paired;
+    # the committed ratios stay comparable across rounds. Disable for
+    # fast iteration with SPARK_GRAFT_BENCH_PAIRED=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0":
+        import subprocess
+
+        script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts", "remeasure_baseline_cells.py",
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, script, "--sf-dir", sf_dir, "--all-cells"],
+                capture_output=True, text=True, timeout=900, check=True,
+            )
+            paired_raw = json.loads(proc.stdout.strip().splitlines()[-1])
+            paired = {cell: v["best"] for cell, v in paired_raw.items()}
+            out["baseline_paired"] = paired
+            out["ratio_paired"] = {
+                cell: round(results[cell] / paired[cell], 3)
+                for cell in results if paired.get(cell)
+            }
+            out["ratio_paired_total"] = round(
+                sum(results.values()) / sum(paired.values()), 3)
+        except Exception as ex:  # noqa: BLE001 — pairing is best-effort
+            out["baseline_paired_error"] = f"{type(ex).__name__}: {ex}"[:300]
+
     print(json.dumps(out))
 
 

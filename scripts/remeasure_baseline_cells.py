@@ -32,14 +32,84 @@ EXTRA_RUNS_BELOW_SEC = 0.5
 RUNS, EXTRA_RUNS = 3, 4
 
 
-def build_cells(spark, sf_dir):
+def build_cells(spark, sf_dir, all_cells: bool = False):
     """The plain declarative forms BASELINE.md's cells were measured
     with (mirroring each registry query's semantics, none of the repo's
-    operator code)."""
+    operator code). ``all_cells=True`` (r15, VERDICT r14 next #2) adds
+    the three super-second cells (q1/q3/q5) so bench.py can re-measure
+    the FULL 8-cell denominator in the same box session as its
+    numerator — the paired-baseline protocol that makes each BENCH
+    artifact self-adjudicating against box contention."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def _ntz(s):
+        return F.lit(s).cast("timestamp_ntz")
+
+    def q1():
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        return (
+            li.where(F.col("l_shipdate") <= _ntz("2001-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2),
+                F.round(F.sum("l_extendedprice"), 2),
+                F.round(F.sum(disc_price), 2),
+                F.round(F.sum(charge), 2),
+                F.round(F.avg("l_quantity"), 6),
+                F.round(F.avg("l_extendedprice"), 6),
+                F.round(F.avg("l_discount"), 6),
+                F.count("*"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def q3():
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+            F.col("c_mktsegment") == "BUILDING")
+        o = orders.where(F.col("o_orderdate") < _ntz("1998-03-15"))
+        l3 = li.where(F.col("l_shipdate") > _ntz("1998-03-15"))
+        return (
+            l3.join(o, l3.l_orderkey == o.o_orderkey)
+            .join(cust, o.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ), 2).alias("revenue"))
+            .select(
+                "l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+                "o_orderpriority",
+            )
+            .orderBy(F.desc("revenue"), F.asc("od"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    def q5():
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+            F.col("r_name") == "ASIA")
+        o = orders.where(
+            (F.col("o_orderdate") >= _ntz("1996-01-01"))
+            & (F.col("o_orderdate") < _ntz("1997-01-01")))
+        return (
+            cust.join(o, cust.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .join(supp, (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(nation, supp.s_nationkey == nation.n_nationkey)
+            .join(region, nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
 
     def q6():
         return (
@@ -100,18 +170,25 @@ def build_cells(spark, sf_dir):
             .limit(10)
         )
 
-    return {
+    cells = {
         "q6_revenue_delta": q6,
         "events_tumbling_1h": events_tumbling,
         "window_rank_orders": window_rank,
         "distinct_users": distinct_users,
         "knn_cosine_top10": knn,
     }
+    if all_cells:
+        cells = {"q1_pricing_summary": q1, "q3_top_orders": q3,
+                 "q5_local_supplier": q5, **cells}
+    return cells
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--all-cells", action="store_true",
+                    help="include q1/q3/q5 (the 8-cell paired-baseline "
+                         "re-measure bench.py embeds per round)")
     args = ap.parse_args()
 
     spark = (
@@ -122,7 +199,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    cells = build_cells(spark, args.sf_dir)
+    cells = build_cells(spark, args.sf_dir, all_cells=args.all_cells)
 
     for _ in range(2):  # bench.py's double warm sweep
         for fn in cells.values():
