@@ -107,6 +107,9 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": sf,
+        # box-state telemetry: r14's events cell printed 2.04x from pure
+        # box contention and the evidence lived outside the artifact
+        "load1": round(os.getloadavg()[0], 2),
     }
 
     # Paired-baseline re-measure (r15, VERDICT r14 next #2). BASELINE.md's
@@ -136,6 +139,9 @@ def main() -> None:
             paired_raw = json.loads(proc.stdout.strip().splitlines()[-1])
             paired = {cell: v["best"] for cell, v in paired_raw.items()}
             out["baseline_paired"] = paired
+            out["baseline_paired_draws"] = {
+                cell: v["draws"] for cell, v in paired_raw.items()}
+            out["load1_after_paired"] = round(os.getloadavg()[0], 2)
             out["ratio_paired"] = {
                 cell: round(results[cell] / paired[cell], 3)
                 for cell in results if paired.get(cell)

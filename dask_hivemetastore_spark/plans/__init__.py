@@ -167,20 +167,38 @@ from .. import streaming  # noqa: F401,E402
 # try_arithmetic_safety, udtf_polymorphic_firstwords, window_rank_kinds
 # (39 + r15's new/changed keys fit one 50-key window with room for
 # r11 stragglers).
+# Round 15 (this window): block 1 = the 12 keys whose ENGINE changed
+# this round — every key that builds/appends/compacts/probes a
+# MATERIALIZED ANN index traverses the r15 atomic-manifest-swap
+# protocol (write_index_manifest staged rename + read_index_manifest
+# backup fallback; VERDICT r14 missing #3), the batch-fold-aware
+# recovery sentinels in ann_index_compact (r14 advisor #1), and the
+# defaultFS-aware sidecar reads (r14 advisor #2): knn_ivfpq_topk,
+# knn_ivfpq_join, stream_ivfpq_ingest, knn_lsh_join, knn_ivf_join,
+# knn_ivf_compact_probe, knn_lsh_compact_probe, stream_ivf_ingest,
+# stream_lsh_ingest, knn_lsh_indexed, ivf_drift_check,
+# knn_ivf_append_probe (knn_ivf_topk also probes IVF but assigns cells
+# in-flight — no manifest, no materialized layout — and sits in block
+# 2 regardless; knn_mmr_rerank reranks the brute shortlist and touches
+# none of the changed code); block 2 = 38 of the 40 r10-vintage drift
+# keys VERDICT r14 next #1 named (the 39 listed above minus the two
+# displaced + cohort_retention_weekly). Displaced to r16 by the 12
+# changed keys under the standing changed-keys-re-cert rule:
+# udtf_polymorphic_firstwords, window_rank_kinds — after r15 those two
+# are the ONLY keys whose newest driver row predates r11 (both green
+# in every local parity run; r16's block).
 # STANDING OUTPUT DISCIPLINE: no registered query may return a
 # top-level array/map/struct column — the driver's canonicalizer
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
 _CERTIFICATION_PRIORITY = [
-    # --- r14 block 1: the two new keys + the 10 engine-changed keys
-    # --- (policy #2 and the changed-keys re-cert rule; see the r14
-    # --- history note above for why each changed). ---
-    "quality_calibrate_prefiltered",
+    # --- r15 block 1: the 12 engine-changed keys (atomic manifest
+    # --- swap + batch-fold recovery sentinels + defaultFS-aware
+    # --- sidecar reads — see the r15 history note above). ---
     "knn_ivfpq_topk",
     "knn_ivfpq_join",
     "stream_ivfpq_ingest",
-    "decontaminate_fuzzy_docs",
     "knn_lsh_join",
     "knn_ivf_join",
     "knn_ivf_compact_probe",
@@ -190,51 +208,47 @@ _CERTIFICATION_PRIORITY = [
     "knn_lsh_indexed",
     "ivf_drift_check",
     "knn_ivf_append_probe",
-    "knn_mmr_rerank",
-    # --- r14 block 2: the ENTIRE r9-vintage drift tail (VERDICT r13
-    # --- missing #3 / next #1 — 33 keys). After r14 no driver row
-    # --- predates r10. ---
-    "decontaminate_digest_docs",
-    "decontaminate_docs",
-    "describe_lineitem",
-    "doc_fingerprint",
-    "domain_cap_docs",
-    "events_date_parts",
-    "events_hourly_gapfill",
-    "funnel_signup_purchase",
-    "grouped_arrow_minmax",
-    "grouped_map_zscore",
-    "grouping_sets_sql",
-    "incremental_agg_merge",
-    "interleave_sources_rr",
-    "interval_overlap_longtail",
-    "median_mode_agg",
-    "pivot_status_by_segment",
-    "python_stream_source_agg",
-    "quality_percentile_gate",
-    "quantile_value",
-    "regexp_extract_docs",
-    "rolling_1h_events",
-    "salted_join_revenue",
-    "scd2_user_event_intervals",
-    "sql_entrypoint",
-    "stream_dedup_users",
-    "stream_filter_to_parquet",
-    "stream_sliding_30m",
-    "stream_stateful_counts",
-    "stream_tumbling_1h",
-    "token_pack_docs",
-    "train_test_split_docs",
-    "unpivot_lineitem_metrics",
-    "window_value_funcs",
-    # --- r14 block 3: drift re-certification, the 2 alphabetically-
-    # --- first r10-vintage keys (csv_roundtrip_agg,
-    # --- crosstab_status_segment, compact_partition_scoped and
-    # --- cohort_retention_weekly were displaced by the four newest
-    # --- keys under policy #2; the remaining 40 r10 keys are r15's
-    # --- block — the 39 listed below plus cohort_retention_weekly).
-    "array_set_ops",
-    "cdc_apply_changes",
+    # --- r15 block 2: the r10-vintage drift tail (VERDICT r14 next #1
+    # --- — 38 of the 40; udtf_polymorphic_firstwords and
+    # --- window_rank_kinds displaced to r16 by block 1). ---
+    "cohort_retention_weekly",
+    "compact_partition_scoped",
+    "crosstab_status_segment",
+    "csv_roundtrip_agg",
+    "dedup_embedding_components",
+    "dedup_exact_selfunion",
+    "domain_cap_prefiltered",
+    "embedding_near_pairs",
+    "embedding_quantize_roundtrip",
+    "explode_words_top",
+    "fuzzy_match_nations",
+    "interpolate_hourly_events",
+    "interval_order_span_ym",
+    "interval_user_span",
+    "knn_cosine_topk",
+    "knn_ivf_topk",
+    "knn_join_batch",
+    "lang_id_docs",
+    "lm_quality_score_docs",
+    "map_arrow_net_price",
+    "observed_write_metrics",
+    "paginate_orders",
+    "pandas_api_groupby",
+    "parameterized_sql_orders",
+    "parquet_partitioned_roundtrip",
+    "parquet_schema_evolution",
+    "persist_cache_agg",
+    "q13_customer_distribution",
+    "q21_suppliers_waiting",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "recursive_month_spine",
+    "stream_foreach_batch_snapshot",
+    "stream_observe_metrics",
+    "stream_static_enrich",
+    "table_diff_snapshots",
+    "try_arithmetic_safety",
 ]
 
 # The r5 window (see git history of this file) was fully certified in
