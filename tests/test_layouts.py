@@ -2298,3 +2298,108 @@ def test_hybrid_fusion_identical_over_ivf_batch_arm(spark, tmp_path):
         ]
 
     assert fused(dense_brute) == fused(dense_indexed)
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_ann_crash_anywhere_recovery_soak(spark, tmp_path, seed, monkeypatch):
+    """r15 crash-anywhere soak: over a randomized append/compact
+    lifecycle on an IVFPQ index (the family whose probes do NOT
+    dropDuplicates — the r14 advisor's exposure), every compaction may
+    crash at either injection point (the pre-swap re-list: staging
+    written, nothing tombstoned; or the post-swap re-list: swap done,
+    commit sentinel not yet written). After every crash,
+    ann_index_recover must restore EXACT pre-crash probe results and a
+    clean ann_index_verify, and the re-run compaction must succeed —
+    the property the three single-shot crash pins sample, soaked."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators import similarity
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+        ann_index_recover,
+        ann_index_verify,
+        finite_vectors,
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+        knn_topk,
+    )
+    from .conftest import SF_SMOKE
+
+    rng = random.Random(seed)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    slices = [emb.where(F.col("vec_id") % 4 == i) for i in range(4)]
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    pidx = str(tmp_path / "crash_soak")
+    ivfpq_build_index(slices[0], pidx, n_cells=4, m=16, ksub=32,
+                      cache_key=SF_SMOKE + f"_cs{seed}", dim=64,
+                      drift_reference=False)
+    ingested = [0]
+
+    def probe():
+        return [(r.vec_id, r.cosine) for r in ivfpq_probe_indexed(
+            spark, pidx, qv, k=8, nprobe=4, shortlist=2000,
+            exclude_id=0).collect()]
+
+    def brute():
+        cur = slices[ingested[0]]
+        for i in ingested[1:]:
+            cur = cur.unionByName(slices[i])
+        return [(r.vec_id, r.cosine) for r in knn_topk(
+            cur, 0, k=8, dim=64).collect()]
+
+    real = similarity._list_append_markers
+
+    def compact_with_crash(crash_at):
+        calls = {"n": 0}
+
+        def crashing(spark_, root):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise RuntimeError("soak crash")
+            return real(spark_, root)
+
+        monkeypatch.setattr(similarity, "_list_append_markers", crashing)
+        try:
+            with pytest.raises(RuntimeError, match="soak crash"):
+                ann_index_compact(spark, pidx)
+        finally:
+            monkeypatch.setattr(similarity, "_list_append_markers", real)
+
+    assert probe() == brute()
+    next_slice = 1
+    for _ in range(5):
+        op = rng.choice(["append", "compact", "compact"])
+        if op == "append" and next_slice < 4:
+            if rng.random() < 0.5:
+                ivfpq_append(slices[next_slice],
+                             f"{pidx}/ingest_batch={next_slice}",
+                             mode="overwrite")
+            else:
+                ivfpq_append(slices[next_slice], pidx)
+            ingested.append(next_slice)
+            next_slice += 1
+        else:
+            want = probe()
+            crash = rng.choice([None, 3, 4])  # pre-swap / post-swap re-list
+            if crash is not None:
+                compact_with_crash(crash)
+                stats = ann_index_recover(spark, pidx)
+                assert (stats["recovered"] + stats["staging_removed"]
+                        + stats["staged_removed"]) > 0, (crash, stats)
+                assert probe() == want, ("post-recover", crash)
+                rep = ann_index_verify(spark, pidx)
+                assert rep["ok"], rep
+            ann_index_compact(spark, pidx)
+            assert probe() == want, "post-compact"
+        assert probe() == brute()
+        rep = ann_index_verify(spark, pidx)
+        assert rep["ok"], rep
