@@ -2403,3 +2403,79 @@ def test_ann_crash_anywhere_recovery_soak(spark, tmp_path, seed, monkeypatch):
         assert probe() == brute()
         rep = ann_index_verify(spark, pidx)
         assert rep["ok"], rep
+
+
+def test_read_index_manifest_fast_path_no_job_and_legacy_fallback(
+        spark, tmp_path):
+    """r15: the healthy-path manifest read goes through the driver-side
+    JVM FileSystem — ZERO Spark jobs (it used to launch one per read;
+    every path-only probe/append/drift check paid it) — while legacy
+    DataFrame-text layouts (the Connect fallback's part files) still
+    read through the text source."""
+    import shutil
+
+    from dask_hivemetastore_spark.operators.similarity import (
+        read_index_manifest,
+    )
+
+    _, idx = _small_lsh_index(spark, tmp_path, "fastread_idx")
+
+    spark.sparkContext.setJobGroup("manifest_fast_read", "pin", False)
+    try:
+        m = read_index_manifest(spark, idx)
+    finally:
+        spark.sparkContext.setJobGroup("", "", False)
+    assert m is not None and m["kind"] == "lsh" and m["epoch"] == 0
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    assert len(tracker.getJobIdsForGroup("manifest_fast_read")) == 0
+
+    # legacy layout: the manifest as DataFrame-text part files (what a
+    # JVM-less runtime writes) — the text-source fallback serves it
+    payload = {k: v for k, v in m.items() if not k.startswith("_")}
+    import json as _json
+
+    shutil.rmtree(f"{idx}/_index_manifest")
+    (
+        spark.createDataFrame([(_json.dumps(payload, sort_keys=True),)],
+                              "manifest string")
+        .coalesce(1).write.mode("overwrite")
+        .text(f"{idx}/_index_manifest")
+    )
+    legacy = read_index_manifest(spark, idx)
+    assert legacy is not None and legacy["kind"] == "lsh"
+    assert legacy["epoch"] == 0
+
+
+def test_ann_index_verify_deep_flags_out_of_range_pq_codes(spark, tmp_path):
+    """r15: the deep fsck reads ONLY the 16-byte code column and flags
+    any persisted centroid id outside [0, ksub) — wraparound or
+    codebook-mismatch corruption that would silently mis-rank the ADC
+    screen."""
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_verify,
+        ivfpq_build_index,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "pqrange")
+    ivfpq_build_index(emb, idx, n_cells=4, m=16, ksub=32,
+                      cache_key=SF_SMOKE + "_pqr", dim=64,
+                      drift_reference=False)
+    rep = ann_index_verify(spark, idx, deep=True)
+    assert rep["ok"] and rep["checks"]["pq_code_range"] == [0, 31]
+
+    bad = (
+        spark.read.option("basePath", idx).parquet(f"{idx}/cell=0")
+        .limit(1)
+        .withColumn("pq_code",
+                    F.expr("transform(pq_code, x -> CAST(-3 AS TINYINT))"))
+        .drop("cell")
+    )
+    bad.write.mode("append").parquet(f"{idx}/cell=0")
+    rep2 = ann_index_verify(spark, idx, deep=True)
+    assert not rep2["ok"]
+    assert any("outside [0, ksub=32)" in p for p in rep2["problems"])
