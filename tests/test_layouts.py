@@ -2479,3 +2479,48 @@ def test_ann_index_verify_deep_flags_out_of_range_pq_codes(spark, tmp_path):
     rep2 = ann_index_verify(spark, idx, deep=True)
     assert not rep2["ok"]
     assert any("outside [0, ksub=32)" in p for p in rep2["problems"])
+
+
+def test_recover_restores_crashed_quantized_store_swap(spark, tmp_path):
+    """r15: the LSH INT8 sidecar's compaction mini-swap (qroot renamed
+    to _tomb__quantized, staged qbatch renamed in) runs AFTER the main
+    swap commits — a crash inside it must restore the ORIGINAL store
+    (content-preserving either way: readers project past qbatch), keep
+    the INT8-screened probe exact, and leave verify clean."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_recover,
+        ann_index_verify,
+        lsh_append,
+        lsh_build_index,
+        lsh_probe_indexed,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "qswap_idx")
+    lsh_build_index(emb.where(F.col("vec_id") % 2 == 0), idx,
+                    dim=64, bits=8, n_tables=2, quantized=True)
+    lsh_append(emb.where(F.col("vec_id") % 2 == 1), idx)
+    want = [tuple(r) for r in lsh_probe_indexed(
+        emb, idx, query_id=0, k=10).collect()]
+
+    # crash state mid-qstore-swap: original store tombstoned, qroot
+    # recreated empty, staging half-written (main swap already clean)
+    os.rename(f"{idx}/_quantized", f"{idx}/_tomb__quantized")
+    os.makedirs(f"{idx}/_quantized")
+    os.makedirs(f"{idx}__compact_qstage")
+    rep = ann_index_verify(spark, idx)
+    assert not rep["ok"]
+
+    stats = ann_index_recover(spark, idx)
+    assert stats["recovered"] == 1 and stats["staging_removed"] == 1
+    assert not os.path.exists(f"{idx}/_tomb__quantized")
+    got = [tuple(r) for r in lsh_probe_indexed(
+        emb, idx, query_id=0, k=10).collect()]
+    assert got == want and len(got) == 10
+    assert ann_index_verify(spark, idx)["ok"]
