@@ -701,17 +701,37 @@ def lsh_append(new_emb: DataFrame, index_path: str, *,
             else _quantized_store_exists(spark, index_path)
         )
     if quantized:
-        qbatch = (
-            subdir.replace("=", "_").replace("/", "_")
-            if subdir else "append"
-        )
+        # The INT8 sidecar store ALWAYS lives at the index ROOT (r16):
+        # a batch-keyed caller may pass the batch dir as the TARGET
+        # (.../index/ingest_batch=7 — the ivf_append style) instead of
+        # subdir=; writing the store under that target buried it where
+        # no probe reads it, and the screen's semi-join then silently
+        # DROPPED those ids from every shortlist (candidates present in
+        # the postings but absent from the store) — a wrong-answer
+        # probe, not a slow one. The store path anchors to the
+        # manifest's resolved root; the qbatch label keys on whatever
+        # names the batch so idempotent replays truncate only
+        # themselves.
+        qtarget = root if root is not None else index_path
+        rel = ""
+        if root is not None:
+            stripped = index_path.rstrip("/")
+            if stripped != root.rstrip("/"):
+                rel = stripped[len(root.rstrip("/")) + 1:]
+        if subdir:
+            qbatch = subdir.replace("=", "_").replace("/", "_")
+        elif rel:
+            qbatch = rel.replace("=", "_").replace("/", "_")
+        else:
+            qbatch = "append"
         _write_lsh_quantized(
-            new_emb, index_path, dim=dim, id_col=id_col, vec_col=vec_col,
+            new_emb, qtarget, dim=dim, id_col=id_col, vec_col=vec_col,
             qbatch=qbatch,
             # plain appends share the "append" label, so their files
-            # must accumulate; batch-keyed subdirs own their label and
-            # inherit the caller's idempotent overwrite
-            mode=mode if subdir else "append",
+            # must accumulate; batch-keyed labels (subdir= or batch-dir
+            # target) own their label and inherit the caller's
+            # idempotent overwrite
+            mode=mode if qbatch != "append" else "append",
         )
     if root is not None:  # marker lands after BOTH stores are written
         _commit_append_marker(spark, root, epoch, "lsh_append")
@@ -2229,15 +2249,43 @@ def ivf_drift_stats(batch: DataFrame, centroids: np.ndarray,
     return mean_dot, max_share, n_tot
 
 
+def centroid_nullspace_axis(centroids) -> np.ndarray:
+    """A unit direction ORTHOGONAL to every trained centroid — the
+    scale-robust drift axis (r16). The fixed all-ones axis
+    :func:`shift_vectors` defaults to is only adversarial while no
+    centroid happens to own it: on the sf0.1 fixture (2000 training
+    rows) the seeded KMeans places a centroid with enough all-ones
+    component that the "shifted" batch FITS BETTER than the corpus
+    average (mean assignment dot 0.358 vs ref 0.275) and the FIT-rule
+    trigger — correctly — declines to flag a mode the quantizer
+    already owns. A null-space axis has dot exactly 0 with every
+    centroid, so a batch concentrated on it is guaranteed unowned by
+    THIS quantizer at ANY corpus scale; after a retrain over the
+    drifted corpus the new quantizer owns it and the flag clears.
+    Deterministic given the centroids (SVD's trailing right-singular
+    vector); requires n_centroids < dim."""
+    C = np.asarray(centroids, dtype=np.float64)
+    if C.shape[0] >= C.shape[1]:
+        raise ValueError(
+            "centroid_nullspace_axis: centroids span the full space "
+            f"({C.shape[0]} >= dim {C.shape[1]}) — no null direction"
+        )
+    _, _, vt = np.linalg.svd(C, full_matrices=True)
+    return vt[-1]
+
+
 def shift_vectors(emb: DataFrame, alpha: float = 2.0,
                   vec_col: str = "embedding",
-                  dim: int | None = None) -> DataFrame:
+                  dim: int | None = None,
+                  axis: np.ndarray | None = None) -> DataFrame:
     """Deterministic distribution shift for drift testing: add
-    ``alpha * u`` (u = the normalized all-ones direction) to every
-    eligible vector and L2-renormalize. Models an embedding-model update
-    or domain change — vectors concentrate around a direction the coarse
-    quantizer never trained on. Pure per-row numpy over Arrow batches;
-    output schema equals the input's.
+    ``alpha * u`` (u = ``axis``, default the normalized all-ones
+    direction) to every eligible vector and L2-renormalize. Models an
+    embedding-model update or domain change — vectors concentrate
+    around a direction the coarse quantizer never trained on. Pass
+    ``axis=centroid_nullspace_axis(C)`` for a shift that is guaranteed
+    unowned by the quantizer at any corpus scale (r16). Pure per-row
+    numpy over Arrow batches; output schema equals the input's.
 
     Zero-norm guard (r13 advisor): a vector equal to ``-alpha*u`` lands
     exactly on the origin after the offset, and dividing by its zero
@@ -2247,6 +2295,7 @@ def shift_vectors(emb: DataFrame, alpha: float = 2.0,
     eligibility). Such rows are kept UNSHIFTED (the original vector
     passes through verbatim) rather than dropped, so both drift arms
     keep the same base-row set."""
+    fixed = None if axis is None else np.asarray(axis, dtype=np.float64)
 
     def kern(batches):
         for pdf in batches:
@@ -2255,7 +2304,8 @@ def shift_vectors(emb: DataFrame, alpha: float = 2.0,
             V = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            u = np.ones(V.shape[1]) / np.sqrt(V.shape[1])
+            u = (fixed if fixed is not None
+                 else np.ones(V.shape[1]) / np.sqrt(V.shape[1]))
             W = V + alpha * u
             norms = np.linalg.norm(W, axis=1)
             ok = norms > 1e-12
@@ -4358,6 +4408,27 @@ def ann_index_verify(spark, index_path: str, *, deep: bool = False) -> dict:
                     checks["note"] = (
                         "postings duplicates are benign (probes "
                         "dropDuplicates) but compaction-worthy")
+                if kind == "lsh" and _quantized_store_exists(spark, root):
+                    # postings/store id consistency (r16): an id in the
+                    # postings but absent from the INT8 store is
+                    # silently DROPPED by the screen's semi-join — a
+                    # wrong probe answer, not a slow one (the failure
+                    # mode a mis-targeted append used to create)
+                    store_ids = (
+                        spark.read.parquet(_lsh_quantized_path(root))
+                        .select(id_col).distinct()
+                    )
+                    n_missing = (
+                        df.select(id_col).distinct()
+                        .join(store_ids, id_col, "left_anti").count()
+                    )
+                    checks["ids_missing_from_int8_store"] = n_missing
+                    if n_missing:
+                        problems.append(
+                            f"{n_missing} postings id(s) missing from "
+                            "the INT8 store — the screened probe drops "
+                            "them from every shortlist; re-append or "
+                            "rebuild to restore store consistency")
 
     if kind == "lsh":
         has_q = _quantized_store_exists(spark, root)

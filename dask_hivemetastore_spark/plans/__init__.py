@@ -192,10 +192,40 @@ from .. import streaming  # noqa: F401,E402
 # sort_values over raw columns and cannot sort list cells (r6's only
 # red row). Explode to scalar rows or cast to a canonical string.
 # ---------------------------------------------------------------------------
+# Round 16 (this window): block 1 = the round's TWO new/graduated keys
+# (knn_ivf_rebuild_probe — ann_index_rebuild, the drift trigger's
+# consequence: retrain + rewrite + staged-sentinel swap with the
+# manifest write as commit point, drift-clears + identity + recall
+# verdicts; dedup_simhash — GRADUATED from rows-only to the
+# knn_lsh_topk-style derived recall-verdict oracle against the exact
+# Jaccard twin, leaving semdedup_survivors the ONLY rows-only key);
+# block 2 = the 12 keys whose ENGINE changed this round — every key
+# that builds/appends/compacts/probes a MATERIALIZED ANN index
+# traverses the r16 maintenance lock (_acquire_maint_lock in
+# compact/rebuild), the checked-rename manifest swap (r15 advisor #2),
+# the root-anchored lsh_append INT8 store, and (ivf_drift_check) the
+# scale-robust null-space drift axis: knn_ivfpq_topk, knn_ivfpq_join,
+# stream_ivfpq_ingest, knn_lsh_join, knn_ivf_join,
+# knn_ivf_compact_probe, knn_lsh_compact_probe, stream_ivf_ingest,
+# stream_lsh_ingest, knn_lsh_indexed, ivf_drift_check,
+# knn_ivf_append_probe; block 3 = the two r10 stragglers VERDICT r15
+# next #1 named (udtf_polymorphic_firstwords, window_rank_kinds —
+# after r16 no driver row predates r11); block 4 = the 34
+# alphabetically-first r11-vintage drift keys. Displaced to r17 by
+# blocks 1–2 under the standing changed-keys-first rule (driver-simmed
+# standalone ALL-MATCH this round, see PERF.md r16): sample_fraction,
+# sample_k_per_group, sample_stratified, sorted_layout_roundtrip,
+# statestore_event_counts, tfidf_top_terms, timestamp_parse_roundtrip,
+# token_count_docs, union_mismatched_schemas, weighted_sample_docs,
+# window_price_band, xml_parse_orders, zorder_layout_roundtrip
+# (13 keys — r17's block, fits one window with room for r12 drift).
 _CERTIFICATION_PRIORITY = [
-    # --- r15 block 1: the 12 engine-changed keys (atomic manifest
-    # --- swap + batch-fold recovery sentinels + defaultFS-aware
-    # --- sidecar reads — see the r15 history note above). ---
+    # --- r16 block 1: new + graduated keys (policy #2). ---
+    "knn_ivf_rebuild_probe",
+    "dedup_simhash",
+    # --- r16 block 2: the 12 engine-changed ANN keys (maintenance
+    # --- lock + checked manifest renames + root-anchored INT8 store +
+    # --- null-space drift axis — see the r16 history note above). ---
     "knn_ivfpq_topk",
     "knn_ivfpq_join",
     "stream_ivfpq_ingest",
@@ -208,47 +238,45 @@ _CERTIFICATION_PRIORITY = [
     "knn_lsh_indexed",
     "ivf_drift_check",
     "knn_ivf_append_probe",
-    # --- r15 block 2: the r10-vintage drift tail (VERDICT r14 next #1
-    # --- — 38 of the 40; udtf_polymorphic_firstwords and
-    # --- window_rank_kinds displaced to r16 by block 1). ---
-    "cohort_retention_weekly",
-    "compact_partition_scoped",
-    "crosstab_status_segment",
-    "csv_roundtrip_agg",
-    "dedup_embedding_components",
-    "dedup_exact_selfunion",
-    "domain_cap_prefiltered",
-    "embedding_near_pairs",
-    "embedding_quantize_roundtrip",
-    "explode_words_top",
-    "fuzzy_match_nations",
-    "interpolate_hourly_events",
-    "interval_order_span_ym",
-    "interval_user_span",
-    "knn_cosine_topk",
-    "knn_ivf_topk",
-    "knn_join_batch",
-    "lang_id_docs",
-    "lm_quality_score_docs",
-    "map_arrow_net_price",
-    "observed_write_metrics",
-    "paginate_orders",
-    "pandas_api_groupby",
-    "parameterized_sql_orders",
-    "parquet_partitioned_roundtrip",
-    "parquet_schema_evolution",
-    "persist_cache_agg",
-    "q13_customer_distribution",
-    "q21_suppliers_waiting",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "recursive_month_spine",
-    "stream_foreach_batch_snapshot",
-    "stream_observe_metrics",
-    "stream_static_enrich",
-    "table_diff_snapshots",
-    "try_arithmetic_safety",
+    # --- r16 block 3: the two r10 stragglers (VERDICT r15 next #1). ---
+    "udtf_polymorphic_firstwords",
+    "window_rank_kinds",
+    # --- r16 block 4: the 34 alphabetically-first r11-vintage drift
+    # --- keys (the remaining 13 are r17's declared block). ---
+    "agg_collect",
+    "agg_var_std",
+    "anti_join_customers",
+    "approx_distinct_users",
+    "bucketed_join_agg",
+    "case_when_bucketing",
+    "cms_heavy_hitters",
+    "cross_join_region_status",
+    "cube_segment_status",
+    "dedup_incremental_batch",
+    "dedup_near",
+    "dedup_near_minhash",
+    "dedup_near_survivors",
+    "distinct_users",
+    "embedding_group_centroid",
+    "except_returned_items",
+    "hll_sketch_merge",
+    "knn_pq_topk",
+    "mad_robust_outliers",
+    "ngram_freq_top",
+    "null_safe_join",
+    "posexplode_words",
+    "price_histogram",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q16_supplier_count",
+    "q20_volume_suppliers",
+    "quality_score_docs",
+    "quantile_approx_value",
+    "range_join_longtail_points",
+    "regression_price_qty",
+    "repetition_score_docs",
+    "rollup_grouping_id",
+    "row_ids_unique",
 ]
 
 # The r5 window (see git history of this file) was fully certified in
