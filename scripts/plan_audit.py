@@ -79,6 +79,10 @@ ALLOW: dict[str, str] = {
     "knn_mmr_rerank": "crossJoin of a broadcast 1-row query vector"
     " (the exact-top-10 audit twin + the bounded 50-row shortlist scan;"
     " the greedy rerank runs driver-side on collected rows)",
+    "knn_ivf_rebuild_probe": "crossJoin of a broadcast 1-row query vector"
+    " (the exact-top-10 audit twin, same shape as knn_ivf_compact_probe;"
+    " the drift checks, rebuild, and identity audit all run eagerly"
+    " inside the function)",
 }
 
 # streaming / state-heavy keys: executing them here would start queries,

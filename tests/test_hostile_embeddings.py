@@ -211,23 +211,52 @@ def test_planted_duplicate_still_found(spark, hostile_emb_dir):
 def test_drift_check_on_hostile_corpus_properties(spark, hostile_emb_dir):
     """The drift detector on the poisoned corpus: must RUN (eligibility
     excludes corrupt rows; counts = 48 eligible positive-norm control
-    rows), must NOT flag the in-distribution control batch, and —
-    the instructive case — must NOT flag the α=2-shifted batch either:
-    the corpus's legal norm-8000 all-ones vector (id 33) gives the
-    seeded KMeans a centroid aligned with the shift direction û, so
-    shifted vectors assign at cosine ~0.89 — the quantizer OWNS that
-    mode and re-training would change nothing. A share-based rule would
-    have flagged it forever (the batch concentrates in û's cell); the
-    fit-only rule correctly stays quiet. This is why the key's pinned
-    shifted=1 verdict lives on the clean fixture only."""
+    rows), must NOT flag the in-distribution control batch, and — since
+    the r16 null-space axis — MUST flag the shifted batch here too: the
+    key's drift direction is now orthogonal to EVERY trained centroid
+    by construction (centroid_nullspace_axis), so even the hostile
+    corpus's legal norm-8000 all-ones vector (id 33, which hands KMeans
+    a centroid on the old fixed û) cannot own the mode, and the
+    shifted=1 pin holds on hostile data as well as every sf.
+
+    The instructive owned-mode property the old fixed axis demonstrated
+    is still pinned — at the OPERATOR level, where it belongs: shifting
+    along the all-ones direction (which the hostile centroid owns)
+    assigns at cosine ~0.89 and the fit-only rule correctly stays
+    quiet; a share-based rule would have flagged that batch forever (it
+    concentrates in û's cell)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
     from dask_hivemetastore_spark import plans
+    from dask_hivemetastore_spark.operators import similarity
 
     rows = {r.batch: r for r in
             plans.QUERIES["ivf_drift_check"](spark, hostile_emb_dir).collect()}
     assert rows["control"].n_vectors == 48
     assert rows["shifted"].n_vectors == 48
     assert rows["control"].retrain_flag == 0
-    assert rows["shifted"].retrain_flag == 0  # û-cell owns the mode here
+    assert rows["shifted"].retrain_flag == 1  # unowned by construction
+
+    # owned-mode property (operator level): the hostile centroid on the
+    # all-ones û means an û-shifted batch FITS — no flag
+    emb = spark.read.parquet(f"{hostile_emb_dir}/embeddings.parquet")
+    C = similarity.ivf_train_centroids(
+        emb, n_cells=16, cache_key=hostile_emb_dir, dim=DIM
+    )
+    refd = similarity.ivf_drift_reference(emb, C, dim=DIM)
+    sq = F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    ctrl = emb.where(F.col("vec_id") % 10 == 0).where(sq > 0)
+    owned = similarity.shift_vectors(ctrl, alpha=2.0, dim=DIM)  # û axis
+    st = similarity.ivf_drift_stats(owned, C, dim=DIM)
+    assert st[0] > 0.8  # assigns into the û-owned cell at high cosine
+    assert not similarity.ivf_drift_flag(
+        st, (refd["ref_mean"], refd["ref_max_share"], refd["n"]),
+        sigma=refd["ref_sigma"],
+    )
 
 
 def test_raw_lsh_path_survives_corruption(spark, hostile_emb_dir):
