@@ -3102,3 +3102,104 @@ def test_lsh_append_batch_dir_target_anchors_int8_store_at_root(
     assert not rep["ok"]
     assert any("missing from the INT8 store" in p for p in rep["problems"])
     assert rep["checks"]["ids_missing_from_int8_store"] > 0
+
+
+def test_rebuild_append_race_aborts_before_swap(spark, tmp_path):
+    """ann_index_rebuild shares compact's append-race protocol: an
+    append completing between the rebuild's marker snapshot and its
+    swap (injected via the race-window hook) aborts the rebuild loudly
+    BEFORE anything is tombstoned — zero loss, the old index serves,
+    and a re-run in a quiet window succeeds and includes the raced
+    rows (assigned by the NEW quantizer, since the re-run retrains on
+    the corpus that now contains them)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_rebuild,
+        ivf_append,
+        ivf_assign_full,
+        ivf_build_index,
+        ivf_probe_indexed,
+        read_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "rebuild_race")
+    ivf_build_index(emb.where(F.col("vec_id") % 2 == 0), idx,
+                    n_cells=8, dim=64, drift_reference=False)
+
+    def racing_append():
+        ivf_append(emb.where(F.col("vec_id") % 2 == 1), idx)
+
+    with pytest.raises(RuntimeError, match="completed at"):
+        ann_index_rebuild(spark, idx, _race_window_hook=racing_append)
+    # nothing tombstoned, no sentinels, raced rows queryable, epoch 0
+    names = os.listdir(idx)
+    assert not any(n.startswith("_tomb") for n in names)
+    assert int(read_index_manifest(spark, idx).get("epoch", 0)) == 0
+    assert spark.read.parquet(idx).where(
+        F.col("vec_id") % 2 == 1).count() > 0
+
+    stats = ann_index_rebuild(spark, idx)  # quiet window: succeeds
+    assert stats["epoch"] == 1
+    C_new = np.asarray(
+        read_index_manifest(spark, idx)["centroids"], dtype=np.float64)
+    got = spark.read.parquet(idx).select("cell", "vec_id")
+    want = ivf_assign_full(emb, C_new, "embedding", dim=64).select(
+        "cell", "vec_id")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    qv = np.asarray(emb.where(F.col("vec_id") == 0)
+                    .select("embedding").first()[0], dtype=np.float64)
+    assert len(ivf_probe_indexed(
+        spark, idx, None, qv, k=10, nprobe=8, exclude_id=0).collect()) == 10
+
+
+def test_rebuild_capacity_change_n_cells(spark, tmp_path):
+    """Capacity changes ride the rebuild verb: rebuild(n_cells=8) on a
+    16-cell IVF index retrains at the new cell count, rewrites the
+    layout with exactly the new partitions, updates the manifest, and
+    the full-nprobe probe still recovers the brute-force top-10 —
+    the operation a capacity planner runs when cells run hot."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_rebuild,
+        ann_index_verify,
+        ivf_build_index,
+        ivf_probe_indexed,
+        knn_topk,
+        read_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "rebuild_cap")
+    ivf_build_index(emb, idx, n_cells=16, dim=64, drift_reference=False)
+    assert sum(1 for d in os.listdir(idx) if d.startswith("cell=")) == 16
+
+    stats = ann_index_rebuild(spark, idx, n_cells=8)
+    assert stats["epoch"] == 1
+    m = read_index_manifest(spark, idx)
+    assert int(m["n_cells"]) == 8
+    assert len(m["centroids"]) == 8
+    cells = {d for d in os.listdir(idx) if d.startswith("cell=")}
+    assert len(cells) == 8 and all(
+        int(c.split("=")[1]) < 8 for c in cells)
+
+    qv = np.asarray(emb.where(F.col("vec_id") == 0)
+                    .select("embedding").first()[0], dtype=np.float64)
+    got = [tuple(r) for r in ivf_probe_indexed(
+        spark, idx, None, qv, k=10, nprobe=8, exclude_id=0).collect()]
+    want = [tuple(r) for r in knn_topk(emb, 0, k=10, dim=64).collect()]
+    assert got == want  # nprobe == new n_cells: exact
+    assert ann_index_verify(spark, idx)["ok"]
