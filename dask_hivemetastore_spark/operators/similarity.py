@@ -3740,7 +3740,12 @@ def ann_index_rebuild(spark, index_path: str, corpus=None, *,
     float vectors ride every row, so a path-only rebuild works — model
     columns ``cell``/``pq_code``/``qvec``/``scale`` are stripped and
     re-derived); for lsh it is REQUIRED (postings store hashes, not
-    floats). At 100 TB the rewrite is the unavoidable cost the drift
+    floats). Rows are preserved VERBATIM (no dedup), the same contract
+    as :func:`ann_index_compact` — duplicates from replayed PLAIN
+    appends (batch-keyed ``mode="overwrite"`` replays never duplicate)
+    survive the rebuild and nudge the bounded KMeans sample toward the
+    replayed rows; dedupe upstream or pass an explicit deduplicated
+    ``corpus`` if that matters. At 100 TB the rewrite is the unavoidable cost the drift
     docs price in — one assignment pass + one clustered write, the same
     shape as the original build; the RETRAIN stays cheap (bounded
     sample).
