@@ -3203,3 +3203,43 @@ def test_rebuild_capacity_change_n_cells(spark, tmp_path):
     want = [tuple(r) for r in knn_topk(emb, 0, k=10, dim=64).collect()]
     assert got == want  # nprobe == new n_cells: exact
     assert ann_index_verify(spark, idx)["ok"]
+
+
+def test_rebuild_preserves_int8_cols_variant(spark, tmp_path):
+    """An IVF index built with int8_cols=True (the probe-screen
+    variant) keeps its INT8 columns through a rebuild: the manifest
+    flag survives, every rebuilt row carries qvec/scale re-derived
+    from the floats (never stale copies of the old assignment), and
+    the dequantized codes still reconstruct the vectors within the
+    documented scale/2 bound."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_rebuild,
+        ann_index_verify,
+        ivf_build_index,
+        read_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "rebuild_int8")
+    ivf_build_index(emb, idx, n_cells=8, dim=64, drift_reference=False,
+                    int8_cols=True)
+    stats = ann_index_rebuild(spark, idx)
+    assert stats["epoch"] == 1
+    m = read_index_manifest(spark, idx)
+    assert bool(m["int8_cols"]) is True
+    rows = spark.read.parquet(idx)
+    assert {"qvec", "scale"} <= set(rows.columns)
+    # finite rows all carry codes; reconstruction error bounded
+    bad = rows.where(F.col("qvec").isNull()).count()
+    assert bad == 0  # the fixture slice is all-finite
+    sample = rows.select("embedding", "qvec", "scale").limit(50).collect()
+    for r in sample:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        q = np.asarray(r.qvec, dtype=np.float64) * r.scale
+        assert np.max(np.abs(v - q)) <= r.scale / 2 + 1e-9
+    assert ann_index_verify(spark, idx)["ok"]

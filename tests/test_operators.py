@@ -1280,3 +1280,33 @@ def test_mmr_rerank_skips_planted_duplicate_and_reduces_at_lambda1(spark):
     assert div[0] == rel_ids[0]      # first pick is the relevance argmax
     assert div[1] == 3               # duplicate penalized, diverse row wins
     assert set(div) == {rel_ids[0], 3, 4} or set(div) == {1, 2, 3} and div[1] == 3
+
+
+def test_centroid_nullspace_axis_properties():
+    """r16: the scale-robust drift axis must be unit-norm and have dot
+    EXACTLY ~0 with every trained centroid — for any centroid matrix
+    with n_centroids < dim (the property that makes the shifted batch
+    unownable by the quantizer at any corpus scale) — and must reject
+    a full-rank centroid set loudly (no null direction exists)."""
+    import numpy as np
+    import pytest
+
+    from dask_hivemetastore_spark.operators.similarity import (
+        centroid_nullspace_axis,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, d in ((16, 64), (1, 8), (63, 64), (4, 1536)):
+        C = rng.normal(size=(n, d))
+        u = centroid_nullspace_axis(C)
+        assert u.shape == (d,)
+        assert abs(np.linalg.norm(u) - 1.0) < 1e-9, (n, d)
+        assert np.max(np.abs(C @ u)) < 1e-8, (n, d)
+    # deterministic given the centroids
+    C = rng.normal(size=(16, 64))
+    assert np.array_equal(centroid_nullspace_axis(C),
+                          centroid_nullspace_axis(C))
+    with pytest.raises(ValueError, match="no null direction"):
+        centroid_nullspace_axis(rng.normal(size=(64, 64)))
+    with pytest.raises(ValueError, match="no null direction"):
+        centroid_nullspace_axis(rng.normal(size=(65, 64)))
