@@ -3243,3 +3243,78 @@ def test_rebuild_preserves_int8_cols_variant(spark, tmp_path):
         q = np.asarray(r.qvec, dtype=np.float64) * r.scale
         assert np.max(np.abs(v - q)) <= r.scale / 2 + 1e-9
     assert ann_index_verify(spark, idx)["ok"]
+
+
+def test_rebuild_ivfpq_residual_variant_and_drift_ref_semantics(
+        spark, tmp_path):
+    """The residual=True IVFPQ formulation survives a rebuild: the flag
+    is honored (codebooks retrain on x - centroid[cell] residuals
+    against the NEW coarse centroids, codes re-encode), and the
+    full-config probe still recovers the brute-force top-10 verbatim.
+    drift_reference semantics: a build without a drift reference
+    rebuilds without one (no surprise full-corpus reference pass), and
+    passing drift_reference=True opts the rebuilt manifest in."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.operators import similarity
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_rebuild,
+        ann_index_verify,
+        finite_vectors,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
+        knn_topk,
+        read_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "rebuild_res")
+    ivfpq_build_index(emb, idx, n_cells=4, m=16, ksub=32, dim=64,
+                      drift_reference=False, residual=True)
+
+    stats = ann_index_rebuild(spark, idx)
+    assert stats["epoch"] == 1
+    assert stats["drift_reference_refreshed"] is False  # none to refresh
+    m = read_index_manifest(spark, idx)
+    assert bool(m["residual"]) is True
+    assert "drift" not in dict.keys(m)
+
+    # residual codes really encode against the NEW centroids: decoding
+    # a row's code via the manifest artifacts must approximate the
+    # vector (centroid + codebook lookup), which only holds if encode
+    # and manifest agree on the quantizer
+    C = np.asarray(m["centroids"], dtype=np.float64)
+    books = np.asarray(m["codebooks"], dtype=np.float64)
+    row = spark.read.parquet(idx).select(
+        "cell", "embedding", "pq_code").first()
+    v = np.asarray(row.embedding, dtype=np.float64)
+    dsub = v.size // books.shape[0]
+    rec = C[row.cell].copy()
+    for j, code in enumerate(row.pq_code):
+        rec[j * dsub:(j + 1) * dsub] += books[j, int(code)]
+    res_norm = np.linalg.norm(v - C[row.cell])
+    assert np.linalg.norm(v - rec) < res_norm + 1e-9  # codes help
+
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    got = [tuple(r) for r in ivfpq_probe_indexed(
+        spark, idx, qv, k=10, nprobe=4, shortlist=2000,
+        exclude_id=0).collect()]
+    want = [tuple(r) for r in knn_topk(emb, 0, k=10, dim=64).collect()]
+    assert got == want
+    assert ann_index_verify(spark, idx, deep=True)["ok"]
+
+    # opting the reference IN at rebuild time
+    stats = ann_index_rebuild(spark, idx, drift_reference=True)
+    assert stats["drift_reference_refreshed"] is True
+    m = read_index_manifest(spark, idx)
+    assert "drift" in dict.keys(m)
+    st, flagged = similarity.ivf_drift_check_batch(
+        emb.where(F.col("vec_id") % 10 == 0), idx)
+    assert not flagged  # in-distribution batch fits the fresh reference
