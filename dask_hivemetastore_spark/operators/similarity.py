@@ -1260,26 +1260,54 @@ def write_index_manifest(spark, index_path: str, manifest: dict, *,
     r14 (VERDICT r13 missing #1): every manifest carries an integer
     ``epoch`` (0 at build; bumped by :func:`ann_index_compact`) — the
     generation counter the append/compaction race detection keys on.
+
+    r17 (r16 advisor #1): sidecar files are CONTENT-DIGEST-NAMED
+    (``centroids-<sha12>.parquet``), never overwritten in place. The
+    old fixed-name protocol clobbered the shared sidecar BEFORE the
+    manifest JSON rename committed — a rebuild crashing in that window
+    rolled its layout back (:func:`ann_index_recover`, epoch
+    unchanged) while the restored old manifest's pointer lazily served
+    the NEW quantizer: old cell layout pruned against new centroids,
+    silent wrong answers. Now each payload generation lands at its own
+    digest-keyed path referenced only by the manifest that carries it;
+    the manifest rename stays the single commit point and a pre-commit
+    crash leaves the authoritative pointer resolving to untouched
+    bytes (identical payload → identical digest → an idempotent
+    retry overwrite of identical content, still safe). After a
+    committed swap the previous generation is kept for one write (a
+    lazy reader that loaded the old manifest pre-swap can still
+    resolve it) and older generations are garbage-collected;
+    :func:`ann_index_recover` removes orphaned generations no
+    surviving manifest copy references.
     """
     manifest = {k: v for k, v in manifest.items() if not k.startswith("_")}
     manifest.setdefault("epoch", 0)
     root = index_path.rstrip("/")
+    wrote_sidecar = False
     if manifest.get("centroids") is not None:
-        sidecar_rel = f"{_CENTROID_SIDECAR_DIR}/centroids.parquet"
+        sidecar_rel = (
+            f"{_CENTROID_SIDECAR_DIR}/"
+            f"centroids-{_sidecar_digest(manifest['centroids'])}.parquet"
+        )
         if _write_centroid_sidecar(
             spark, f"{root}/{sidecar_rel}", manifest["centroids"]
         ):
             manifest = dict(manifest)
             del manifest["centroids"]
             manifest["centroids_sidecar"] = sidecar_rel
+            wrote_sidecar = True
     if manifest.get("codebooks") is not None:
-        cb_rel = f"{_CODEBOOK_SIDECAR_DIR}/codebooks.parquet"
+        cb_rel = (
+            f"{_CODEBOOK_SIDECAR_DIR}/"
+            f"codebooks-{_sidecar_digest(manifest['codebooks'])}.parquet"
+        )
         if _write_codebook_sidecar(
             spark, f"{root}/{cb_rel}", manifest["codebooks"]
         ):
             manifest = dict(manifest)
             del manifest["codebooks"]
             manifest["codebooks_sidecar"] = cb_rel
+            wrote_sidecar = True
     payload = json.dumps(manifest, sort_keys=True)
     target = f"{root}/{_MANIFEST_DIR}"
     fs, JPath = _hadoop_fs(spark, target)
@@ -1308,6 +1336,14 @@ def write_index_manifest(spark, index_path: str, manifest: dict, *,
         final = JPath(f"{target}/manifest.json")
         prev = JPath(f"{target}/{_MANIFEST_PREV}")
         tmp = JPath(f"{target}/{_MANIFEST_TMP}")
+        # r17 (r16 advisor #1): snapshot the OUTGOING manifest's sidecar
+        # pointers before the swap — after a committed swap the previous
+        # generation is kept one more write for lazy readers, anything
+        # older is garbage-collected.
+        prev_rels = (
+            _manifest_rels(_fs_read_bytes(spark, f"{target}/manifest.json"))
+            if wrote_sidecar and fs.exists(final) else set()
+        )
         _fs_write_bytes(
             spark, f"{target}/{_MANIFEST_TMP}", payload.encode("utf-8")
         )
@@ -1337,6 +1373,13 @@ def write_index_manifest(spark, index_path: str, manifest: dict, *,
                 "aborted, previous manifest restored"
             )
         fs.delete(prev, False)
+        if wrote_sidecar:
+            # committed: keep this write's generation plus the one the
+            # outgoing manifest referenced; GC everything older
+            _gc_sidecar_generations(
+                spark, fs, JPath, root,
+                keep=_manifest_rels(payload.encode("utf-8")) | prev_rels,
+            )
     else:  # pragma: no cover — Connect/remote runtimes
         (
             spark.createDataFrame([(payload,)], "manifest string")
@@ -1344,6 +1387,52 @@ def write_index_manifest(spark, index_path: str, manifest: dict, *,
             .write.mode("overwrite")
             .text(target)
         )
+
+
+def _sidecar_digest(payload) -> str:
+    """Deterministic 12-hex content digest naming a sidecar generation
+    (r17, r16 advisor #1): sha256 over the canonical float64 bytes plus
+    the shape, so identical payloads reuse their file (idempotent build
+    retries overwrite identical bytes) and ANY change lands at a fresh
+    path the previous manifest does not reference."""
+    import hashlib
+
+    arr = np.ascontiguousarray(np.asarray(payload, dtype=np.float64))
+    h = hashlib.sha256()
+    h.update(repr(arr.shape).encode("ascii"))
+    h.update(arr.tobytes())
+    return h.hexdigest()[:12]
+
+
+def _manifest_rels(raw: bytes | None) -> set:
+    """The sidecar pointer rel-paths a raw manifest JSON references."""
+    try:
+        m = json.loads((raw or b"").decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return set()
+    if not isinstance(m, dict):
+        return set()
+    return {
+        m[ptr] for _, (ptr, _) in _SIDECAR_KEYS.items()
+        if isinstance(m.get(ptr), str)
+    }
+
+
+def _gc_sidecar_generations(spark, fs, JPath, root: str, keep: set) -> int:
+    """Delete sidecar-dir files whose rel path is not in ``keep``
+    (r17, r16 advisor #1 — bounds the digest-named generations).
+    Returns the number of files removed."""
+    removed = 0
+    for d in (_CENTROID_SIDECAR_DIR, _CODEBOOK_SIDECAR_DIR):
+        dpath = JPath(f"{root}/{d}")
+        if not fs.exists(dpath):
+            continue
+        for st in fs.listStatus(dpath):
+            name = st.getPath().getName()
+            if f"{d}/{name}" not in keep:
+                if fs.delete(st.getPath(), False):
+                    removed += 1
+    return removed
 
 
 def _write_centroid_sidecar(spark, path: str, centroids) -> bool:
@@ -4050,11 +4139,14 @@ def ann_index_recover(spark, index_path: str) -> dict:
       FINISHES the crashed pass (r16, r15 advisor #4): redundant
       tombstones and sentinels are deleted, the markers the sentinel
       snapshotted are consumed, and — for a compaction that crashed
-      before its final step — the manifest epoch is bumped. (Legacy
-      r15-format sentinels carry no marker/epoch record; for those the
-      pending markers are left and reported via ``pending_markers`` —
-      they describe folded ``ingest_batch`` dirs until the next
-      compaction consumes them.)
+      before its final step — the manifest epoch is bumped. r17 (r16
+      advisor #2): finishing is gated on the sentinel's EPOCH record,
+      not its marker list, so a compaction whose marker snapshot was
+      empty (no appends since the last fold) still gets its epoch
+      bumped. (Legacy r15-format sentinels carry no marker/epoch
+      record; for those the pending markers are left and reported via
+      ``pending_markers`` — they describe folded ``ingest_batch`` dirs
+      until the next compaction consumes them.)
 
     A CORRUPT staged sentinel (truncated mid-write — ``_fs_write_bytes``
     is not atomic) no longer crashes the recovery tool (r16, r15 advisor
@@ -4075,7 +4167,16 @@ def ann_index_recover(spark, index_path: str) -> dict:
     valid JSON it is renamed INTO PLACE instead of destroyed (r16, r15
     advisor #3 — deleting the last complete manifest copy left the
     index permanently manifest-less); an unparseable only-copy tmp is
-    left on disk and reported (``manifest_tmp_kept``).
+    left on disk and reported (``manifest_tmp_kept``). r17 (r16
+    advisor #3): both heal renames go through :func:`_rename_ok` — the
+    local ChecksumFileSystem and some object-store adapters report
+    rename failure by THROWING, which previously crashed the tool
+    mid-heal; a failed rename now degrades to the reported state
+    (``manifest_tmp_kept`` / prev left for the reader fallback) with
+    nothing deleted. Digest-named sidecar generations no on-disk
+    manifest copy references are removed after any actual heal
+    (``sidecar_orphans_removed`` — r16 advisor #1's rolled-back-rebuild
+    orphan); a no-op call leaves sidecars untouched.
 
     The maintenance lock (``_maint.lock``) is cleared unconditionally —
     recovery presumes no live maintainer, the same assumption its
@@ -4088,7 +4189,7 @@ def ann_index_recover(spark, index_path: str) -> dict:
     ``{"recovered", "staging_removed", "rolled_forward",
     "staged_removed", "manifest_healed", "markers_consumed",
     "epoch_finished", "pending_markers", "manifest_tmp_kept",
-    "lock_cleared"}``.
+    "sidecar_orphans_removed", "lock_cleared"}``.
     """
     root = index_path.rstrip("/")
     fs, JPath = _hadoop_fs(spark, root)
@@ -4121,16 +4222,23 @@ def ann_index_recover(spark, index_path: str) -> dict:
                 parsed = json.loads((data or b"").decode("utf-8"))
             except (ValueError, UnicodeDecodeError):
                 parsed = None
-            if isinstance(parsed, dict) and fs.rename(tmp, final):
+            # r17 (r16 advisor #3): _rename_ok, not a raw rename — the
+            # local ChecksumFileSystem (and some object-store adapters)
+            # report failure by THROWING, which crashed the recovery
+            # tool mid-heal instead of reporting manifest_tmp_kept
+            if isinstance(parsed, dict) and _rename_ok(fs, tmp, final):
                 manifest_healed += 1
             else:
                 manifest_tmp_kept = 1  # unreadable only-copy: report it
     if fs.exists(prev):
         if not fs.exists(final):
-            fs.rename(prev, final)
+            if _rename_ok(fs, prev, final):  # r17: checked (advisor #3)
+                manifest_healed += 1
+            # else: prev stays on disk — the read_index_manifest backup
+            # fallback keeps serving it; nothing was deleted
         else:
             fs.delete(prev, False)
-        manifest_healed += 1
+            manifest_healed += 1
 
     if fs.exists(jroot):
         tombs = [
@@ -4194,29 +4302,33 @@ def ann_index_recover(spark, index_path: str) -> dict:
                 fs.delete(target, True)
             fs.rename(p, target)
             recovered += 1
-        if swapped and sentinel.get("markers"):
+        if swapped and sentinel.get("epoch") is not None:
             # finish the crashed pass (r16, r15 advisor #4): consume the
             # markers it snapshotted; bump the epoch when the crash beat
             # the final step (compact bumps last; rebuild's commit
-            # already wrote the new epoch)
+            # already wrote the new epoch). r17 (r16 advisor #2): gated
+            # on the EPOCH record, not the marker list — a compaction
+            # with an empty marker snapshot (no appends since the last
+            # fold) that crashed after the swapped sentinel still gets
+            # its epoch bumped here; legacy r15-format sentinels carry
+            # neither field and keep the report-only path.
             log_root = f"{root}/{_APPEND_LOG_DIR}"
-            for name in sentinel["markers"]:
+            for name in sentinel.get("markers", []):
                 if fs.delete(JPath(f"{log_root}/{name}"), False):
                     markers_consumed += 1
-            if sentinel.get("epoch") is not None:
-                m = read_index_manifest(spark, root)
-                if m is not None and int(m.get("epoch", 0)) == int(
-                        sentinel["epoch"]):
-                    bumped = {
-                        k: v for k, v in dict.items(m)
-                        if not k.startswith("_")
-                    }
-                    for payload, (pointer, _) in _SIDECAR_KEYS.items():
-                        if bumped.get(pointer):
-                            bumped.pop(payload, None)
-                    bumped["epoch"] = int(sentinel["epoch"]) + 1
-                    write_index_manifest(spark, root, bumped)
-                    epoch_finished = 1
+            m = read_index_manifest(spark, root)
+            if m is not None and int(m.get("epoch", 0)) == int(
+                    sentinel["epoch"]):
+                bumped = {
+                    k: v for k, v in dict.items(m)
+                    if not k.startswith("_")
+                }
+                for payload, (pointer, _) in _SIDECAR_KEYS.items():
+                    if bumped.get(pointer):
+                        bumped.pop(payload, None)
+                bumped["epoch"] = int(sentinel["epoch"]) + 1
+                write_index_manifest(spark, root, bumped)
+                epoch_finished = 1
         for sentinel_name in (_TOMB_STAGED_SENTINEL, _TOMB_SWAPPED_SENTINEL):
             fs.delete(JPath(f"{root}/{sentinel_name}"), False)
     staging_removed = 0
@@ -4226,6 +4338,21 @@ def ann_index_recover(spark, index_path: str) -> dict:
             fs.delete(JPath(stage), True)
             staging_removed += 1
     lock_cleared = int(bool(fs.delete(JPath(f"{root}/{_MAINT_LOCK}"), False)))
+    # r17 (r16 advisor #1): a rolled-back rebuild leaves the generation
+    # it digest-named but never committed — an orphan no surviving
+    # manifest copy references. Remove it (keep every rel any on-disk
+    # manifest copy still points at). Scoped to recoveries that healed
+    # something: a true no-op call must not collect the previous
+    # generation write_index_manifest deliberately keeps for lazy
+    # readers.
+    sidecar_orphans_removed = 0
+    if recovered or rolled_forward or staged_removed or manifest_healed:
+        keep = set()
+        for name in ("manifest.json", _MANIFEST_PREV, _MANIFEST_TMP):
+            keep |= _manifest_rels(_fs_read_bytes(spark, f"{mdir}/{name}"))
+        sidecar_orphans_removed = _gc_sidecar_generations(
+            spark, fs, JPath, root, keep=keep
+        )
     return {"recovered": recovered, "staging_removed": staging_removed,
             "rolled_forward": rolled_forward,
             "staged_removed": staged_removed,
@@ -4234,6 +4361,7 @@ def ann_index_recover(spark, index_path: str) -> dict:
             "epoch_finished": epoch_finished,
             "pending_markers": len(_list_append_markers(spark, root)),
             "manifest_tmp_kept": manifest_tmp_kept,
+            "sidecar_orphans_removed": sidecar_orphans_removed,
             "lock_cleared": lock_cleared}
 
 

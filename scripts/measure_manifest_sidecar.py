@@ -115,8 +115,11 @@ def main() -> int:
         out["sidecar_manifest_bytes"] = os.path.getsize(
             f"{sidecar}/_index_manifest/manifest.json"
         )
+        # r17: sidecar generations are digest-named — resolve via the
+        # manifest pointer instead of a fixed filename
+        _raw = json.load(open(f"{sidecar}/_index_manifest/manifest.json"))
         out["sidecar_parquet_bytes"] = os.path.getsize(
-            f"{sidecar}/_index_manifest_centroids/centroids.parquet"
+            f"{sidecar}/{_raw['centroids_sidecar']}"
         )
         out["sidecar_config_read_s"] = round(_best(
             args.reps, lambda: read_index_manifest(spark, sidecar)["dim"]

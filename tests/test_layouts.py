@@ -1078,7 +1078,13 @@ def test_manifest_centroids_live_in_parquet_sidecar(spark, tmp_path):
 
     raw = _json.loads(open(f"{idx}/_index_manifest/manifest.json").read())
     assert "centroids" not in raw
-    assert raw["centroids_sidecar"].endswith("centroids.parquet")
+    # r17: generations are content-digest-named (never overwritten in
+    # place — the commit-ordering fix for the r16 advisor's rollback bug)
+    import re as _re
+    assert _re.fullmatch(
+        r"_index_manifest_centroids/centroids-[0-9a-f]{12}\.parquet",
+        raw["centroids_sidecar"],
+    )
     assert raw["epoch"] == 0
     assert os.path.getsize(
         f"{idx}/{raw['centroids_sidecar']}"
@@ -3318,3 +3324,269 @@ def test_rebuild_ivfpq_residual_variant_and_drift_ref_semantics(
     st, flagged = similarity.ivf_drift_check_batch(
         emb.where(F.col("vec_id") % 10 == 0), idx)
     assert not flagged  # in-distribution batch fits the fresh reference
+
+
+def test_rebuild_sidecar_crash_before_commit_keeps_old_quantizer(
+        spark, tmp_path, monkeypatch):
+    """r17 (r16 advisor #1): the rebuild commit's sidecar writes must
+    not clobber the generation the OLD manifest references. Crash the
+    commit's write_index_manifest between the new-generation sidecar
+    write and the manifest JSON rename: recover rolls the layout back
+    (epoch unchanged) and the restored manifest must lazily serve the
+    OLD centroids — the fixed-name protocol served the NEW quantizer
+    against the old cell layout here, silent wrong answers. Also pins
+    the orphaned uncommitted generation being collected by recover."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_hivemetastore_spark.operators import similarity
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_rebuild,
+        ann_index_recover,
+        ann_index_verify,
+        finite_vectors,
+        ivf_append,
+        ivf_build_index,
+        ivf_probe_indexed,
+        read_index_manifest,
+        shift_vectors,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "rebuild_sidecar_crash")
+    ivf_build_index(emb, idx, n_cells=16, dim=64, drift_reference=False)
+    C0 = np.asarray(read_index_manifest(spark, idx)["centroids"],
+                    dtype=np.float64)
+    shifted = shift_vectors(
+        emb.where(F.col("vec_id") % 10 == 0), alpha=2.0, dim=64
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    ivf_append(shifted, idx)
+    qv = np.asarray(
+        finite_vectors(emb, "embedding", 64)
+        .where(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+
+    def probe():
+        # nprobe < n_cells so centroid-ranked pruning actually decides
+        # the answer — probing every cell would mask a swapped quantizer
+        return [(r.vec_id, r.cosine) for r in ivf_probe_indexed(
+            spark, idx, None, qv, k=10, nprobe=4, exclude_id=0).collect()]
+
+    want = probe()
+    sc_dir = f"{idx}/{similarity._CENTROID_SIDECAR_DIR}"
+
+    def gens():  # visible generations (the local FS adds .crc siblings)
+        return sorted(n for n in os.listdir(sc_dir)
+                      if not n.startswith("."))
+
+    assert len(gens()) == 1
+
+    real_wb = similarity._fs_write_bytes
+
+    def crash_on_manifest_tmp(spark_, path, data):
+        if path.endswith(similarity._MANIFEST_TMP):
+            raise RuntimeError("crash between sidecar write and commit")
+        return real_wb(spark_, path, data)
+
+    monkeypatch.setattr(similarity, "_fs_write_bytes",
+                        crash_on_manifest_tmp)
+    with pytest.raises(RuntimeError, match="between sidecar write"):
+        ann_index_rebuild(spark, idx)
+    monkeypatch.setattr(similarity, "_fs_write_bytes", real_wb)
+
+    # the uncommitted generation landed at its own digest path — the
+    # authoritative pointer's bytes are untouched
+    assert len(gens()) == 2
+
+    stats = ann_index_recover(spark, idx)
+    assert stats["recovered"] > 0 and stats["staged_removed"] > 0
+    assert stats["sidecar_orphans_removed"] >= 1
+    m = read_index_manifest(spark, idx)
+    assert int(m.get("epoch", 0)) == 0  # rolled back
+    C_after = np.asarray(m["centroids"], dtype=np.float64)
+    assert np.allclose(C_after, C0)  # OLD quantizer authoritative
+    assert probe() == want  # exact pre-crash results
+    assert len(gens()) == 1  # orphan collected
+    assert ann_index_verify(spark, idx)["ok"]
+
+    # and the real rebuild still commits cleanly afterwards
+    stats = ann_index_rebuild(spark, idx)
+    assert stats["epoch"] == 1
+    m = read_index_manifest(spark, idx)
+    C1 = np.asarray(m["centroids"], dtype=np.float64)
+    assert not np.allclose(C1, C0)  # retrained on the shifted corpus
+    assert len(probe()) == 10
+    assert ann_index_verify(spark, idx, deep=True)["ok"]
+
+
+def test_manifest_sidecar_generation_gc_bounds_files(spark, tmp_path):
+    """r17: digest-named sidecar generations are bounded — each
+    payload-carrying write keeps its own generation plus the outgoing
+    manifest's (lazy readers), GC-ing older ones; pointer-only writes
+    (compact's epoch bump) leave the sidecar dir untouched."""
+    import os
+
+    import numpy as np
+
+    from dask_hivemetastore_spark.operators import similarity
+    from dask_hivemetastore_spark.operators.similarity import (
+        read_index_manifest,
+        write_index_manifest,
+    )
+
+    idx = str(tmp_path / "gen_gc")
+    sc_dir = f"{idx}/{similarity._CENTROID_SIDECAR_DIR}"
+    base = {"kind": "ivf", "dim": 4, "n_cells": 2}
+    C = [np.full((2, 4), float(i)).tolist() for i in (1, 2, 3)]
+
+    def gens():  # visible generations (the local FS adds .crc siblings)
+        return sorted(n for n in os.listdir(sc_dir)
+                      if not n.startswith("."))
+
+    write_index_manifest(spark, idx, dict(base, centroids=C[0]))
+    assert len(gens()) == 1
+    write_index_manifest(spark, idx, dict(base, centroids=C[1]))
+    assert len(gens()) == 2  # current + previous survive
+    write_index_manifest(spark, idx, dict(base, centroids=C[2]))
+    names = gens()
+    assert len(names) == 2  # generation 1 collected
+    m = read_index_manifest(spark, idx)
+    ptr = dict.get(m, "centroids_sidecar")
+    assert ptr.split("/")[-1] in names
+    assert np.allclose(np.asarray(m["centroids"]), np.asarray(C[2]))
+
+    # identical payload → identical digest → idempotent retry, no churn
+    write_index_manifest(spark, idx, dict(base, centroids=C[2]))
+    assert dict.get(read_index_manifest(spark, idx),
+                    "centroids_sidecar") == ptr
+
+    # pointer-only rewrite (the compact epoch-bump shape): no GC pass
+    bumped = {k: v for k, v in dict.items(read_index_manifest(spark, idx))}
+    bumped.pop("centroids", None)
+    bumped["epoch"] = 1
+    before = gens()
+    write_index_manifest(spark, idx, bumped)
+    assert gens() == before
+    m = read_index_manifest(spark, idx)
+    assert int(m["epoch"]) == 1
+    assert np.allclose(np.asarray(m["centroids"]), np.asarray(C[2]))
+
+
+def test_rollforward_empty_marker_snapshot_bumps_epoch(
+        spark, tmp_path, monkeypatch):
+    """r17 (r16 advisor #2): a compaction with an EMPTY marker snapshot
+    (no appends since the last fold) that crashes after the swapped
+    sentinel must still get its epoch bumped by recover — the finishing
+    block is gated on the sentinel's epoch record, not its marker
+    list."""
+    from dask_hivemetastore_spark.operators import similarity
+    from dask_hivemetastore_spark.catalog import load_table
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_compact,
+        ann_index_recover,
+        ann_index_verify,
+        ivf_build_index,
+        read_index_manifest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "empty_marker_rollforward")
+    ivf_build_index(emb, idx, n_cells=8, dim=64, drift_reference=False)
+    assert int(read_index_manifest(spark, idx).get("epoch", 0)) == 0
+
+    real_wb = similarity._fs_write_bytes
+
+    def crash_after_swapped(spark_, path, data):
+        out = real_wb(spark_, path, data)
+        if path.endswith(similarity._TOMB_SWAPPED_SENTINEL):
+            raise RuntimeError("compact crash after swapped sentinel")
+        return out
+
+    monkeypatch.setattr(similarity, "_fs_write_bytes", crash_after_swapped)
+    with pytest.raises(RuntimeError, match="after swapped sentinel"):
+        ann_index_compact(spark, idx)
+    monkeypatch.setattr(similarity, "_fs_write_bytes", real_wb)
+
+    stats = ann_index_recover(spark, idx)
+    assert stats["rolled_forward"] > 0 and stats["recovered"] == 0
+    assert stats["markers_consumed"] == 0  # snapshot was empty
+    assert stats["epoch_finished"] == 1  # ← the advisor's gap
+    assert int(read_index_manifest(spark, idx)["epoch"]) == 1
+    assert ann_index_verify(spark, idx)["ok"]
+
+
+def test_recover_manifest_heal_survives_raising_rename(spark, tmp_path):
+    """r17 (r16 advisor #3): the local ChecksumFileSystem (and some
+    object-store adapters) report rename failure by THROWING. A
+    tmp-only-copy heal whose rename throws must degrade to the
+    reported manifest_tmp_kept state — and a prev-restore whose rename
+    throws must leave the backup on disk for the reader fallback —
+    never crash ann_index_recover mid-heal."""
+    import json as _json
+    import os
+
+    from dask_hivemetastore_spark.operators import similarity
+    from dask_hivemetastore_spark.operators.similarity import (
+        ann_index_recover,
+        read_index_manifest,
+    )
+
+    class _RaisingRenameFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, *a):  # ChecksumFileSystem convention
+            raise RuntimeError("java.io.IOException: rename failed")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real_fs = similarity._hadoop_fs
+
+    def raising_fs(spark_, path):
+        fs, JPath = real_fs(spark_, path)
+        return (_RaisingRenameFS(fs) if fs is not None else None), JPath
+
+    # --- tmp is the ONLY copy and parses: heal rename throws → kept
+    idx = str(tmp_path / "heal_tmp_only")
+    mdir = f"{idx}/{similarity._MANIFEST_DIR}"
+    os.makedirs(mdir)
+    payload = _json.dumps({"kind": "ivf", "dim": 4, "epoch": 0})
+    with open(f"{mdir}/{similarity._MANIFEST_TMP}", "w") as f:
+        f.write(payload)
+    try:
+        similarity._hadoop_fs = raising_fs
+        stats = ann_index_recover(spark, idx)  # must not raise
+    finally:
+        similarity._hadoop_fs = real_fs
+    assert stats["manifest_tmp_kept"] == 1
+    assert os.path.exists(f"{mdir}/{similarity._MANIFEST_TMP}")
+    # a later recover on a healthy FS rolls it forward
+    stats = ann_index_recover(spark, idx)
+    assert stats["manifest_healed"] == 1 and stats["manifest_tmp_kept"] == 0
+    assert read_index_manifest(spark, idx)["kind"] == "ivf"
+
+    # --- stranded prev, missing final: restore rename throws → kept
+    idx2 = str(tmp_path / "heal_prev_only")
+    mdir2 = f"{idx2}/{similarity._MANIFEST_DIR}"
+    os.makedirs(mdir2)
+    with open(f"{mdir2}/{similarity._MANIFEST_PREV}", "w") as f:
+        f.write(payload)
+    try:
+        similarity._hadoop_fs = raising_fs
+        stats = ann_index_recover(spark, idx2)  # must not raise
+    finally:
+        similarity._hadoop_fs = real_fs
+    assert stats["manifest_healed"] == 0
+    assert os.path.exists(f"{mdir2}/{similarity._MANIFEST_PREV}")
+    # the reader fallback still serves the backup meanwhile
+    assert read_index_manifest(spark, idx2)["kind"] == "ivf"
+    stats = ann_index_recover(spark, idx2)
+    assert stats["manifest_healed"] == 1
+    assert os.path.exists(f"{mdir2}/manifest.json")
