@@ -20,6 +20,12 @@ measured with) and emitted alongside. ratio_paired is numerator and
 denominator under IDENTICAL box state; the committed BASELINE.md
 ratios remain for cross-round comparison. SPARK_GRAFT_BENCH_PAIRED=0
 skips the pairing for fast iteration.
+
+r17 (VERDICT r16 next #2): the paired subprocess runs TWICE and each
+cell's denominator is the MAX of the two session bests — a single
+session's best-of-N can only err LOW, and that one-sided error is
+what printed r16's phantom >2x-paired cells on flat numerators. Both
+sessions' raw bests ship in baseline_paired_sessions.
 """
 
 from __future__ import annotations
@@ -124,6 +130,18 @@ def main() -> None:
     # per-cell ratio against THAT. The 2.0x triggers read ratio_paired;
     # the committed ratios stay comparable across rounds. Disable for
     # fast iteration with SPARK_GRAFT_BENCH_PAIRED=0.
+    # r17 (VERDICT r16 missing #2 / next #2): the paired DENOMINATOR was
+    # itself a single best-of-N draw from one subprocess session — on
+    # sub-0.3 s cells its round-to-round spread (0.150-0.269 s measured
+    # across five r16 controls) could print a >2x-paired cell with a
+    # flat numerator, making the artifact contradict its own gate.
+    # Stabilization (PERF.md r16's named remedy): run the paired
+    # subprocess TWICE (independent JVMs) and take the per-cell MAX of
+    # the two bests. A best-of-N minimum only errs LOW (scheduling
+    # noise inflates draws, never deflates them), so max-of-two-bests
+    # strips exactly the one-session-drew-unluckily-fast failure mode
+    # that produced r16's phantom 2.23x knn cell; a real engine
+    # regression moves the NUMERATOR and is unaffected.
     if os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0":
         import subprocess
 
@@ -132,15 +150,28 @@ def main() -> None:
             "scripts", "remeasure_baseline_cells.py",
         )
         try:
-            proc = subprocess.run(
-                [sys.executable, script, "--sf-dir", sf_dir, "--all-cells"],
-                capture_output=True, text=True, timeout=900, check=True,
-            )
-            paired_raw = json.loads(proc.stdout.strip().splitlines()[-1])
-            paired = {cell: v["best"] for cell, v in paired_raw.items()}
+            sessions = []
+            for _ in range(2):
+                proc = subprocess.run(
+                    [sys.executable, script,
+                     "--sf-dir", sf_dir, "--all-cells"],
+                    capture_output=True, text=True, timeout=900, check=True,
+                )
+                sessions.append(
+                    json.loads(proc.stdout.strip().splitlines()[-1]))
+            paired = {
+                cell: max(s[cell]["best"] for s in sessions)
+                for cell in sessions[0]
+            }
             out["baseline_paired"] = paired
+            out["baseline_paired_sessions"] = [
+                {cell: v["best"] for cell, v in s.items()}
+                for s in sessions
+            ]
             out["baseline_paired_draws"] = {
-                cell: v["draws"] for cell, v in paired_raw.items()}
+                cell: [s[cell]["draws"] for s in sessions]
+                for cell in sessions[0]
+            }
             out["load1_after_paired"] = round(os.getloadavg()[0], 2)
             out["ratio_paired"] = {
                 cell: round(results[cell] / paired[cell], 3)

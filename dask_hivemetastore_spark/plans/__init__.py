@@ -219,13 +219,40 @@ from .. import streaming  # noqa: F401,E402
 # token_count_docs, union_mismatched_schemas, weighted_sample_docs,
 # window_price_band, xml_parse_orders, zorder_layout_roundtrip
 # (13 keys — r17's block, fits one window with room for r12 drift).
+# Round 17 (this window): block 1 = the 13 keys whose ENGINE changed
+# this round — every key that builds/appends/compacts/rebuilds/probes
+# a MATERIALIZED ANN index traverses the r17 crash-safety work (all
+# three r16 advisor findings): write_index_manifest's sidecar
+# generations became CONTENT-DIGEST-NAMED with two-generation GC (the
+# fixed-name sidecar was clobbered BEFORE the manifest rename
+# committed — a rebuild crashing in that window rolled back to an old
+# manifest lazily serving the NEW quantizer, silent wrong answers);
+# ann_index_recover's roll-forward finishing is gated on the
+# sentinel's epoch record (an empty marker snapshot no longer skips
+# the epoch bump), its manifest-heal renames are exception-normalized
+# (_rename_ok — ChecksumFileSystem/object-store renames THROW), and
+# it collects rolled-back orphan sidecar generations:
+# knn_ivf_rebuild_probe, knn_ivfpq_topk, knn_ivfpq_join,
+# stream_ivfpq_ingest, knn_lsh_join, knn_ivf_join,
+# knn_ivf_compact_probe, knn_lsh_compact_probe, stream_ivf_ingest,
+# stream_lsh_ingest, knn_lsh_indexed, ivf_drift_check,
+# knn_ivf_append_probe; block 2 = the 13 displaced r11-vintage keys
+# VERDICT r16 next #1 named (the freshness tail — after r17 no driver
+# row predates r12); block 3 = the 24 alphabetically-first r12-vintage
+# drift keys (47 exist, recomputed by script from the r1–r16 union).
+# The 23 r12 stragglers for r18: q14_promo_revenue, q15_top_supplier,
+# q17_small_quantity, q18_large_orders, q19_disjunctive,
+# q1_pricing_summary, q22_global_sales_opportunity, q3_top_orders,
+# q4_order_priority, q5_local_supplier, q6_revenue_delta,
+# q7_volume_shipping, rollup_nation_region, scan_project_filter,
+# semi_join_customers, split_leakage_audit, stream_dedup_near_docs,
+# stream_sessionize, string_funcs_docs, training_corpus_pipeline,
+# union_all_events_split, union_distinct, value_counts_events.
 _CERTIFICATION_PRIORITY = [
-    # --- r16 block 1: new + graduated keys (policy #2). ---
+    # --- r17 block 1: the 13 engine-changed ANN keys (digest-named
+    # --- sidecar generations + recover epoch-gate + checked heal
+    # --- renames — see the r17 history note above). ---
     "knn_ivf_rebuild_probe",
-    "dedup_simhash",
-    # --- r16 block 2: the 12 engine-changed ANN keys (maintenance
-    # --- lock + checked manifest renames + root-anchored INT8 store +
-    # --- null-space drift axis — see the r16 history note above). ---
     "knn_ivfpq_topk",
     "knn_ivfpq_join",
     "stream_ivfpq_ingest",
@@ -238,45 +265,47 @@ _CERTIFICATION_PRIORITY = [
     "knn_lsh_indexed",
     "ivf_drift_check",
     "knn_ivf_append_probe",
-    # --- r16 block 3: the two r10 stragglers (VERDICT r15 next #1). ---
-    "udtf_polymorphic_firstwords",
-    "window_rank_kinds",
-    # --- r16 block 4: the 34 alphabetically-first r11-vintage drift
-    # --- keys (the remaining 13 are r17's declared block). ---
-    "agg_collect",
-    "agg_var_std",
-    "anti_join_customers",
-    "approx_distinct_users",
-    "bucketed_join_agg",
-    "case_when_bucketing",
-    "cms_heavy_hitters",
-    "cross_join_region_status",
-    "cube_segment_status",
-    "dedup_incremental_batch",
-    "dedup_near",
-    "dedup_near_minhash",
-    "dedup_near_survivors",
-    "distinct_users",
-    "embedding_group_centroid",
-    "except_returned_items",
-    "hll_sketch_merge",
-    "knn_pq_topk",
-    "mad_robust_outliers",
-    "ngram_freq_top",
-    "null_safe_join",
-    "posexplode_words",
-    "price_histogram",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q16_supplier_count",
-    "q20_volume_suppliers",
-    "quality_score_docs",
-    "quantile_approx_value",
-    "range_join_longtail_points",
-    "regression_price_qty",
-    "repetition_score_docs",
-    "rollup_grouping_id",
-    "row_ids_unique",
+    # --- r17 block 2: the 13 displaced r11-vintage keys (VERDICT r16
+    # --- next #1 — the freshness tail). ---
+    "sample_fraction",
+    "sample_k_per_group",
+    "sample_stratified",
+    "sorted_layout_roundtrip",
+    "statestore_event_counts",
+    "tfidf_top_terms",
+    "timestamp_parse_roundtrip",
+    "token_count_docs",
+    "union_mismatched_schemas",
+    "weighted_sample_docs",
+    "window_price_band",
+    "xml_parse_orders",
+    "zorder_layout_roundtrip",
+    # --- r17 block 3: the 24 alphabetically-first r12-vintage drift
+    # --- keys (the remaining 23 are r18's declared block). ---
+    "array_funcs_embeddings",
+    "asof_join_events",
+    "asof_join_tolerance",
+    "collated_distinct_words",
+    "corpus_rebalance_sources",
+    "corpus_rebalance_temperature",
+    "date_arithmetic",
+    "decimal_money_agg",
+    "dedup_exact",
+    "doc_chunk_windows",
+    "events_sessionize",
+    "events_sliding",
+    "events_tumbling_1h",
+    "filter_in_list",
+    "full_outer_nation_presence",
+    "intersect_nations",
+    "interval_overlap_pairs",
+    "join_indicator",
+    "join_orders_customer",
+    "json_extract_props",
+    "knn_lsh_topk",
+    "left_join_customer_orders",
+    "null_handling",
+    "q10_returned_items",
 ]
 
 # The r5 window (see git history of this file) was fully certified in
