@@ -1,12 +1,20 @@
 #!/usr/bin/env python
-"""ann_index_rebuild at 100x corpus scale (r16, VERDICT r15 next #2).
+"""ann_index_rebuild at 100x corpus scale (r16, VERDICT r15 next #2;
+r17 adds the residual-IVFPQ family, VERDICT r16 missing #3).
 
 The sf0.1 embeddings (2 000 x 64-dim) replicate 100x to 200 000
-vectors, built into a self-describing IVF index (manifest + 3-sigma
+vectors, built into a self-describing index (manifest + 3-sigma
 drift reference). A drifted batch — a 10% slice shifted onto the
 CENTROID NULL-SPACE axis (guaranteed unowned by the trained quantizer
 at any scale, ``centroid_nullspace_axis``) — is appended, then the
 index is rebuilt path-only.
+
+``--family ivf`` (default) stresses the IVF layout; ``--family
+ivfpq_residual`` stresses the FAISS-formulation IVFPQ layout
+(``residual=True``) — the costliest rebuild of the three families: it
+retrains the coarse centroids AND the residual codebooks, then
+re-encodes every row's PQ code against the new quantizer in the
+rewrite. This is the variant a 100 TB operator actually schedules.
 
 Measured claims, invariants wired into the exit code:
 
@@ -17,19 +25,23 @@ Measured claims, invariants wired into the exit code:
 - rebuild cost decomposes honestly: the retrain is bounded-sample
   (KMeans on <=100k rows regardless of corpus size) and the rewrite is
   the one full corpus pass + clustered write the original build paid —
-  the unavoidable price of invalidated cell assignments, reported as
-  wall seconds;
-- the rebuilt layout is exact: content equals a fresh full-union
+  the unavoidable price of invalidated cell assignments (for IVFPQ,
+  plus the per-row re-encode), reported as wall seconds;
+- the rebuilt layout is exact: cell content equals a fresh full-union
   assignment against the new manifest's centroids (exceptAll both
   ways), batch dirs folded, markers consumed, ann_index_verify clean;
-- the pruned probe (nprobe=8/16) over the rebuilt index meets the
-  recall floor (>= 6/10 of the exact union top-10);
+- the probe over the rebuilt index is EXACT at full fan-out (IVF
+  nprobe=16 identity row-for-row; IVFPQ nprobe=16 + wide shortlist
+  equals brute-force top-10 verbatim — ADC prunes, never decides) and
+  meets the recall floor pruned (nprobe=8 >= 6/10 of the exact
+  union top-10);
 - a rebuild CRASHED at the worst pre-commit point (post-swap marker
   re-list) recovers losslessly in metadata-proportional time: the
   probe answers row-for-row as before the crash, and the re-run
   rebuild completes.
 
 Usage: python scripts/stress_rebuild.py [--reps 100] [--batches 10]
+       [--family ivf|ivfpq_residual]
 """
 
 from __future__ import annotations
@@ -46,6 +58,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=100)
     ap.add_argument("--batches", type=int, default=10)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--family", default="ivf",
+                    choices=("ivf", "ivfpq_residual"))
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -65,6 +79,9 @@ def main() -> None:
         ivf_build_index,
         ivf_drift_check_batch,
         ivf_probe_indexed,
+        ivfpq_append,
+        ivfpq_build_index,
+        ivfpq_probe_indexed,
         knn_topk,
         read_index_manifest,
         shift_vectors,
@@ -93,17 +110,21 @@ def main() -> None:
             "label",
         )
     )
-    base = tempfile.mkdtemp(prefix="rebuild_scale_")
+    base = tempfile.mkdtemp(prefix=f"rebuild_scale_{args.family}_")
     flat_path = f"{base}/flat"
     big.write.mode("overwrite").parquet(flat_path)
     flat = spark.read.parquet(flat_path)
     n = flat.count()
-    results: dict = {"n_vectors": n}
+    results: dict = {"family": args.family, "n_vectors": n}
     ok = True
 
-    idx = f"{base}/ivf"
+    idx = f"{base}/{args.family}"
     t0 = time.time()
-    ivf_build_index(flat, idx, n_cells=16, cache_key=flat_path, dim=dim)
+    if args.family == "ivf":
+        ivf_build_index(flat, idx, n_cells=16, cache_key=flat_path, dim=dim)
+    else:
+        ivfpq_build_index(flat, idx, n_cells=16, m=16, ksub=32,
+                          cache_key=flat_path, dim=dim, residual=True)
     results["build_sec"] = round(time.time() - t0, 2)
 
     C_old = np.asarray(
@@ -130,7 +151,10 @@ def main() -> None:
     results["drift_batch_mean_before"] = round(st[0], 4)
     ok &= bool(flagged)
 
-    ivf_append(shifted, idx)
+    if args.family == "ivf":
+        ivf_append(shifted, idx)
+    else:
+        ivfpq_append(shifted, idx)
     union_path = f"{base}/union"
     flat.unionByName(shifted).write.mode("overwrite").parquet(union_path)
     union = spark.read.parquet(union_path)
@@ -142,9 +166,17 @@ def main() -> None:
     )
 
     def probe(nprobe=8):
-        return [tuple(r) for r in ivf_probe_indexed(
-            spark, idx, None, qv, k=10, nprobe=nprobe,
-            exclude_id=0).collect()]
+        if args.family == "ivf":
+            rows = ivf_probe_indexed(
+                spark, idx, None, qv, k=10, nprobe=nprobe,
+                exclude_id=0).collect()
+        else:
+            # wide shortlist at full fan-out makes the rescore exact
+            rows = ivfpq_probe_indexed(
+                spark, idx, qv, k=10, nprobe=nprobe,
+                shortlist=4000 if nprobe < 16 else 50_000,
+                exclude_id=0).collect()
+        return [tuple(r) for r in rows]
 
     want_pre = probe(nprobe=16)
 
@@ -195,9 +227,8 @@ def main() -> None:
     results["drift_batch_mean_after"] = round(st2[0], 4)
     ok &= not flagged2
 
-    C_new = np.asarray(
-        read_index_manifest(spark, idx)["centroids"], dtype=np.float64
-    )
+    m_new = read_index_manifest(spark, idx)
+    C_new = np.asarray(m_new["centroids"], dtype=np.float64)
     got_rows = spark.read.parquet(idx).select("cell", "vec_id")
     want_rows = ivf_assign_full(union, C_new, "embedding", dim=dim).select(
         "cell", "vec_id")
@@ -208,8 +239,20 @@ def main() -> None:
     results["rebuild_identity_ok"] = identity
     ok &= identity
     ok &= not similarity._list_append_markers(spark, idx)
+    if args.family == "ivfpq_residual":
+        ok &= bool(m_new["residual"])  # the formulation survived
 
-    exact_union = {r[0] for r in knn_topk(union, 0, k=10, dim=dim).collect()}
+    exact = knn_topk(union, 0, k=10, dim=dim).collect()
+    exact_union = {r[0] for r in exact}
+    if args.family == "ivfpq_residual":
+        # full fan-out + wide shortlist: the exact-rescore contract
+        # means the probe must recover brute-force verbatim — and the
+        # rescore only finds the right rows if every re-encoded code
+        # (new codebooks, new residual origin) screens them in
+        full = probe(nprobe=16)
+        results["probe_exact_after_rebuild"] = (
+            [r[0] for r in full] == [r[0] for r in exact])
+        ok &= results["probe_exact_after_rebuild"]
     probed = {r[0] for r in probe(nprobe=8)}
     results["recall_at_10_nprobe8"] = round(
         len(probed & exact_union) / 10, 2)
