@@ -20,6 +20,7 @@ return a lazy DataFrame. Two layers:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +33,30 @@ TABLE_NAMES = [
 ]
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Per-SESSION memo of load_table's lazy DataFrames (r17 optimization round,
+# guide §5/§7.3 — "the driver should do almost no data work").
+#
+# Every `spark.read.parquet(path)` call pays driver-side work BEFORE any
+# job runs: file listing, footer schema inference, and a fresh
+# InMemoryFileIndex — none of it cached across calls for bare-path reads
+# (Spark's FileStatusCache keys catalog tables, not paths). Each registered
+# query calls load_table per referenced table per invocation, so a 6-table
+# join (q5) re-lists and re-infers 6 schemas on EVERY bench draw, while the
+# BASELINE.md protocol builds its sources once per session and re-times only
+# the action (scripts/remeasure_baseline_cells.py). Memoizing the lazy
+# DataFrame per (session, sf_dir, table) removes that asymmetric driver tax.
+# This is plan/schema reuse, NOT result caching: no rows are materialized,
+# no `.cache()` is involved, and every action still computes from the
+# parquet input. Keyed weakly by session so a new session (the driver
+# builds its own) never sees another session's plans; keyed by sf_dir so
+# distinct fixtures never collide. Testdata dirs are immutable within a
+# process (driver contract), which is what makes the memo sound; hostile /
+# scratch fixtures get unique paths per build. SPARK_GRAFT_TABLE_MEMO=0
+# disables it (A/B harness + any future mutable-dir caller).
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def events_ts_is_long(df: DataFrame) -> bool:
@@ -64,6 +89,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exact because the session pins ``timeZone=UTC``.
     """
     ensure_runtime_confs(spark)
+    memo = None
+    if os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0":
+        memo = _TABLE_MEMO.setdefault(spark, {})
+        cached = memo.get((sf_dir, name))
+        if cached is not None:
+            return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         if events_ts_is_long(df):
@@ -73,6 +104,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         else:
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    if memo is not None:
+        memo[(sf_dir, name)] = df
     return df
 
 

@@ -22,7 +22,7 @@ EMB_DIM = 64
 #: source of truth next to finite_vectors itself.
 _ELIG = similarity.ORACLE_FINITE.format(v="embedding", d=EMB_DIM)
 
-from .registry import query, scratch_dir, verify_enabled
+from .registry import audit_persist, query, scratch_dir, verify_enabled
 
 # ---------------------------------------------------------------- K1: exact
 
@@ -186,8 +186,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects here are bounded pair sets (hundreds at the driver sfs;
     the simhash side is band-bounded, never all-pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                      threshold=0.9)
+    # collected for the recall audit AND materialized again by the
+    # consumer: persist so the AllPairs pipeline computes once (r17
+    # optimization; plan audits walk the InMemoryRelation build plan)
+    exact = audit_persist(dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9))
     exact_pairs = {(r.doc_a, r.doc_b) for r in exact.collect()}
     sim_pairs = {
         (r.doc_a, r.doc_b)
@@ -356,7 +359,10 @@ def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, query_id=0, k=10, bits=8, dim=EMB_DIM, n_tables=16
         ).collect()
     }
-    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    # collected for the audit AND materialized again by the consumer:
+    # persist so the exact arm computes once (r17 optimization; plan
+    # audits still reach the cache's build plan via InMemoryRelation)
+    exact = audit_persist(similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM))
     exact_ids = {r.vec_id for r in exact.collect()}
     floor_met = int(len(lsh_ids & exact_ids) >= 5)
     return exact.withColumn("lsh_recall_floor_met", F.lit(floor_met))
@@ -414,7 +420,10 @@ def knn_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, idx, query_id=0, dim=EMB_DIM, bits=8, n_tables=16, k=10
         ).collect()
     }
-    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    # collected for the audit AND materialized again by the consumer:
+    # persist so the exact arm computes once (r17 optimization; plan
+    # audits still reach the cache's build plan via InMemoryRelation)
+    exact = audit_persist(similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM))
     exact_ids = {r.vec_id for r in exact.collect()}
     floor_met = int(len(lsh_ids & exact_ids) >= 5)
     return exact.withColumn("lsh_recall_floor_met", F.lit(floor_met))
@@ -483,7 +492,10 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, idx, qv, k=10, nprobe=8, shortlist=50, exclude_id=0
         ).collect()  # bounded: k rows
     }
-    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    # collected for the audit AND materialized again by the consumer:
+    # persist so the exact arm computes once (r17 optimization; plan
+    # audits still reach the cache's build plan via InMemoryRelation)
+    exact = audit_persist(similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM))
     exact_ids = {r.vec_id for r in exact.collect()}  # bounded: k rows
     floor_met = int(len(got & exact_ids) >= 5)
     return exact.withColumn("ivfpq_recall_floor_met", F.lit(floor_met))
@@ -540,7 +552,8 @@ def knn_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, idx, qids, k=5
     ).collect():  # bounded: <= Q*k rows
         got.setdefault(r.q_id, set()).add(r.vec_id)
-    exact = similarity.knn_join(emb, qids, k=5, dim=EMB_DIM)
+    # same persist-the-audited-arm pattern as knn_lsh_topk (r17)
+    exact = audit_persist(similarity.knn_join(emb, qids, k=5, dim=EMB_DIM))
     ex_rows = exact.collect()  # bounded: Q*k rows
     ex: dict[int, set] = {}
     for r in ex_rows:
@@ -607,7 +620,8 @@ def knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, idx, qids, k=5, nprobe=8, dim=EMB_DIM
     ).collect():  # bounded: <= Q*k rows
         got.setdefault(r.q_id, set()).add(r.vec_id)
-    exact = similarity.knn_join(emb, qids, k=5, dim=EMB_DIM)
+    # same persist-the-audited-arm pattern as knn_lsh_topk (r17)
+    exact = audit_persist(similarity.knn_join(emb, qids, k=5, dim=EMB_DIM))
     ex_rows = exact.collect()  # bounded: Q*k rows
     ex: dict[int, set] = {}
     for r in ex_rows:
@@ -671,7 +685,8 @@ def knn_ivfpq_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, idx, qids, k=5, nprobe=8, shortlist=40
     ).collect():  # bounded: <= Q*k rows
         got.setdefault(r.q_id, set()).add(r.vec_id)
-    exact = similarity.knn_join(emb, qids, k=5, dim=EMB_DIM)
+    # same persist-the-audited-arm pattern as knn_lsh_topk (r17)
+    exact = audit_persist(similarity.knn_join(emb, qids, k=5, dim=EMB_DIM))
     ex_rows = exact.collect()  # bounded: Q*k rows
     ex: dict[int, set] = {}
     for r in ex_rows:
@@ -739,10 +754,12 @@ def knn_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{idx}/ingest_batch={b}", mode="overwrite",
         )
     stats = similarity.ann_index_compact(spark, idx)
-    got = spark.read.parquet(idx).select("cell", "vec_id")
-    expected = similarity.ivf_assign_full(
+    # each side of the exceptAll-both-ways audit is executed twice;
+    # persist so the index read and the assignment pass run once (r17)
+    got = audit_persist(spark.read.parquet(idx).select("cell", "vec_id"))
+    expected = audit_persist(similarity.ivf_assign_full(
         emb, C, "embedding", dim=EMB_DIM
-    ).select("cell", "vec_id")
+    ).select("cell", "vec_id"))
     identity = int(
         stats["n_batch_dirs_folded"] == 3
         and got.exceptAll(expected).count() == 0
@@ -811,11 +828,13 @@ def knn_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     similarity.lsh_append(emb.where(F.col("vec_id") % 2 == 1), idx)
     stats = similarity.ann_index_compact(spark, idx)
-    got = spark.read.parquet(idx).select("table", "bucket", "vec_id")
-    expected = similarity._lsh_postings(
+    # exceptAll-both-ways audit: persist both sides so each computes
+    # once instead of twice (r17)
+    got = audit_persist(spark.read.parquet(idx).select("table", "bucket", "vec_id"))
+    expected = audit_persist(similarity._lsh_postings(
         emb, dim=EMB_DIM, bits=8, n_tables=16,
         id_col="vec_id", vec_col="embedding", seed=42,
-    ).select("table", "bucket", "vec_id")
+    ).select("table", "bucket", "vec_id"))
     identity = int(
         got.exceptAll(expected).count() == 0
         and expected.exceptAll(got).count() == 0
@@ -827,7 +846,10 @@ def knn_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, idx, query_id=0, k=10
         ).collect()  # bounded: k rows
     }
-    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    # collected for the audit AND materialized again by the consumer:
+    # persist so the exact arm computes once (r17 optimization; plan
+    # audits still reach the cache's build plan via InMemoryRelation)
+    exact = audit_persist(similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM))
     exact_ids = {r.vec_id for r in exact.collect()}  # bounded: k rows
     floor_met = int(len(lsh_ids & exact_ids) >= 5)
     return (
@@ -1063,7 +1085,10 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     as every knn key). Bounded collects only (50-row shortlist + k-row
     pick lists)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM)
+    # collected for the audit AND materialized again by the consumer:
+    # persist so the exact arm computes once (r17 optimization; plan
+    # audits still reach the cache's build plan via InMemoryRelation)
+    exact = audit_persist(similarity.knn_topk(emb, query_id=0, k=10, dim=EMB_DIM))
     exact_rows = [
         (r.vec_id, r.label, r.cosine) for r in exact.collect()
     ]  # bounded: k rows
@@ -2001,10 +2026,12 @@ def knn_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = similarity.read_index_manifest(spark, idx)
     C_new = np.asarray(m["centroids"], dtype=np.float64)
     union = emb.unionByName(shifted)
-    got = spark.read.parquet(idx).select("cell", "vec_id")
-    expected = similarity.ivf_assign_full(
+    # each side of the exceptAll-both-ways audit is executed twice;
+    # persist so the index read and the assignment pass run once (r17)
+    got = audit_persist(spark.read.parquet(idx).select("cell", "vec_id"))
+    expected = audit_persist(similarity.ivf_assign_full(
         union, C_new, "embedding", dim=EMB_DIM
-    ).select("cell", "vec_id")
+    ).select("cell", "vec_id"))
     identity = int(
         stats["epoch"] == 1
         and int(m["epoch"]) == 1

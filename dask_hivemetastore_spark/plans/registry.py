@@ -53,6 +53,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def audit_persist(df: DataFrame) -> DataFrame:
+    """persist() for bounded audit frames that are collected in the query
+    body AND materialized again by the consumer (r17 optimization): with
+    the cache, the audited pipeline computes once; plan audits still
+    reach the cache's build plan through the InMemoryRelation walk
+    (scripts/plan_metrics.py — the dedup_near precedent). The frames are
+    k-row/pair-set bounded, so cache memory is trivial.
+    ``SPARK_GRAFT_AUDIT_PERSIST=0`` disables it (A/B harness).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_AUDIT_PERSIST", "1") == "0":
+        return df
+    return df.persist()
+
+
 def verify_enabled() -> bool:
     """Whether the sketch/sample keys run their exact-twin VERDICT pass
     (r11, VERDICT r10 #7).

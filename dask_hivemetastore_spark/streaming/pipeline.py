@@ -50,7 +50,7 @@ from pyspark.sql.types import (
 
 from ..functions import sql_round
 from ..operators import similarity
-from ..plans.registry import query
+from ..plans.registry import audit_persist, query
 from ..session import ensure_runtime_confs
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -1034,7 +1034,9 @@ def stream_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, idx, query_id=0, k=10
         ).collect()
     }
-    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=_IVF_DIM)
+    # persist-the-audited-arm pattern (r17): collected for the recall
+    # audit and materialized again by the consumer
+    exact = audit_persist(similarity.knn_topk(emb, query_id=0, k=10, dim=_IVF_DIM))
     exact_ids = {r.vec_id for r in exact.collect()}
     floor_met = int(len(lsh_ids & exact_ids) >= 5)
     return exact.withColumn("lsh_recall_floor_met", F.lit(floor_met))
@@ -1138,7 +1140,9 @@ def stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, idx, qv, k=10, nprobe=8, shortlist=50, exclude_id=0
         ).collect()  # bounded: k rows
     }
-    exact = similarity.knn_topk(emb, query_id=0, k=10, dim=_IVF_DIM)
+    # persist-the-audited-arm pattern (r17): collected for the recall
+    # audit and materialized again by the consumer
+    exact = audit_persist(similarity.knn_topk(emb, query_id=0, k=10, dim=_IVF_DIM))
     exact_ids = {r.vec_id for r in exact.collect()}  # bounded: k rows
     floor_met = int(len(got & exact_ids) >= 5)
     return exact.withColumn("ivfpq_recall_floor_met", F.lit(floor_met))
