@@ -48,8 +48,10 @@ def with_repetition_score(df: DataFrame, text_col: str = "text", n: int = 2,
     into the transform lambda and re-runs it per array element (O(words²)
     per doc).
     """
+    # defaultParallelism, not the batch shuffle conf — CPU-spread +
+    # projection-collapse barrier sizing (r17; see dedup.with_word_ngrams)
     nparts = max(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        int(df.sparkSession.sparkContext.defaultParallelism),
         df.rdd.getNumPartitions(),
     )
     concat = ", ".join(f"__ws[i+{j}]" for j in range(n))
@@ -672,8 +674,10 @@ def repeated_span_removal(df: DataFrame, id_col: str = "doc_id",
 
     Returns (id_col, text_clean, n_chunks, n_dropped) — one row per doc.
     """
+    # defaultParallelism, not the batch shuffle conf — CPU-spread +
+    # projection-collapse barrier sizing (r17; see dedup.with_word_ngrams)
     nparts = max(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+        int(df.sparkSession.sparkContext.defaultParallelism),
         df.rdd.getNumPartitions(),
     )
     # coalesce(NULL text → '') keeps the one-row-per-doc return contract:

@@ -59,10 +59,15 @@ def with_word_ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
     if nparts is None:
         # the df.rdd partition probe is illegal on a streaming frame —
         # streaming callers pass nparts explicitly (one shared gram
-        # expression, not a copy that can drift; r7 review)
+        # expression, not a copy that can drift; r7 review).
+        # defaultParallelism (total cores), not the batch shuffle conf
+        # (r17): this exchange exists to SPREAD a CPU-bound transform and
+        # as a projection-collapse barrier; under a vanilla 200-partition
+        # session the conf shredded a small corpus into 200 explicit
+        # (AQE-uncoalescible) tasks. At scale the input partition count
+        # dominates the max either way.
         nparts = max(
-            int(df.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions", "200")),
+            int(df.sparkSession.sparkContext.defaultParallelism),
             df.rdd.getNumPartitions(),
         )
     concat = ", ".join(f"__ws[i+{j}]" for j in range(n))

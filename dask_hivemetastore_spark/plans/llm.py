@@ -2168,7 +2168,9 @@ def ngram_freq_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambda references it (CollapseProject would otherwise inline the split
     per array element — O(words²)/doc; measured 2.6 s → 0.6 s here)."""
     docs = load_table(spark, sf_dir, "documents")
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # core-count, not the batch shuffle conf (r17; see
+    # dedup.with_word_ngrams — same barrier, same sizing rule)
+    nparts = int(spark.sparkContext.defaultParallelism)
     ws = docs.select(F.split("text", " ").alias("ws")).repartition(nparts)
     bigrams = ws.select(
         F.explode(
@@ -2267,7 +2269,9 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference it (the CollapseProject O(n²) inlining trap —
     see operators/dedup.py:with_word_ngrams)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # core-count, not the batch shuffle conf (r17; see
+    # dedup.with_word_ngrams — same barrier, same sizing rule)
+    nparts = int(spark.sparkContext.defaultParallelism)
     # NULL text normalizes to '' on BOTH sides (oracle COALESCEs too):
     # Spark's size(NULL)=-1 / concat_ws-'' vs DuckDB's GREATEST-skips-NULL
     # otherwise produce ''-vs-NULL chunk_text (r8 hostile-corpus find), and

@@ -34,6 +34,7 @@ from __future__ import annotations
 import os
 import tempfile
 import time
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -105,7 +106,105 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def stream_shuffle_partitions(spark: SparkSession, *paths: str) -> int:
+    """Scale-adaptive shuffle/state partition count for a streaming query
+    (r17 optimization round, guide §2: derive partitioning from input
+    size, never a constant tuned for one box).
+
+    A streaming query's shuffle partition count is special three times
+    over: it becomes the STATE partition count, it is frozen into the
+    checkpoint at the first micro-batch (changing it later requires a new
+    checkpoint), and AQE cannot coalesce stateful exchanges — so unlike a
+    batch shuffle it must be sized deliberately up front. Every state
+    partition costs real per-micro-batch work regardless of data volume
+    (task launch + state store open/commit + delta file + maintenance),
+    measured on this box at ~60-90 ms per partition per batch: a keyed
+    aggregation over the 2 MB events fixture pays 2.5-11 s/batch at 32
+    partitions vs 0.6-1.2 s at 4-8 (interleaved A/B, r17 PERF notes).
+
+    Sizing: ceil(input_bytes / 64 MB) clamped to [4, session
+    ``spark.sql.shuffle.partitions``] — locally that floors at 4; at
+    cluster scale the byte term exceeds the clamp and the session
+    (cluster-sized) value is returned unchanged, so this is a pure
+    local-overhead fix with no production behavior change.
+    ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` overrides (A/B harness +
+    deployments that size state partitions explicitly). Paths on remote
+    stores (no local stat) fall back to the session value.
+
+    Applies to JVM-stateful streams only (windowed/keyed aggs, stream
+    joins, dropDuplicates): their per-group work is negligible and the
+    per-partition store overhead dominates. ``applyInPandasWithState``
+    streams are the opposite — per-GROUP Python protocol work dominates
+    and needs core-count parallelism (interleaved A/B:
+    stream_dedup_near_docs read 86 s at the derived count vs 22 s at the
+    session count) — those use :func:`stream_python_state_partitions`.
+    """
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, min(sess, int(env)))
+    total = 0
+    for p in paths:
+        lp = p[len("file:"):] if p.startswith("file:") else p
+        if "://" in lp:
+            return sess
+        if os.path.isdir(lp):
+            for root, _dirs, files in os.walk(lp):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files if not f.startswith((".", "_"))
+                )
+        elif os.path.exists(lp):
+            total += os.path.getsize(lp)
+        else:
+            return sess
+    return max(4, min(sess, -(-total // (64 * 1024 * 1024))))
+
+
+
+def stream_python_state_partitions(spark: SparkSession, *paths: str) -> int:
+    """State partitioning for ``applyInPandasWithState`` streams (r17):
+    their cost is per-GROUP Python protocol work (one pandas frame + one
+    state round-trip per key per batch), so the stage is PARALLELISM-bound
+    up to the core count and overhead-bound past it. Sized to
+    ``defaultParallelism`` (total cores — the same number on a cluster),
+    raised by the input-byte term at scale, clamped to the session value:
+    a vanilla 200-partition session over a 2 MB source runs 200 state
+    stores for work 32 cores finish in parallel (measured: the driver-sim
+    vanilla session ran stream_sessionize 27.5 s at 200 state partitions
+    vs ~4 s at 32). Same env override + remote-path fallback as
+    :func:`stream_shuffle_partitions`.
+    """
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, min(sess, int(env)))
+    cores = int(spark.sparkContext.defaultParallelism)
+    derived = stream_shuffle_partitions(spark, *paths)
+    return max(1, min(sess, max(cores, derived)))
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Set ``spark.sql.shuffle.partitions`` for the duration of a stream's
+    drain and restore it after — the conf is consulted when the query
+    plans its first micro-batch, so wrapping start()+awaitTermination()
+    scopes the stream's state partitioning without leaking into the
+    session's batch queries."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str,
+                  state_partitions: int | None = None) -> DataFrame:
     """Execute a streaming plan to completion: availableNow trigger → memory
     sink → return the materialized result as a batch DataFrame.
 
@@ -113,20 +212,31 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
     the memory table then holds the complete answer. (At 100 TB this helper
     is replaced by a long-lived query writing Delta/Kafka — the *plan* above
     it is unchanged; that separation is the point of this module.)
+
+    ``state_partitions`` (r17): the stream's shuffle/state partition
+    count, from :func:`stream_shuffle_partitions`; None keeps the session
+    value (stateless streams don't care).
     """
     spark = stream_df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(name)
+
+
+
+def _ev_parts(spark: SparkSession, sf_dir: str) -> int:
+    """events-source state partitioning (see stream_shuffle_partitions)."""
+    return stream_shuffle_partitions(spark, f"{sf_dir}/events.parquet")
 
 
 # --------------------------------------------------------------- I4: watermark
@@ -170,7 +280,8 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, "stream_tumbling_1h", "complete")
+    return run_to_memory(agg, "stream_tumbling_1h", "complete",
+                         state_partitions=_ev_parts(spark, sf_dir))
 
 
 # ---------------------------------------------------------- I5: stream dedup
@@ -190,7 +301,8 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     deduped = ev.dropDuplicatesWithinWatermark(["user_id"]).select("user_id")
-    return run_to_memory(deduped, "stream_dedup_users", "append")
+    return run_to_memory(deduped, "stream_dedup_users", "append",
+                         state_partitions=_ev_parts(spark, sf_dir))
 
 
 # ------------------------------------------------- I6: custom stateful operator
@@ -238,7 +350,12 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(counts, "stream_stateful_counts", "update")
+    # applyInPandasWithState: per-GROUP Python protocol work needs
+    # core-count parallelism, not the batch shuffle default (r17; see
+    # stream_python_state_partitions)
+    return run_to_memory(counts, "stream_stateful_counts", "update",
+                         state_partitions=stream_python_state_partitions(
+                             spark, f"{sf_dir}/events.parquet"))
 
 
 # --------------------------------------------- I6b: stateful sessionization
@@ -482,7 +599,11 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(sessions, "stream_sessionize", "update")
+    # applyInPandasWithState: core-count parallelism (r17; see
+    # stream_python_state_partitions)
+    return run_to_memory(sessions, "stream_sessionize", "update",
+                         state_partitions=stream_python_state_partitions(
+                             spark, f"{sf_dir}/events.parquet"))
 
 
 # ------------------------------------------------------- A6-streaming: sink
@@ -559,7 +680,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    return run_to_memory(agg, "stream_static_enrich", "complete")
+    return run_to_memory(agg, "stream_static_enrich", "complete",
+                         state_partitions=_ev_parts(spark, sf_dir))
 
 
 # ------------------------------------------------ I4b: streaming sliding window
@@ -596,7 +718,8 @@ def stream_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(agg, "stream_sliding_30m", "complete")
+    return run_to_memory(agg, "stream_sliding_30m", "complete",
+                         state_partitions=_ev_parts(spark, sf_dir))
 
 
 # ----------------------------------------------- I7: stream-stream interval join
@@ -658,7 +781,8 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("buy_ts", _TS_FMT).alias("buy_ts"),
         F.round("value", 2).alias("buy_value"),
     )
-    return run_to_memory(joined, "stream_click_attribution", "append")
+    return run_to_memory(joined, "stream_click_attribution", "append",
+                         state_partitions=_ev_parts(spark, sf_dir))
 
 
 # ------------------------------------- I6c: transformWithStateInPandas (TWS)
@@ -721,7 +845,9 @@ def stream_tws_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        return run_to_memory(counts, "stream_tws_counts", "update")
+        return run_to_memory(counts, "stream_tws_counts", "update",
+                             state_partitions=stream_python_state_partitions(
+                                 spark, f"{sf_dir}/events.parquet"))
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
@@ -814,15 +940,16 @@ def stream_foreach_batch_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/data")
 
-    q = (
-        agg.writeStream.foreachBatch(upsert)
-        .outputMode("complete")
-        .option("checkpointLocation", f"{out_dir}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with scoped_shuffle_partitions(spark, _ev_parts(spark, sf_dir)):
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.read.parquet(f"{out_dir}/data")
 
 
@@ -1198,17 +1325,18 @@ def statestore_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ckpt = tempfile.mkdtemp(prefix="statestore_q_")
     ev = read_events_stream(spark, sf_dir)
-    q = (
-        ev.groupBy("event_type")
-        .agg(F.count("*").alias("n_events"))
-        .writeStream.format("noop")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with scoped_shuffle_partitions(spark, _ev_parts(spark, sf_dir)):
+        q = (
+            ev.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     state = read_query_state(spark, ckpt)
     return state.select(
         F.col("key.event_type").alias("event_type"),
@@ -1471,8 +1599,10 @@ def stream_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME gram expression the certified batch twin uses — shared via
     # with_word_ngrams(nparts=...) because the df.rdd partition probe is
     # illegal on a stream (a drifting copy here would silently break the
-    # streaming-equals-batch parity claim; r7 review)
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # streaming-equals-batch parity claim; r7 review). CPU-parallelism
+    # sized like the state stage below (r17): a vanilla 200-partition
+    # session otherwise repartitions a 0.6 MB batch 200 ways
+    nparts = stream_python_state_partitions(spark, src)
     grams = with_word_ngrams(
         docs_stream, "text", 3, nparts=nparts
     ).drop("text")
@@ -1484,7 +1614,14 @@ def stream_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    logged = run_to_memory(pair_log, "stream_dedup_near_docs", "update")
+    # applyInPandasWithState over ~|docs|x|bands| bucket groups: the
+    # per-group Python protocol work dominates, so the state shuffle takes
+    # core-count parallelism (input-derived partitioning measured 4x
+    # SLOWER here — 86 s vs 22 s — while a vanilla 200-partition session
+    # pays 6x state-store overhead; r17)
+    logged = run_to_memory(pair_log, "stream_dedup_near_docs", "update",
+                           state_partitions=stream_python_state_partitions(
+                               spark, src))
     # batch-side: distinct candidates -> the SAME exact verification the
     # certified batch operator applies
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
