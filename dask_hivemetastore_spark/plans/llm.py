@@ -762,8 +762,11 @@ def knn_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cell", "vec_id"))
     identity = int(
         stats["n_batch_dirs_folded"] == 3
-        and got.exceptAll(expected).count() == 0
-        and expected.exceptAll(got).count() == 0
+        # both exceptAll sides counted in ONE action (union is empty iff
+        # both differences are — counts are non-negative): one result
+        # stage instead of two over the persisted frames (r17)
+        and got.exceptAll(expected)
+               .union(expected.exceptAll(got)).count() == 0
     )
     files_reduced = int(stats["n_files_out"] < stats["n_files_in"])
     qrow = (
@@ -836,8 +839,11 @@ def knn_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding", seed=42,
     ).select("table", "bucket", "vec_id"))
     identity = int(
-        got.exceptAll(expected).count() == 0
-        and expected.exceptAll(got).count() == 0
+        # both exceptAll sides counted in ONE action (union is empty iff
+        # both differences are — counts are non-negative): one result
+        # stage instead of two over the persisted frames (r17)
+        got.exceptAll(expected)
+           .union(expected.exceptAll(got)).count() == 0
     )
     files_reduced = int(stats["n_files_out"] < stats["n_files_in"])
     lsh_ids = {
@@ -2036,8 +2042,11 @@ def knn_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats["epoch"] == 1
         and int(m["epoch"]) == 1
         and not similarity._list_append_markers(spark, idx)
-        and got.exceptAll(expected).count() == 0
-        and expected.exceptAll(got).count() == 0
+        # both exceptAll sides counted in ONE action (union is empty iff
+        # both differences are — counts are non-negative): one result
+        # stage instead of two over the persisted frames (r17)
+        and got.exceptAll(expected)
+               .union(expected.exceptAll(got)).count() == 0
     )
     qrow = (
         similarity.finite_vectors(emb, "embedding", EMB_DIM)
