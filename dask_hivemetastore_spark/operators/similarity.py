@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -2058,10 +2059,25 @@ def ivf_train_centroids(emb: DataFrame, n_cells: int = 16, seed: int = 42,
     train = train_src.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    # coarse quantizers don't need convergence (FAISS trains IVF with ~10
-    # iters); 8 halves the fit cost vs 20 with recall unchanged on the
-    # fixture (test_ivf_topk_recall)
-    model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(train)
+    # r18 (guide §5 — persist reused intermediates): KMeans.fit re-scans
+    # its input per pass (kmeans|| init + every Lloyd iteration), so an
+    # unpersisted training frame re-reads the corpus parquet + finite
+    # filter + sample ~10×. The frame is BOUNDED (≤ ~1.05·max_train_rows
+    # rows of one vector column) so persisting it is safe at any corpus
+    # size; same rows/partitions/order → centroids are bit-identical
+    # (verified against the oracle-pinned recall keys).
+    # SPARK_GRAFT_TRAIN_PERSIST=0 disables (A/B harness).
+    persisted = None
+    if os.environ.get("SPARK_GRAFT_TRAIN_PERSIST", "1") != "0":
+        persisted = train = train.persist()
+    try:
+        # coarse quantizers don't need convergence (FAISS trains IVF with
+        # ~10 iters); 8 halves the fit cost vs 20 with recall unchanged
+        # on the fixture (test_ivf_topk_recall)
+        model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(train)
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     C = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
     norms = np.linalg.norm(C, axis=1, keepdims=True)
     C = C / np.clip(norms, 1e-12, None)

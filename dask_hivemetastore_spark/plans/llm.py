@@ -764,9 +764,9 @@ def knn_ivf_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats["n_batch_dirs_folded"] == 3
         # both exceptAll sides counted in ONE action (union is empty iff
         # both differences are — counts are non-negative): one result
-        # stage instead of two over the persisted frames (r17)
+        # stage instead of two over the persisted frames (r17); unionByName so column-order drift in a future select edit raises instead of comparing misaligned columns (r17 advisor)
         and got.exceptAll(expected)
-               .union(expected.exceptAll(got)).count() == 0
+               .unionByName(expected.exceptAll(got)).count() == 0
     )
     files_reduced = int(stats["n_files_out"] < stats["n_files_in"])
     qrow = (
@@ -841,9 +841,9 @@ def knn_lsh_compact_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity = int(
         # both exceptAll sides counted in ONE action (union is empty iff
         # both differences are — counts are non-negative): one result
-        # stage instead of two over the persisted frames (r17)
+        # stage instead of two over the persisted frames (r17); unionByName so column-order drift in a future select edit raises instead of comparing misaligned columns (r17 advisor)
         got.exceptAll(expected)
-           .union(expected.exceptAll(got)).count() == 0
+           .unionByName(expected.exceptAll(got)).count() == 0
     )
     files_reduced = int(stats["n_files_out"] < stats["n_files_in"])
     lsh_ids = {
@@ -2044,9 +2044,9 @@ def knn_ivf_rebuild_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         and not similarity._list_append_markers(spark, idx)
         # both exceptAll sides counted in ONE action (union is empty iff
         # both differences are — counts are non-negative): one result
-        # stage instead of two over the persisted frames (r17)
+        # stage instead of two over the persisted frames (r17); unionByName so column-order drift in a future select edit raises instead of comparing misaligned columns (r17 advisor)
         and got.exceptAll(expected)
-               .union(expected.exceptAll(got)).count() == 0
+               .unionByName(expected.exceptAll(got)).count() == 0
     )
     qrow = (
         similarity.finite_vectors(emb, "embedding", EMB_DIM)

@@ -43,6 +43,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -1549,6 +1550,106 @@ def make_band_collisions(max_bucket_size: int = BAND_BUCKET_CAP):
 _band_collisions = make_band_collisions()
 
 
+# --- r18: grouped band-bucket state (guide §4 — amortize the per-group
+# Python protocol cost). applyInPandasWithState pays one pandas frame +
+# one state round-trip PER KEY PER BATCH; keyed by raw (band, band_hash)
+# the sf0.1 corpus makes ~16k keys × 3 micro-batches pay that protocol
+# (~0.45 ms each — 21.5 s profiled, the costliest key in the registry,
+# VERDICT r17 next #3). Coarsening the STATE key to a hash group of
+# buckets keeps the identical per-bucket enrollment/cap/overflow
+# semantics (applied per exact (band, band_hash) inside the group) while
+# dividing the protocol round-trips by buckets-per-group. Group count
+# scales with the cluster (8 × defaultParallelism — enough keys to hash
+# evenly over core-count state partitions, guide §2.5) and is
+# env-overridable; 0 restores the per-bucket keying (A/B harness).
+
+_GROUPED_BAND_STATE = StructType(
+    [
+        StructField("bands", ArrayType(IntegerType())),
+        StructField("hashes", ArrayType(LongType())),
+        StructField("members", ArrayType(ArrayType(LongType()))),
+        StructField("overflow", LongType()),
+    ]
+)
+
+
+def band_state_groups(spark: SparkSession) -> int:
+    """Number of coarse state groups for the streaming band-bucket dedup
+    (0 = key state by raw (band, band_hash), the pre-r18 shape). Scales
+    with the cluster; ``SPARK_GRAFT_BAND_GROUPS`` overrides. At very
+    large state-to-arrival ratios a deployment may prefer finer groups
+    (each batch rewrites a touched group's whole membership map), so the
+    knob is the contract, the default the measured local/cluster shape."""
+    env = os.environ.get("SPARK_GRAFT_BAND_GROUPS")
+    if env is not None:
+        return max(0, int(env))
+    return 8 * int(spark.sparkContext.defaultParallelism)
+
+
+def make_grouped_band_collisions(max_bucket_size: int = BAND_BUCKET_CAP):
+    """Grouped-key variant of :func:`make_band_collisions`: one state key
+    holds MANY (band, band_hash) buckets (parallel arrays in the state
+    struct), each with exactly the per-bucket membership/cap/overflow
+    semantics of the single-bucket function — new-vs-resident pairs only,
+    duplicate arrivals ignored, enrollments past ``max_bucket_size``
+    dropped and counted in the group's ``overflow`` total."""
+
+    def _update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            st = state.get
+            bands = list(st[0])
+            hashes = list(st[1])
+            members = [list(m) for m in st[2]]
+            overflow = int(st[3] or 0)
+        else:
+            bands, hashes, members, overflow = [], [], [], 0
+        idx = {bh: i for i, bh in enumerate(zip(bands, hashes))}
+        seen = [set(m) for m in members]
+        pairs: list[tuple[int, int]] = []
+        for pdf in pdf_iter:
+            for b, h, raw in zip(
+                pdf["band"].to_numpy(),
+                pdf["band_hash"].to_numpy(),
+                pdf["doc_id"].to_numpy(),
+            ):
+                bkey = (int(b), int(h))
+                i = idx.get(bkey)
+                if i is None:
+                    i = len(bands)
+                    idx[bkey] = i
+                    bands.append(bkey[0])
+                    hashes.append(bkey[1])
+                    members.append([])
+                    seen.append(set())
+                nid = int(raw)
+                if nid in seen[i]:
+                    continue
+                mem = members[i]
+                if len(mem) >= max_bucket_size:
+                    overflow += 1
+                    continue
+                for m in mem:
+                    pairs.append((m, nid) if m < nid else (nid, m))
+                mem.append(nid)
+                seen[i].add(nid)
+        order = sorted(range(len(bands)), key=lambda i: (bands[i], hashes[i]))
+        state.update(
+            (
+                [bands[i] for i in order],
+                [hashes[i] for i in order],
+                [sorted(members[i]) for i in order],
+                overflow,
+            )
+        )
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    return _update
+
+
+_grouped_band_collisions = make_grouped_band_collisions()
+
+
 from ..plans.llm import _JACCARD_ORACLE  # noqa: E402  (loaded before this module)
 
 
@@ -1562,7 +1663,9 @@ def stream_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``maxFilesPerTrigger``); each doc's 32 band hashes are computed
     map-side in the stream (the same signature stage the certified batch
     ``dedup_near_minhash`` uses), and ``applyInPandasWithState`` keyed by
-    (band, band_hash) holds bucket membership — the streaming twin of the
+    a hash GROUP of (band, band_hash) buckets holds bucket membership
+    (per-bucket semantics inside the group; r18 — grouped keying amortizes
+    the per-key Python protocol round-trip) — the streaming twin of the
     batch band-bucket self-join, with candidate work proportional to
     new×resident, never old×old (the property the batch incremental probe
     [``dedup_incremental_batch``] gets from its asymmetric prefix filter).
@@ -1572,13 +1675,15 @@ def stream_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     25 planted pairs).
 
     100 TB: the band-bucket state shards across the cluster by the
-    (band, band_hash) key under RocksDB exactly like any keyed state;
-    per-bucket membership arrays are the same size the batch self-join's
-    buckets are, and the ``BAND_BUCKET_CAP`` membership cap (drop + count
-    in the state's ``overflow`` field, readable via the I10 state-store
-    reader) bounds the quadratic corner both paths share — a pathological
-    boilerplate bucket emits at most C(cap, 2) pairs and holds at most
-    ``cap`` ids, ever.
+    hash-group key under RocksDB exactly like any keyed state — the group
+    count scales with ``defaultParallelism`` (:func:`band_state_groups`),
+    so shards stay balanced at any cluster size; per-bucket membership
+    arrays are the same size the batch self-join's buckets are, and the
+    ``BAND_BUCKET_CAP`` membership cap (drop + count in the state's
+    ``overflow`` field, readable via the I10 state-store reader) bounds
+    the quadratic corner both paths share — a pathological boilerplate
+    bucket emits at most C(cap, 2) pairs and holds at most ``cap`` ids,
+    ever.
 
     Full oracle: the update-mode pair log double-counts across band
     collisions, but the batch-side distinct + exact verification make the
@@ -1607,18 +1712,40 @@ def stream_dedup_near_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs_stream, "text", 3, nparts=nparts
     ).drop("text")
     buckets = minhash_band_buckets(grams, "doc_id")
-    pair_log = buckets.groupBy("band", "band_hash").applyInPandasWithState(
-        _band_collisions,
-        outputStructType=_PAIR_OUT,
-        stateStructType=_BAND_STATE,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    # applyInPandasWithState over ~|docs|x|bands| bucket groups: the
-    # per-group Python protocol work dominates, so the state shuffle takes
-    # core-count parallelism (input-derived partitioning measured 4x
-    # SLOWER here — 86 s vs 22 s — while a vanilla 200-partition session
-    # pays 6x state-store overhead; r17)
+    # r18 (guide §4): key the state by a HASH GROUP of buckets, not the
+    # raw (band, band_hash) — the per-key pandas-frame + state round-trip
+    # was ~16k keys × 3 batches ≈ the whole 21.5 s drain; grouped keying
+    # amortizes it over buckets-per-group with identical per-bucket
+    # semantics (make_grouped_band_collisions). SPARK_GRAFT_BAND_GROUPS=0
+    # restores per-bucket keying (A/B harness).
+    n_groups = band_state_groups(spark)
+    if n_groups > 0:
+        pair_log = (
+            buckets.withColumn(
+                "state_group",
+                F.pmod(F.xxhash64("band", "band_hash"), F.lit(n_groups)),
+            )
+            .groupBy("state_group")
+            .applyInPandasWithState(
+                _grouped_band_collisions,
+                outputStructType=_PAIR_OUT,
+                stateStructType=_GROUPED_BAND_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+    else:
+        pair_log = buckets.groupBy("band", "band_hash").applyInPandasWithState(
+            _band_collisions,
+            outputStructType=_PAIR_OUT,
+            stateStructType=_BAND_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    # applyInPandasWithState: the per-group Python protocol work dominates,
+    # so the state shuffle takes core-count parallelism (input-derived
+    # partitioning measured 4x SLOWER here — 86 s vs 22 s — while a
+    # vanilla 200-partition session pays 6x state-store overhead; r17)
     logged = run_to_memory(pair_log, "stream_dedup_near_docs", "update",
                            state_partitions=stream_python_state_partitions(
                                spark, src))

@@ -402,6 +402,51 @@ def test_band_collision_state_emits_new_vs_resident_only(spark):
     assert st.updated == ([3, 7, 9, 11], 0)
 
 
+def test_grouped_band_collisions_per_bucket_semantics(spark):
+    """r18 grouped state key: one state group holding several
+    (band, band_hash) buckets must apply EXACTLY the single-bucket
+    semantics per bucket — pairs only within a bucket, residents never
+    re-paired, per-bucket cap with overflow accumulated group-wide —
+    and keep the state's parallel arrays sorted for determinism."""
+    import pandas as pd
+
+    from dask_hivemetastore_spark.streaming.pipeline import (
+        make_grouped_band_collisions,
+    )
+
+    fn = make_grouped_band_collisions(max_bucket_size=3)
+
+    class FakeState:
+        def __init__(self, st=None):
+            self.exists = st is not None
+            self.get = st
+
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    # batch 1: two buckets in the same group — (0, 10) gets docs 1,2 and
+    # (1, 99) gets docs 2,5; NO cross-bucket pairs allowed
+    st = FakeState()
+    out1 = list(fn((7,), [pd.DataFrame({
+        "band": [0, 0, 1, 1], "band_hash": [10, 10, 99, 99],
+        "doc_id": [1, 2, 2, 5],
+    })], st))
+    pairs1 = {tuple(r) for r in out1[0].itertuples(index=False)}
+    assert pairs1 == {(1, 2), (2, 5)}
+    assert st.get == ([0, 1], [10, 99], [[1, 2], [2, 5]], 0)
+    # batch 2: resident 1 re-arrives (ignored), 3 joins bucket (0,10)
+    # filling it to the cap of 3, then 4 overflows; new bucket (1, 50)
+    # appears and the state arrays stay (band, hash)-sorted
+    out2 = list(fn((7,), [pd.DataFrame({
+        "band": [0, 0, 0, 1], "band_hash": [10, 10, 10, 50],
+        "doc_id": [1, 3, 4, 9],
+    })], st))
+    pairs2 = {tuple(r) for r in out2[0].itertuples(index=False)}
+    assert pairs2 == {(1, 3), (2, 3)}  # 3 vs residents only; 4 dropped
+    assert st.get == ([0, 1, 1], [10, 50, 99], [[1, 2, 3], [9], [2, 5]], 1)
+
+
 def test_band_bucket_cap_bounds_state_and_pairs(spark):
     """Pathological hot bucket (every doc hashes to the same band bucket):
     with a cap of 4, state membership never exceeds 4 ids, emitted pairs
