@@ -26,6 +26,11 @@ cell's denominator is the MAX of the two session bests — a single
 session's best-of-N can only err LOW, and that one-sided error is
 what printed r16's phantom >2x-paired cells on flat numerators. Both
 sessions' raw bests ship in baseline_paired_sessions.
+
+r18 (VERDICT r17 next #5): four EXTRA cells (EXTRA_KEY_MAP — the sweep
+keys the optimization rounds actually move) are timed after the
+headline loop and added to "queries" + "extra_total_sec". Additions
+only: headline cells, "value", and the paired protocol are unchanged.
 """
 
 from __future__ import annotations
@@ -48,6 +53,22 @@ BASELINE_KEY_MAP = {
     "window_rank_orders": "window_rank_orders",
     "distinct_users": "distinct_users",
     "knn_cosine_top10": "knn_cosine_topk",
+}
+
+# r18 (VERDICT r17 next #5): the optimization rounds' real movers are
+# invisible to the 8 headline cells (all overhead-bound at sf0.1), so the
+# artifact now ALSO times the top sweep keys — additions-only: the 8
+# headline cells, their methodology, "value" (still the headline-only
+# total), and the paired-baseline protocol are byte-for-byte unchanged;
+# the extra cells ride in "queries" (so the next PERF can score them
+# round-over-round) and their own "extra_total_sec". Multi-second cells:
+# one warm rep + best-of-2 keeps the added wall bounded.
+# SPARK_GRAFT_BENCH_EXTRAS=0 skips them for fast iteration.
+EXTRA_KEY_MAP = {
+    "dedup_simhash": "dedup_simhash",
+    "knn_lsh_join": "knn_lsh_join",
+    "knn_ivf_rebuild_probe": "knn_ivf_rebuild_probe",
+    "stream_click_attribution": "stream_click_attribution",
 }
 
 RUNS = 3
@@ -107,16 +128,32 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
         results[bench_key] = round(best, 4)
 
+    # r18 extra cells (see EXTRA_KEY_MAP): timed AFTER the headline loop so
+    # they cannot perturb it; "value" stays the headline-only total.
+    extras: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_EXTRAS", "1") != "0":
+        for bench_key, reg_key in EXTRA_KEY_MAP.items():
+            fn = plans.QUERIES[reg_key]
+            fn(spark, sf_dir).collect()  # warm rep (JIT/codegen)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            extras[bench_key] = round(best, 4)
+
     out = {
         "metric": "total_headline_sec",
         "value": round(sum(results.values()), 4),
         "unit": "sec",
-        "queries": results,
+        "queries": {**results, **extras},
         "sf": sf,
         # box-state telemetry: r14's events cell printed 2.04x from pure
         # box contention and the evidence lived outside the artifact
         "load1": round(os.getloadavg()[0], 2),
     }
+    if extras:
+        out["extra_total_sec"] = round(sum(extras.values()), 4)
 
     # Paired-baseline re-measure (r15, VERDICT r14 next #2). BASELINE.md's
     # committed denominators were drawn on a quiet box on a different day;

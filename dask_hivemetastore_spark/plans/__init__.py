@@ -248,10 +248,61 @@ from .. import streaming  # noqa: F401,E402
 # semi_join_customers, split_leakage_audit, stream_dedup_near_docs,
 # stream_sessionize, string_funcs_docs, training_corpus_pipeline,
 # union_all_events_split, union_distinct, value_counts_events.
+# Round 18 (this window — the second optimization round): block 1 =
+# the 23 declared r12-vintage stragglers (VERDICT r17 next #2: every
+# headline bench key plus stream_dedup_near_docs — whose state keying
+# also changed this round — after r18 no driver row predates r13);
+# block 2 = the 14 keys whose ENGINE path changed this round:
+# knn_ivf_topk and the 13 ANN maintenance/ingest keys traverse the r18
+# KMeans training-frame persist in ivf_train_centroids
+# (centroid-preserving by construction — same rows, partitions and
+# seed — but re-certified under the changed-keys-first rule), and
+# three of them (knn_ivf_compact_probe, knn_lsh_compact_probe,
+# knn_ivf_rebuild_probe) additionally carry the r17-advisor
+# unionByName audit fix; block 3 = the 13 alphabetically-first
+# r13-vintage drift keys (41 exist, recomputed by script from the
+# r1-r17 union). The 28 r13 stragglers for r19: knn_filtered_topk,
+# lag_lead_events, lateral_top_lineitems, map_funcs_props,
+# map_partitions_net_price, merge_upsert_orders, multimodal_extract,
+# multimodal_frame_sample, nations_per_region_csv, orc_roundtrip_agg,
+# pandas_udf_scalar, pii_redact_docs, python_datasource_scan,
+# quality_calibrate_by_source, quality_report_by_status,
+# range_join_banded, range_join_events, rolling_avg_value,
+# sessionize_dynamic_gap, span_dedup_docs, stratified_sample_docs,
+# stream_click_attribution, text_stats_docs, thin_metastore_scan,
+# topn_parts_per_brand, udtf_bigrams, variant_extract_props,
+# window_rank_orders.
 _CERTIFICATION_PRIORITY = [
-    # --- r17 block 1: the 13 engine-changed ANN keys (digest-named
-    # --- sidecar generations + recover epoch-gate + checked heal
-    # --- renames — see the r17 history note above). ---
+    # --- r18 block 1: the 23 declared r12-vintage stragglers (VERDICT
+    # --- r17 next #2 — includes every headline bench cell, and
+    # --- stream_dedup_near_docs whose state keying changed this round).
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q22_global_sales_opportunity",
+    "q3_top_orders",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_revenue_delta",
+    "q7_volume_shipping",
+    "rollup_nation_region",
+    "scan_project_filter",
+    "semi_join_customers",
+    "split_leakage_audit",
+    "stream_dedup_near_docs",
+    "stream_sessionize",
+    "string_funcs_docs",
+    "training_corpus_pipeline",
+    "union_all_events_split",
+    "union_distinct",
+    "value_counts_events",
+    # --- r18 block 2: the 14 keys whose engine path changed this round
+    # --- (KMeans training-frame persist in ivf_train_centroids; three
+    # --- also carry the unionByName audit fix — see history note). ---
+    "knn_ivf_topk",
     "knn_ivf_rebuild_probe",
     "knn_ivfpq_topk",
     "knn_ivfpq_join",
@@ -265,47 +316,21 @@ _CERTIFICATION_PRIORITY = [
     "knn_lsh_indexed",
     "ivf_drift_check",
     "knn_ivf_append_probe",
-    # --- r17 block 2: the 13 displaced r11-vintage keys (VERDICT r16
-    # --- next #1 — the freshness tail). ---
-    "sample_fraction",
-    "sample_k_per_group",
-    "sample_stratified",
-    "sorted_layout_roundtrip",
-    "statestore_event_counts",
-    "tfidf_top_terms",
-    "timestamp_parse_roundtrip",
-    "token_count_docs",
-    "union_mismatched_schemas",
-    "weighted_sample_docs",
-    "window_price_band",
-    "xml_parse_orders",
-    "zorder_layout_roundtrip",
-    # --- r17 block 3: the 24 alphabetically-first r12-vintage drift
-    # --- keys (the remaining 23 are r18's declared block). ---
-    "array_funcs_embeddings",
-    "asof_join_events",
-    "asof_join_tolerance",
-    "collated_distinct_words",
-    "corpus_rebalance_sources",
-    "corpus_rebalance_temperature",
-    "date_arithmetic",
-    "decimal_money_agg",
-    "dedup_exact",
-    "doc_chunk_windows",
-    "events_sessionize",
-    "events_sliding",
-    "events_tumbling_1h",
-    "filter_in_list",
-    "full_outer_nation_presence",
-    "intersect_nations",
-    "interval_overlap_pairs",
-    "join_indicator",
-    "join_orders_customer",
-    "json_extract_props",
-    "knn_lsh_topk",
-    "left_join_customer_orders",
-    "null_handling",
-    "q10_returned_items",
+    # --- r18 block 3: the 13 alphabetically-first r13-vintage drift
+    # --- keys (the remaining 28 are r19's declared block). ---
+    "agg_misc",
+    "argmin_argmax_orders",
+    "bm25_rank_docs",
+    "cogrouped_map_ratio",
+    "compact_small_files",
+    "corpus_shuffle_shards",
+    "corr_price_qty",
+    "cumsum_orders",
+    "custom_agg_geomean",
+    "data_quality_report",
+    "hybrid_rank_rrf",
+    "hybrid_rank_weighted",
+    "jsonl_roundtrip_agg",
 ]
 
 # The r5 window (see git history of this file) was fully certified in
