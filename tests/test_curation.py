@@ -4,12 +4,14 @@ decontamination partition invariant, and the broadcast plan shape."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dask_hivemetastore_spark.catalog import load_table
 from dask_hivemetastore_spark.operators import curation, similarity
 
 
+@pytest.mark.slow
 def test_semdedup_one_cell_equals_brute_force(spark, sf_dir):
     """n_cells=1 puts every vector in one cell → the within-cell search IS
     the all-pairs search, so SemDeDup must reproduce similar_pairs exactly.

@@ -52,6 +52,7 @@ def diff_duck():
     con.close()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunk", range(N_SPECS // CHUNK))
 def test_differential_chunk(chunk, spark, diff_tables, diff_duck):
     failures = []

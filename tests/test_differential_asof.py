@@ -83,6 +83,7 @@ def _oracle_sql(lt: str, rt: str, tol) -> str:
 N = 20
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("corpus", ["real", "hostile"])
 def test_asof_fuzz(corpus, spark, tmp_path_factory):
     import duckdb

@@ -90,6 +90,7 @@ def _oracle_sql(it, pt, width, open_start, how):
 N = 16
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("corpus", ["real", "hostile"])
 def test_rangejoin_fuzz(corpus, spark, tmp_path_factory):
     import duckdb
@@ -143,6 +144,7 @@ def _overlap_spec(seed: int):
     return at, bt, wa, wb, bucket, hier
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("corpus", ["real", "hostile"])
 def test_interval_overlap_fuzz(corpus, spark, tmp_path_factory):
     """interval×interval sibling: random widths on each side, closed

@@ -29,6 +29,7 @@ def _spec(seed: int):
 N = 12
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("corpus", ["real", "hostile"])
 def test_rolling_window_fuzz(corpus, spark, tmp_path_factory):
     import duckdb

@@ -437,6 +437,7 @@ def test_cdc_conflicting_updates_contract(spark):
 _FUZZ_ALPHABET = list('|,"\\\n\r\t N\x01\x00;ab 0ré🙂') + ["\\N", '""', "  ", "\\0", "\\r"]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(8))
 def test_delimited_lossless_roundtrip_fuzz(spark, tmp_path, seed):
     """Property: write_delimited_lossless ∘ read_delimited_lossless is

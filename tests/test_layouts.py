@@ -1758,6 +1758,7 @@ def test_ann_index_verify_healthy_and_damaged(spark, tmp_path):
                                  for p in rep["problems"])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [7, 23])
 def test_ann_lifecycle_random_sequences_stay_exact(spark, tmp_path, seed):
     """Randomized maintenance-lifecycle soak (r14): from a seeded RNG,
@@ -2306,6 +2307,7 @@ def test_hybrid_fusion_identical_over_ivf_batch_arm(spark, tmp_path):
     assert fused(dense_brute) == fused(dense_indexed)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [11, 37])
 def test_ann_crash_anywhere_recovery_soak(spark, tmp_path, seed, monkeypatch):
     """r15 crash-anywhere soak: over a randomized append/compact

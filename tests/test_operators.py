@@ -410,6 +410,7 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert len(exact & approx) >= 7
 
 
+@pytest.mark.slow
 def test_ivf_multiprobe_recall_curve(spark, sf_dir):
     """Recall-vs-cells-probed contract (VERDICT r5 #5): mean recall@10
     over several queries must rise monotonically with nprobe, clear

@@ -32,6 +32,7 @@ rows_st = st.lists(
 keys_st = st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=4, unique=True)
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(rows=rows_st, small_keys=keys_st, buckets=st.integers(min_value=1, max_value=5))
 def test_salted_join_rewrite_equivalence(spark, rows, small_keys, buckets):
@@ -75,6 +76,7 @@ edges_st = st.lists(
 )
 
 
+@pytest.mark.slow
 @SETTINGS
 @given(edges=edges_st)
 def test_connected_components_consistency(spark, edges):
@@ -220,6 +222,7 @@ def test_rebalance_never_exceeds_min_group(spark, rows):
     st.tuples(st.integers(min_value=0, max_value=5_000),
               st.sampled_from(["a", "b", "c"])),
     min_size=3, max_size=60, unique_by=lambda t: t[0]))
+@pytest.mark.slow
 def test_rebalance_temperature_bounds(spark, rows):
     """Temperature sampling never upsamples, keeps the smallest group
     whole, and interpolates: every row kept at alpha=0.5 is also kept at
@@ -270,6 +273,7 @@ points_st = st.lists(
 @SETTINGS
 @given(iv=intervals_st, pts=points_st,
        bucket=st.sampled_from([60, 300, 1000]))
+@pytest.mark.slow
 def test_banded_range_join_equals_naive(spark, iv, pts, bucket):
     """For ANY intervals/points/bucket size, the banded equi-join rewrite
     produces exactly the naive theta join's (interval, point) pairs — the
@@ -305,6 +309,7 @@ def test_banded_range_join_equals_naive(spark, iv, pts, bucket):
 @SETTINGS
 @given(left=intervals_st, right=intervals_st,
        bucket=st.sampled_from([60, 300, 1000]))
+@pytest.mark.slow
 def test_interval_overlap_join_equals_naive(spark, left, right, bucket):
     """For ANY interval sets and bucket size, the anchored banded overlap
     join emits exactly the naive theta join's pairs, each exactly once."""
@@ -356,6 +361,7 @@ longtail_intervals_st = st.lists(
 @SETTINGS
 @given(iv=longtail_intervals_st, pts=points_st,
        mb=st.sampled_from([1, 4, 16]))
+@pytest.mark.slow
 def test_hierarchical_point_join_equals_naive(spark, iv, pts, mb):
     """With max_buckets_per_interval set, the multi-level banded point
     join equals the naive theta join for ANY mix of normal and
@@ -392,6 +398,7 @@ def test_hierarchical_point_join_equals_naive(spark, iv, pts, mb):
 @SETTINGS
 @given(left=longtail_intervals_st, right=longtail_intervals_st,
        mb=st.sampled_from([1, 4, 16]))
+@pytest.mark.slow
 def test_hierarchical_overlap_join_equals_naive(spark, left, right, mb):
     """Hierarchical banded overlap join == naive theta join, each pair
     exactly once, under long-tailed interval lengths."""
@@ -520,6 +527,7 @@ docs_corpus_st = st.lists(
 @SETTINGS
 @given(old_rows=docs_corpus_st, new_rows=docs_corpus_st,
        threshold=st.sampled_from([0.5, 0.8, 1.0]))
+@pytest.mark.slow
 def test_dedup_incremental_equals_naive(spark, old_rows, new_rows, threshold):
     """For ANY corpora and threshold, dedup_incremental == the naive
     definition: within-batch exact survivors, minus exact text matches vs

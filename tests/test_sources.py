@@ -227,6 +227,7 @@ def test_thin_catalog_scan_union_equivalence(spark, tmp_table_dir, sf_dir):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+@pytest.mark.slow
 def test_thin_catalog_scan_planning_scales(spark, tmp_path):
     """At ~300 partitions the single-scan strategy must plan much faster
     than the one-scan-node-per-partition union (the analysis-time blowup
